@@ -1,0 +1,244 @@
+"""Mehrotra predictor-corrector interior-point method, dense, jittable.
+
+Behavioral model: ClpPredictorCorrector::solve (ClpPredictorCorrector.cpp:75)
+— per-iteration flow complementarityGap -> affine direction -> step length ->
+corrector -> update (cpp:227+,:1016,:1564,:2366,:3070) — re-derived as a
+fixed-shape JAX program:
+
+  * the Newton solve uses dense normal equations M = G D G' + delta_d I with
+    Cholesky on the MXU (the reference's ClpCholeskyDense path,
+    ClpCholeskyDense.hpp:42-52, is the analogous default);
+  * primal-dual regularization replaces the reference's dropped-row handling
+    (ClpCholeskyBase::factorize rowsDropped) so shapes stay static;
+  * all bound handling (lower/upper/free) is mask-based, no data-dependent
+    shapes, so the whole solve jits once and vmaps over scenario batches.
+
+Problem form: min c'x  s.t.  G x = b,  l <= x <= u  (StandardLP; fixed
+variables must already be substituted out, see forms.to_ipm_form).
+
+KKT system (z = duals of x-l >= 0, w = duals of u-x >= 0):
+    G x = b;   G'y + z - w = c;   (x-l) o z = mu e;   (u-x) o w = mu e.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..forms import StandardLP
+from ..ops.linalg import chol_factor_reg, chol_solve
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMOptions:
+    tol: float = 1e-8
+    max_iter: int = 100
+    step_factor: float = 0.9995  # Mehrotra step-to-boundary factor
+    reg_primal: float = 1e-9  # relative primal regularization (on D^-1)
+    reg_dual: float = 1e-10  # relative dual regularization (on M diagonal)
+    free_var_cap: float = 1e10  # cap on D entries for free variables
+    refine_steps: int = 1  # iterative refinement on each Newton solve
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class IPMResult:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    w: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    primal_infeas: jnp.ndarray  # relative ||Gx-b||_inf
+    dual_infeas: jnp.ndarray  # relative ||c-G'y-z+w||_inf
+    rel_gap: jnp.ndarray
+    pobj: jnp.ndarray
+    dobj: jnp.ndarray
+    # divergence diagnostics for infeasibility heuristics
+    blowup: jnp.ndarray
+
+
+def _starting_point(lp: StandardLP, hl, hu, opts: IPMOptions):
+    """Least-squares start (LIPSOL-flavored), clamped into the bounds."""
+    G, b = lp.G, lp.b
+    m, nt = G.shape
+    M0 = G @ G.T
+    L0, _ = chol_factor_reg(M0, base_reg=1e-12)
+    x_ls = G.T @ chol_solve(L0, b)
+
+    both = hl & hu
+    width = jnp.where(both, lp.u - lp.l, jnp.inf)
+    margin = jnp.minimum(1.0 + 0.1 * jnp.abs(x_ls), 0.25 * width)
+    lo = jnp.where(hl, lp.l + jnp.where(both, margin, 1.0 + 0.1 * jnp.abs(lp.l)), -jnp.inf)
+    hi = jnp.where(hu, lp.u - jnp.where(both, margin, 1.0 + 0.1 * jnp.abs(lp.u)), jnp.inf)
+    # make sure lo <= hi even for narrow ranges
+    mid = 0.5 * (jnp.where(jnp.isfinite(lo), lo, 0.0) + jnp.where(jnp.isfinite(hi), hi, 0.0))
+    lo_ok = lo <= hi
+    x0 = jnp.clip(x_ls, jnp.where(lo_ok, lo, mid), jnp.where(lo_ok, hi, mid))
+
+    cscale = 1.0 + jnp.sqrt(jnp.sum(lp.c * lp.c) / nt)
+    z0 = jnp.where(hl, cscale, 0.0)
+    w0 = jnp.where(hu, cscale, 0.0)
+    y0 = jnp.zeros(m, lp.G.dtype)
+    return x0, y0, z0, w0
+
+
+def _max_step(v, dv, mask):
+    """max alpha in [0, 1/eps] with v + alpha*dv >= 0 over masked entries."""
+    bad = mask & (dv < 0)
+    ratios = jnp.where(bad, -v / jnp.where(bad, dv, -1.0), jnp.inf)
+    return jnp.minimum(jnp.min(ratios, initial=jnp.inf), 1e20)
+
+
+def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
+    """Single-instance Mehrotra IPM; jit/vmap over instances externally."""
+    G, b, c, l, u = lp.G, lp.b, lp.c, lp.l, lp.u
+    m, nt = G.shape
+    dtype = G.dtype
+    hl = jnp.isfinite(l)
+    hu = jnp.isfinite(u)
+    n_active = jnp.maximum(jnp.sum(hl) + jnp.sum(hu), 1).astype(dtype)
+    bnorm = 1.0 + jnp.max(jnp.abs(b), initial=0.0)
+    cnorm = 1.0 + jnp.max(jnp.abs(c), initial=0.0)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    x0, y0, z0, w0 = _starting_point(lp, hl, hu, opts)
+
+    def residuals(x, y, z, w):
+        rb = b - G @ x
+        rc = c - G.T @ y - z + w
+        return rb, rc
+
+    def gap_of(x, z, w):
+        g = jnp.where(hl, x - l, 1.0)
+        t = jnp.where(hu, u - x, 1.0)
+        mu = (jnp.sum(jnp.where(hl, g * z, 0.0)) + jnp.sum(jnp.where(hu, t * w, 0.0))) / n_active
+        return g, t, mu
+
+    def metrics(x, y, z, w):
+        rb, rc = residuals(x, y, z, w)
+        pinf = jnp.max(jnp.abs(rb), initial=0.0) / bnorm
+        dinf = jnp.max(jnp.abs(rc), initial=0.0) / cnorm
+        pobj = c @ x
+        dobj = (
+            b @ y
+            + jnp.sum(jnp.where(hl, l * z, 0.0))
+            - jnp.sum(jnp.where(hu, u * w, 0.0))
+        )
+        relgap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj))
+        return pinf, dinf, relgap, pobj, dobj
+
+    def converged(x, y, z, w):
+        pinf, dinf, relgap, _, _ = metrics(x, y, z, w)
+        return (pinf <= opts.tol) & (dinf <= opts.tol) & (relgap <= opts.tol)
+
+    def cond(state):
+        x, y, z, w, it, done, _ = state
+        return (~done) & (it < opts.max_iter)
+
+    def body(state):
+        x, y, z, w, it, _, _ = state
+        rb, rc = residuals(x, y, z, w)
+        g, t, mu = gap_of(x, z, w)
+
+        zg = jnp.where(hl, z / g, 0.0)
+        wt = jnp.where(hu, w / t, 0.0)
+        dinv = zg + wt + opts.reg_primal * (1.0 + jnp.abs(c))
+        d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+
+        Gd = G * d  # (m, nt) row-scaled by columns
+        M = Gd @ G.T
+        L, _ = chol_factor_reg(M, base_reg=opts.reg_dual)
+
+        def newton(rgz, rtw):
+            h = rc - jnp.where(hl, rgz / g, 0.0) + jnp.where(hu, rtw / t, 0.0)
+            rhs = rb + Gd @ h
+            dy = chol_solve(L, rhs)
+            if opts.refine_steps:
+                for _ in range(opts.refine_steps):
+                    r = rhs - M @ dy
+                    dy = dy + chol_solve(L, r)
+            dx = d * (G.T @ dy - h)
+            dz = jnp.where(hl, (rgz - z * dx) / g, 0.0)
+            dw = jnp.where(hu, (rtw + w * dx) / t, 0.0)
+            return dx, dy, dz, dw
+
+        # --- predictor (affine scaling) ---
+        rgz_aff = -g * z
+        rtw_aff = -t * w
+        dxa, dya, dza, dwa = newton(rgz_aff, rtw_aff)
+        ap_aff = jnp.minimum(
+            jnp.minimum(_max_step(g, dxa, hl), _max_step(t, -dxa, hu)), 1.0
+        )
+        ad_aff = jnp.minimum(
+            jnp.minimum(_max_step(z, dza, hl), _max_step(w, dwa, hu)), 1.0
+        )
+        mu_aff = (
+            jnp.sum(jnp.where(hl, (g + ap_aff * dxa) * (z + ad_aff * dza), 0.0))
+            + jnp.sum(jnp.where(hu, (t - ap_aff * dxa) * (w + ad_aff * dwa), 0.0))
+        ) / n_active
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 1e-8, 1.0)
+
+        # --- corrector ---
+        rgz = sigma * mu - g * z - dxa * dza
+        rtw = sigma * mu - t * w + dxa * dwa
+        dx, dy, dz, dw = newton(rgz, rtw)
+
+        ap_max = jnp.minimum(_max_step(g, dx, hl), _max_step(t, -dx, hu))
+        ad_max = jnp.minimum(_max_step(z, dz, hl), _max_step(w, dw, hu))
+        eta = jnp.maximum(opts.step_factor, 1.0 - 0.1 * mu)
+        ap = jnp.minimum(1.0, eta * ap_max)
+        ad = jnp.minimum(1.0, eta * ad_max)
+
+        x1 = x + ap * dx
+        y1 = y + ad * dy
+        z1 = jnp.where(hl, z + ad * dz, 0.0)
+        w1 = jnp.where(hu, w + ad * dw, 0.0)
+
+        # reject steps that produced non-finite values (keep previous iterate,
+        # convergence check will stop us; mirrors the reference's disaster
+        # handling, ClpSimplex.hpp:993)
+        finite = (
+            jnp.all(jnp.isfinite(x1))
+            & jnp.all(jnp.isfinite(y1))
+            & jnp.all(jnp.isfinite(z1))
+            & jnp.all(jnp.isfinite(w1))
+        )
+        x1 = jnp.where(finite, x1, x)
+        y1 = jnp.where(finite, y1, y)
+        z1 = jnp.where(finite, z1, z)
+        w1 = jnp.where(finite, w1, w)
+
+        done = converged(x1, y1, z1, w1) | (~finite)
+        _, _, mu1 = gap_of(x1, z1, w1)
+        return x1, y1, z1, w1, it + 1, done, mu1
+
+    _, _, mu0 = gap_of(x0, z0, w0)
+    init = (x0, y0, z0, w0, jnp.asarray(0), converged(x0, y0, z0, w0), mu0)
+    x, y, z, w, it, done, _ = jax.lax.while_loop(cond, body, init)
+
+    pinf, dinf, relgap, pobj, dobj = metrics(x, y, z, w)
+    conv = (pinf <= opts.tol) & (dinf <= opts.tol) & (relgap <= opts.tol)
+    blowup = jnp.maximum(jnp.max(jnp.abs(z), initial=0.0), jnp.max(jnp.abs(w), initial=0.0))
+    return IPMResult(
+        x=x,
+        y=y,
+        z=z,
+        w=w,
+        iterations=it,
+        converged=conv,
+        primal_infeas=pinf,
+        dual_infeas=dinf,
+        rel_gap=relgap,
+        pobj=pobj,
+        dobj=dobj,
+        blowup=blowup,
+    )
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def ipm_solve_jit(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
+    return ipm_solve(lp, opts)

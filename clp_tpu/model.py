@@ -1,0 +1,352 @@
+"""Problem container — the ClpModel equivalent.
+
+Holds the LP/QP data on the host (numpy + scipy.sparse CSC):
+
+    minimize    c'x + (1/2) x'Qx + obj_offset
+    subject to  row_lower <= A x <= row_upper
+                col_lower <=   x <= col_upper
+
+Reference surface covered (ClpModel.hpp): load_problem (:87-120),
+read/write MPS (:131,:326), add/delete rows & columns (:160-244), bound and
+objective setters, scaling control (:724), status + solution accessors
+(:437-552), int/double parameters (:1124-1161), optimization direction,
+quadratic objective (:122-127), integer markers, ray accessors (:875-899).
+
+Unlike the reference there is no class hierarchy of matrix kinds
+(ClpMatrixBase + 6 subclasses, ClpMatrixBase.hpp:38): the TPU build keeps one
+CSC host container plus *structure annotations* (detected ±1 / network
+structure drives kernel selection downstream, per SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+from .constants import (
+    INF,
+    PRIMAL_TOLERANCE,
+    DUAL_TOLERANCE,
+    ProblemStatus,
+    SecondaryStatus,
+    ScalingMode,
+    VariableStatus,
+)
+
+
+def _as_f64(x, n: int, default: float) -> np.ndarray:
+    if x is None:
+        return np.full(n, default, dtype=np.float64)
+    a = np.asarray(x, dtype=np.float64).reshape(-1).copy()
+    if a.size != n:
+        raise ValueError(f"expected length {n}, got {a.size}")
+    return a
+
+
+@dataclasses.dataclass
+class Solution:
+    """Solve results attached to a Model."""
+
+    status: ProblemStatus = ProblemStatus.UNKNOWN
+    secondary_status: SecondaryStatus = SecondaryStatus.NONE
+    objective_value: float = 0.0
+    # primal values per column; duals per row; reduced costs per column;
+    # row activity = A x.
+    primal: Optional[np.ndarray] = None
+    duals: Optional[np.ndarray] = None
+    reduced_costs: Optional[np.ndarray] = None
+    row_activity: Optional[np.ndarray] = None
+    iterations: int = 0
+    # basis status per column then per row slack (VariableStatus codes)
+    column_status: Optional[np.ndarray] = None
+    row_status: Optional[np.ndarray] = None
+    # certificate rays (reference: ClpModel.hpp:875-899)
+    infeasibility_ray: Optional[np.ndarray] = None
+    unbounded_ray: Optional[np.ndarray] = None
+    solve_time: float = 0.0
+
+
+class Model:
+    """LP/QP problem data + parameters + last solution.
+
+    The default objective sense is minimize (optimization_direction=1.0,
+    reference: ClpModel.hpp:285).
+    """
+
+    def __init__(self):
+        self._A = sp.csc_matrix((0, 0), dtype=np.float64)
+        self.col_lower = np.zeros(0)
+        self.col_upper = np.zeros(0)
+        self.row_lower = np.zeros(0)
+        self.row_upper = np.zeros(0)
+        self.objective = np.zeros(0)
+        self.objective_offset = 0.0
+        self.optimization_direction = 1.0  # 1 min, -1 max, 0 ignore
+        self.quadratic_objective: Optional[sp.csc_matrix] = None  # Q (sym.)
+        self.integer_mask: Optional[np.ndarray] = None  # bool per column
+        self.row_names: Optional[list] = None
+        self.col_names: Optional[list] = None
+        self.problem_name: str = ""
+        # parameters (reference ClpModelParameters.hpp keys, as attributes)
+        self.primal_tolerance = PRIMAL_TOLERANCE
+        self.dual_tolerance = DUAL_TOLERANCE
+        self.maximum_iterations = 2 ** 31 - 1
+        self.maximum_seconds = float("inf")
+        self.dual_objective_limit = INF
+        self.primal_objective_limit = -INF
+        self.infeasibility_cost = 1e10
+        self.scaling_mode = ScalingMode.AUTO
+        self.log_level = 1
+        self.random_seed = 1234567  # reference: RANDOMSEED param
+        self.perturbation = 100  # reference: ClpSimplex.hpp:705-716
+        self.solution = Solution()
+        self.event_handler = None  # callable(event_name, model) -> int
+
+    # --- shape accessors (reference: ClpModel.hpp:410-421) ---
+    @property
+    def num_rows(self) -> int:
+        return self._A.shape[0]
+
+    @property
+    def num_cols(self) -> int:
+        return self._A.shape[1]
+
+    @property
+    def num_elements(self) -> int:
+        return self._A.nnz
+
+    @property
+    def matrix(self) -> sp.csc_matrix:
+        return self._A
+
+    # --- loading (reference: ClpModel.hpp:87-120 loadProblem) ---
+    def load_problem(
+        self,
+        matrix,
+        col_lower=None,
+        col_upper=None,
+        objective=None,
+        row_lower=None,
+        row_upper=None,
+        row_objective=None,
+    ) -> "Model":
+        A = sp.csc_matrix(matrix, dtype=np.float64)
+        m, n = A.shape
+        self._A = A
+        self.col_lower = _as_f64(col_lower, n, 0.0)
+        self.col_upper = _as_f64(col_upper, n, INF)
+        self.objective = _as_f64(objective, n, 0.0)
+        self.row_lower = _as_f64(row_lower, m, -INF)
+        self.row_upper = _as_f64(row_upper, m, INF)
+        if row_objective is not None:
+            raise NotImplementedError("row objective not supported")
+        self.solution = Solution()
+        return self
+
+    def load_quadratic_objective(self, Q) -> None:
+        """Set (1/2) x'Qx term; Q symmetric (ClpModel.hpp:122-127)."""
+        Q = sp.csc_matrix(Q, dtype=np.float64)
+        n = self.num_cols
+        if Q.shape != (n, n):
+            raise ValueError(f"Q must be {n}x{n}")
+        self.quadratic_objective = Q
+
+    # --- modification (reference: ClpModel.hpp:160-244) ---
+    def add_columns(self, cols, lower=None, upper=None, objective=None) -> None:
+        C = sp.csc_matrix(cols, dtype=np.float64)
+        if C.shape[0] != self.num_rows and self.num_rows:
+            raise ValueError("row dimension mismatch")
+        k = C.shape[1]
+        self._A = sp.hstack([self._A, C], format="csc") if self.num_cols else C
+        self.col_lower = np.concatenate([self.col_lower, _as_f64(lower, k, 0.0)])
+        self.col_upper = np.concatenate([self.col_upper, _as_f64(upper, k, INF)])
+        self.objective = np.concatenate([self.objective, _as_f64(objective, k, 0.0)])
+        if self.col_names is not None:
+            self.col_names += [f"C{self.num_cols - k + i}" for i in range(k)]
+
+    def add_rows(self, rows, lower=None, upper=None) -> None:
+        R = sp.csc_matrix(rows, dtype=np.float64)
+        if R.shape[1] != self.num_cols and self.num_cols:
+            raise ValueError("column dimension mismatch")
+        k = R.shape[0]
+        self._A = sp.vstack([self._A, R], format="csc") if self.num_rows else R
+        self.row_lower = np.concatenate([self.row_lower, _as_f64(lower, k, -INF)])
+        self.row_upper = np.concatenate([self.row_upper, _as_f64(upper, k, INF)])
+        if self.row_names is not None:
+            self.row_names += [f"R{self.num_rows - k + i}" for i in range(k)]
+
+    def delete_columns(self, which: Sequence[int]) -> None:
+        keep = np.setdiff1d(np.arange(self.num_cols), np.asarray(which))
+        self._A = self._A[:, keep].tocsc()
+        self.col_lower = self.col_lower[keep]
+        self.col_upper = self.col_upper[keep]
+        self.objective = self.objective[keep]
+        if self.integer_mask is not None:
+            self.integer_mask = self.integer_mask[keep]
+        if self.col_names is not None:
+            self.col_names = [self.col_names[i] for i in keep]
+
+    def delete_rows(self, which: Sequence[int]) -> None:
+        keep = np.setdiff1d(np.arange(self.num_rows), np.asarray(which))
+        self._A = self._A[keep, :].tocsc()
+        self.row_lower = self.row_lower[keep]
+        self.row_upper = self.row_upper[keep]
+        if self.row_names is not None:
+            self.row_names = [self.row_names[i] for i in keep]
+
+    # --- objective sense (reference: ClpModel.hpp:285) ---
+    def set_maximize(self) -> None:
+        self.optimization_direction = -1.0
+
+    def set_minimize(self) -> None:
+        self.optimization_direction = 1.0
+
+    # --- integers (reference: ClpModel.hpp copyInIntegerInformation) ---
+    def set_integer(self, j) -> None:
+        if self.integer_mask is None:
+            self.integer_mask = np.zeros(self.num_cols, dtype=bool)
+        self.integer_mask[j] = True
+
+    def is_integer(self, j: int) -> bool:
+        return bool(self.integer_mask is not None and self.integer_mask[j])
+
+    # --- IO (implemented in clp_tpu.io) ---
+    def read_mps(self, filename: str, keep_names: bool = True) -> int:
+        from .io.mps import read_mps
+
+        try:
+            read_mps(filename, into=self, keep_names=keep_names)
+            return 0
+        except FileNotFoundError:
+            return -1
+
+    def write_mps(self, filename: str) -> int:
+        from .io.mps import write_mps
+
+        write_mps(self, filename)
+        return 0
+
+    def read_lp(self, filename: str) -> int:
+        from .io.lp_format import read_lp
+
+        try:
+            read_lp(filename, into=self)
+            return 0
+        except FileNotFoundError:
+            return -1
+
+    # --- solve front door (dispatches to clp_tpu.solve) ---
+    def initial_solve(self, options=None):
+        from .solve import initial_solve
+
+        return initial_solve(self, options)
+
+    def dual(self, **kw):
+        from .solve import initial_solve
+        from .options import SolveOptions
+        from .constants import SolveMethod
+
+        return initial_solve(self, SolveOptions(method=SolveMethod.DUAL_SIMPLEX, **kw))
+
+    def primal(self, **kw):
+        from .solve import initial_solve
+        from .options import SolveOptions
+        from .constants import SolveMethod
+
+        return initial_solve(self, SolveOptions(method=SolveMethod.PRIMAL_SIMPLEX, **kw))
+
+    def barrier(self, crossover: bool = True, **kw):
+        from .solve import initial_solve
+        from .options import SolveOptions
+        from .constants import SolveMethod
+
+        m = SolveMethod.BARRIER if crossover else SolveMethod.BARRIER_NO_CROSS
+        return initial_solve(self, SolveOptions(method=m, **kw))
+
+    # --- solution accessors (reference: ClpModel.hpp:437-552) ---
+    @property
+    def status(self) -> ProblemStatus:
+        return self.solution.status
+
+    def is_proven_optimal(self) -> bool:
+        return self.solution.status == ProblemStatus.OPTIMAL
+
+    def is_proven_primal_infeasible(self) -> bool:
+        return self.solution.status == ProblemStatus.PRIMAL_INFEASIBLE
+
+    def is_proven_dual_infeasible(self) -> bool:
+        return self.solution.status == ProblemStatus.DUAL_INFEASIBLE
+
+    def objective_value(self) -> float:
+        return self.solution.objective_value
+
+    def primal_column_solution(self) -> Optional[np.ndarray]:
+        return self.solution.primal
+
+    def dual_row_solution(self) -> Optional[np.ndarray]:
+        return self.solution.duals
+
+    def dual_column_solution(self) -> Optional[np.ndarray]:
+        return self.solution.reduced_costs
+
+    def primal_row_solution(self) -> Optional[np.ndarray]:
+        return self.solution.row_activity
+
+    def infeasibility_ray(self) -> Optional[np.ndarray]:
+        return self.solution.infeasibility_ray
+
+    def unbounded_ray(self) -> Optional[np.ndarray]:
+        return self.solution.unbounded_ray
+
+    # --- basis warm start (reference: ClpModel.hpp:910-914, statusCopy) ---
+    def get_basis_status(self):
+        return self.solution.column_status, self.solution.row_status
+
+    def set_basis_status(self, column_status, row_status) -> None:
+        self.solution.column_status = np.asarray(column_status, dtype=np.int8)
+        self.solution.row_status = np.asarray(row_status, dtype=np.int8)
+
+    # --- structure detection (replaces ClpPlusMinusOneMatrix / Network classes) ---
+    def detect_structure(self) -> dict:
+        """Classify the matrix; downstream kernels specialize on this.
+
+        Returns flags equivalent to what the reference encodes as matrix
+        subclasses (ClpPlusMinusOneMatrix.hpp, ClpNetworkMatrix.hpp:12-16).
+        """
+        A = self._A
+        data = A.data
+        is_pm1 = bool(data.size and np.all(np.abs(data) == 1.0))
+        is_network = False
+        if is_pm1:
+            counts = np.diff(A.indptr)
+            if np.all(counts <= 2):
+                col_sums = np.abs(A).T @ np.ones(A.shape[0])
+                sums = A.T @ np.ones(A.shape[0])
+                is_network = bool(np.all((counts < 2) | (np.abs(sums) < 1e-12)))
+                is_network = is_network and bool(np.all(col_sums <= 2))
+        return {
+            "plus_minus_one": is_pm1,
+            "network": is_network,
+            "nnz": int(A.nnz),
+            "density": float(A.nnz) / max(1, A.shape[0] * A.shape[1]),
+        }
+
+    def copy(self) -> "Model":
+        import copy as _copy
+
+        m = Model()
+        m.__dict__ = {
+            k: (_copy.deepcopy(v) if not sp.issparse(v) else v.copy())
+            for k, v in self.__dict__.items()
+        }
+        m._A = self._A.copy()
+        return m
+
+    def __repr__(self) -> str:
+        return (
+            f"Model({self.num_rows}x{self.num_cols}, nnz={self.num_elements}, "
+            f"status={self.solution.status.name})"
+        )

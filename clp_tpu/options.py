@@ -1,0 +1,63 @@
+"""Solve options — the ClpSolve equivalent (reference: ClpSolve.hpp).
+
+Carries the method choice, presolve controls (per-transform on/off mirrors
+ClpSolve.hpp:123-262), special options, and device/batching controls that are
+new in the TPU build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from .constants import SolveMethod, ScalingMode
+
+
+@dataclasses.dataclass
+class PresolveOptions:
+    """Per-transform switches (reference: ClpSolve.hpp:123-262)."""
+
+    enabled: bool = True
+    passes: int = 5  # reference default numberPasses
+    dual_fixing: bool = True
+    singleton_rows: bool = True
+    singleton_cols: bool = True
+    doubleton: bool = True
+    forcing: bool = True
+    fixed_variables: bool = True
+    empty_rows_cols: bool = True
+    duplicate_rows: bool = True
+    duplicate_cols: bool = True
+    implied_free: bool = True
+    dominated_cols: bool = False  # off by default, as in reference substitution=3
+
+
+@dataclasses.dataclass
+class SolveOptions:
+    """Equivalent of ClpSolve + the TPU-native execution controls."""
+
+    method: SolveMethod = SolveMethod.AUTOMATIC
+    presolve: PresolveOptions = dataclasses.field(default_factory=PresolveOptions)
+    scaling: ScalingMode = ScalingMode.AUTO
+    max_iterations: Optional[int] = None
+    max_seconds: Optional[float] = None
+    # simplex knobs
+    dual_pivot: str = "steepest"  # "steepest" | "dantzig" | "pe-steepest"
+    primal_pivot: str = "devex"  # "devex" | "dantzig" | "steepest"
+    perturbation: int = 100  # reference semantics: 100 = auto-on-if-slow
+    refactor_frequency: int = 100
+    crash: str = "none"  # "none" | "idiot" | "allslack"
+    idiot_passes: int = 0
+    # barrier knobs
+    barrier_max_iterations: int = 200
+    barrier_tolerance: float = 1e-8
+    crossover: bool = True
+    # numerics
+    dtype: str = "float64"
+    # batching / sharding (TPU-native, no reference analogue)
+    mesh_axis: str = "scenario"
+    devices: Optional[object] = None  # explicit jax devices / Mesh
+    # cleanup: run a finishing simplex on the original model after postsolve
+    # if residual infeasibilities remain (reference: ClpSolve.cpp:~3550+)
+    cleanup: bool = True
+    log_level: int = 1

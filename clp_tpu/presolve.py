@@ -1,0 +1,281 @@
+"""Presolve / postsolve — LP reductions with a reversible tape.
+
+Equivalent of ClpPresolve driving the CoinPresolve actions
+(ClpPresolve.cpp:966-1443). Implemented as vectorized numpy passes over the
+host model with a tape of transform records; `postsolve` replays the tape in
+reverse to recover the full primal/dual solution (and basis statuses).
+
+Transform order per pass (mirroring the reference's loop):
+    fixed columns -> empty rows/cols -> singleton rows (bound tightening)
+    -> forcing rows -> (more transforms land in later rounds)
+
+Statuses: infeasibility detected during presolve reports
+PRIMAL_INFEASIBLE with secondary INFEAS_OR_UNBOUNDED_IN_PRESOLVE
+(reference: ClpSolve.cpp:1013-1027 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from .constants import INF, ProblemStatus, VariableStatus
+from .model import Model, Solution
+from .options import PresolveOptions
+
+
+@dataclasses.dataclass
+class _FixedCols:
+    idx: np.ndarray  # original column indices (in the pre-transform frame)
+    values: np.ndarray
+    costs: np.ndarray
+    cols: object  # sparse matrix slice A[:, idx] in the pre-transform frame
+
+
+@dataclasses.dataclass
+class _EmptyRows:
+    idx: np.ndarray
+
+
+@dataclasses.dataclass
+class _SingletonRows:
+    idx: np.ndarray  # removed row indices (pre-transform frame)
+    col: np.ndarray  # the column each row constrained
+    coef: np.ndarray  # its coefficient
+    old_lower: np.ndarray  # column bounds before tightening
+    old_upper: np.ndarray
+    new_lower: np.ndarray
+    new_upper: np.ndarray
+
+
+@dataclasses.dataclass
+class PresolveInfo:
+    status: ProblemStatus = ProblemStatus.UNKNOWN
+    tape: list = dataclasses.field(default_factory=list)
+    original: Optional[Model] = None
+
+
+def _remove_fixed_columns(model: Model, tape: list, tol: float) -> bool:
+    fixed = np.flatnonzero(
+        (model.col_upper - model.col_lower) <= tol * (1 + np.abs(model.col_lower))
+    )
+    if fixed.size == 0:
+        return False
+    vals = 0.5 * (model.col_lower[fixed] + model.col_upper[fixed])
+    A = model.matrix
+    cols = A[:, fixed]
+    contrib = cols @ vals
+    tape.append(_FixedCols(fixed, vals, model.objective[fixed].copy(), cols))
+    model.objective_offset += float(model.objective[fixed] @ vals)
+    keep = np.setdiff1d(np.arange(model.num_cols), fixed)
+    model._A = A[:, keep].tocsc()
+    model.col_lower = model.col_lower[keep]
+    model.col_upper = model.col_upper[keep]
+    model.objective = model.objective[keep]
+    if model.col_names is not None:
+        model.col_names = [model.col_names[j] for j in keep]
+    if model.integer_mask is not None:
+        model.integer_mask = model.integer_mask[keep]
+    model.row_lower = np.where(model.row_lower > -INF, model.row_lower - contrib, model.row_lower)
+    model.row_upper = np.where(model.row_upper < INF, model.row_upper - contrib, model.row_upper)
+    return True
+
+
+def _remove_empty_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
+    counts = np.diff(model.matrix.tocsr().indptr)
+    empty = np.flatnonzero(counts == 0)
+    if empty.size == 0:
+        return False
+    if np.any(model.row_lower[empty] > tol) or np.any(model.row_upper[empty] < -tol):
+        return None  # infeasible
+    tape.append(_EmptyRows(empty))
+    keep = np.setdiff1d(np.arange(model.num_rows), empty)
+    model._A = model.matrix[keep, :].tocsc()
+    model.row_lower = model.row_lower[keep]
+    model.row_upper = model.row_upper[keep]
+    if model.row_names is not None:
+        model.row_names = [model.row_names[i] for i in keep]
+    return True
+
+
+def _singleton_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
+    """Rows with one entry become column-bound tightenings and vanish."""
+    Ar = model.matrix.tocsr()
+    counts = np.diff(Ar.indptr)
+    singles = np.flatnonzero(counts == 1)
+    if singles.size == 0:
+        return False
+    cols = np.empty(singles.size, dtype=np.int64)
+    coefs = np.empty(singles.size)
+    for k, i in enumerate(singles):
+        p = Ar.indptr[i]
+        cols[k] = Ar.indices[p]
+        coefs[k] = Ar.data[p]
+    old_lo = model.col_lower[cols].copy()
+    old_up = model.col_upper[cols].copy()
+    # implied bounds per row: rl/a <= x <= ru/a (order by sign of a)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lo_i = np.where(coefs > 0, model.row_lower[singles] / coefs,
+                        model.row_upper[singles] / coefs)
+        up_i = np.where(coefs > 0, model.row_upper[singles] / coefs,
+                        model.row_lower[singles] / coefs)
+    lo_i = np.where(np.isfinite(lo_i), lo_i, -INF)
+    up_i = np.where(np.isfinite(up_i), up_i, INF)
+    # combine duplicates targeting the same column
+    new_lo = model.col_lower.copy()
+    new_up = model.col_upper.copy()
+    np.maximum.at(new_lo, cols, lo_i)
+    np.minimum.at(new_up, cols, up_i)
+    if np.any(new_lo > new_up + tol * (1 + np.abs(new_lo))):
+        return None  # infeasible
+    tape.append(
+        _SingletonRows(
+            singles, cols, coefs, old_lo, old_up,
+            new_lo[cols].copy(), new_up[cols].copy(),
+        )
+    )
+    model.col_lower = new_lo
+    model.col_upper = new_up
+    keep = np.setdiff1d(np.arange(model.num_rows), singles)
+    model._A = model.matrix[keep, :].tocsc() if keep.size else sp.csc_matrix((0, model.num_cols))
+    model.row_lower = model.row_lower[keep]
+    model.row_upper = model.row_upper[keep]
+    if model.row_names is not None:
+        model.row_names = [model.row_names[i] for i in keep]
+    return True
+
+
+def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInfo]:
+    """Return (reduced model, tape info). The input model is untouched."""
+    info = PresolveInfo(original=model)
+    work = model.copy()
+    tol = 1e-10
+    for _ in range(max(1, options.passes)):
+        changed = False
+        if options.fixed_variables:
+            changed |= _remove_fixed_columns(work, info.tape, tol)
+        if options.empty_rows_cols:
+            r = _remove_empty_rows(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.PRIMAL_INFEASIBLE
+                return work, info
+            changed |= r
+        if options.singleton_rows:
+            r = _singleton_rows(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.PRIMAL_INFEASIBLE
+                return work, info
+            changed |= r
+        if not changed:
+            break
+    # quick infeasibility screens
+    if np.any(work.col_lower > work.col_upper + tol) or np.any(
+        work.row_lower > work.row_upper + tol
+    ):
+        info.status = ProblemStatus.PRIMAL_INFEASIBLE
+        return work, info
+    info.status = ProblemStatus.UNKNOWN
+    return work, info
+
+
+def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
+    """Replay the tape backwards, rebuilding x, y, dj, and statuses."""
+    x = None if sol.primal is None else np.asarray(sol.primal, dtype=np.float64).copy()
+    y = None if sol.duals is None else np.asarray(sol.duals, dtype=np.float64).copy()
+    cstat = None if sol.column_status is None else np.asarray(sol.column_status).copy()
+    rstat = None if sol.row_status is None else np.asarray(sol.row_status).copy()
+
+    if x is None:
+        out = dataclasses.replace(sol)
+        model.solution = out
+        return out
+
+    for rec in reversed(info.tape):
+        if isinstance(rec, _FixedCols):
+            n_after = x.size
+            n_before = n_after + rec.idx.size
+            xs = np.empty(n_before)
+            keep = np.setdiff1d(np.arange(n_before), rec.idx)
+            xs[keep] = x
+            xs[rec.idx] = rec.values
+            x = xs
+            if cstat is not None:
+                cs = np.empty(n_before, dtype=cstat.dtype)
+                cs[keep] = cstat
+                cs[rec.idx] = int(VariableStatus.FIXED)
+                cstat = cs
+        elif isinstance(rec, _EmptyRows):
+            m_after = 0 if y is None else y.size
+            m_before = m_after + rec.idx.size
+            keep = np.setdiff1d(np.arange(m_before), rec.idx)
+            ys = np.zeros(m_before)
+            if y is not None:
+                ys[keep] = y
+            y = ys
+            if rstat is not None:
+                rs = np.empty(m_before, dtype=rstat.dtype)
+                rs[keep] = rstat
+                rs[rec.idx] = int(VariableStatus.BASIC)
+                rstat = rs
+        elif isinstance(rec, _SingletonRows):
+            m_after = 0 if y is None else y.size
+            m_before = m_after + rec.idx.size
+            keep = np.setdiff1d(np.arange(m_before), rec.idx)
+            ys = np.zeros(m_before)
+            if y is not None:
+                ys[keep] = y
+            # rows return with zero dual; the final consistency pass below
+            # transfers reduced costs onto them where their implied bound is
+            # the active one
+            if rstat is not None:
+                rs = np.full(m_before, int(VariableStatus.BASIC), dtype=rstat.dtype)
+                rs[keep] = rstat
+                for k in range(rec.idx.size):
+                    i, j = rec.idx[k], rec.col[k]
+                    tol = 1e-7 * (1.0 + abs(x[j]))
+                    if abs(x[j] - rec.new_lower[k]) <= tol:
+                        rs[i] = int(VariableStatus.AT_LOWER)
+                    elif abs(x[j] - rec.new_upper[k]) <= tol:
+                        rs[i] = int(VariableStatus.AT_UPPER)
+                rstat = rs
+            y = ys
+
+    # final dual consistency pass: recompute dj against the original model,
+    # then transfer any residual dj of singleton-tightened bound-active
+    # columns onto their rows
+    A = model.matrix
+    if y is None or y.size != model.num_rows:
+        y = np.zeros(model.num_rows)
+    dj = model.objective - A.T @ y
+    for rec in info.tape:
+        if isinstance(rec, _SingletonRows):
+            for k in range(rec.idx.size):
+                i, j, a = rec.idx[k], rec.col[k], rec.coef[k]
+                if i >= model.num_rows:
+                    continue
+                tol = 1e-7 * (1.0 + abs(x[j]))
+                orig_lo, orig_up = model.col_lower[j], model.col_upper[j]
+                strict_inside = (x[j] > orig_lo + tol) and (x[j] < orig_up - tol)
+                if strict_inside and abs(dj[j]) > 1e-9:
+                    y[i] += dj[j] / a
+                    dj = model.objective - A.T @ y
+
+    row_act = A @ x
+    obj = float(model.objective @ x) + model.objective_offset
+    out = Solution(
+        status=sol.status,
+        secondary_status=sol.secondary_status,
+        objective_value=obj,
+        primal=x,
+        duals=y,
+        reduced_costs=dj,
+        row_activity=row_act,
+        iterations=sol.iterations,
+        column_status=cstat,
+        row_status=rstat,
+    )
+    model.solution = out
+    return out

@@ -1,0 +1,238 @@
+"""Host-side simplex driver: setup, warm starts, retries, result mapping.
+
+This is the thin orchestration shell around the jitted engines — the
+equivalent of ClpSimplex::dual()/primal() entry plumbing plus the
+statusOfProblemInDual fake-bound escalation policy
+(ClpSimplexDual.cpp:4996, resetFakeBounds :8303):
+
+  - dual solve that ends OPTIMAL with nonbasics still parked at fake bounds
+    re-runs with a 100x larger dual bound, then falls back to a primal
+    finish (the reference does the same dance with dualBound_).
+  - NUMERICAL failures retry once with perturbed costs, then fall back to
+    the other algorithm (reference: perturb + saferTolerances policy,
+    ClpSimplexDual.cpp:6533).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import (
+    INF,
+    DUAL_BOUND_DEFAULT,
+    ProblemStatus,
+    SecondaryStatus,
+    VariableStatus,
+)
+from ..forms import to_standard_form
+from ..model import Model, Solution
+from ..options import SolveOptions
+from . import engine
+from .engine import (
+    AT_LOWER,
+    AT_UPPER,
+    BASIC,
+    FREE,
+    SimplexOptions,
+    SimplexState,
+    dual_solve,
+    primal_solve,
+    initial_state,
+    make_dual_feasible,
+    recompute,
+)
+
+# VariableStatus -> engine status code
+_VS_TO_ENGINE = {
+    int(VariableStatus.FREE): FREE,
+    int(VariableStatus.BASIC): BASIC,
+    int(VariableStatus.AT_UPPER): AT_UPPER,
+    int(VariableStatus.AT_LOWER): AT_LOWER,
+    int(VariableStatus.SUPER_BASIC): FREE,
+    int(VariableStatus.FIXED): AT_LOWER,
+}
+_ENGINE_TO_VS = {
+    FREE: int(VariableStatus.FREE),
+    BASIC: int(VariableStatus.BASIC),
+    AT_UPPER: int(VariableStatus.AT_UPPER),
+    AT_LOWER: int(VariableStatus.AT_LOWER),
+}
+
+
+def _repair_basis(vstat: np.ndarray, m: int, nt: int, l, u) -> tuple[np.ndarray, np.ndarray]:
+    """Force exactly m basic variables; return (vstat, basis index vector).
+
+    Mirrors the intent of the reference's basis repair when a warm start
+    doesn't match (ClpSimplex internalFactorize throw-out path).
+    """
+    n = nt - m
+    basic = np.flatnonzero(vstat == BASIC)
+    if basic.size > m:
+        # demote surplus structurals (prefer keeping slacks for stability)
+        surplus = [j for j in basic if j < n][: basic.size - m]
+        if len(surplus) < basic.size - m:
+            surplus += [j for j in basic if j >= n][: basic.size - m - len(surplus)]
+        for j in surplus:
+            vstat[j] = AT_LOWER if np.isfinite(l[j]) else (AT_UPPER if np.isfinite(u[j]) else FREE)
+        basic = np.flatnonzero(vstat == BASIC)
+    if basic.size < m:
+        # promote slacks of rows without a basic variable
+        deficit = m - basic.size
+        nonbasic_slacks = [n + i for i in range(m) if vstat[n + i] != BASIC]
+        for j in nonbasic_slacks[:deficit]:
+            vstat[j] = BASIC
+        basic = np.flatnonzero(vstat == BASIC)
+    assert basic.size == m, (basic.size, m)
+    return vstat, basic.astype(np.int32)
+
+
+def _warm_state(lp, opts: SimplexOptions, warm: Solution, n: int, m: int) -> SimplexState:
+    nt = n + m
+    l = np.asarray(lp.l)
+    u = np.asarray(lp.u)
+    vstat = np.full(nt, AT_LOWER, dtype=np.int32)
+    if warm.column_status is not None and warm.row_status is not None:
+        for j in range(n):
+            vstat[j] = _VS_TO_ENGINE.get(int(warm.column_status[j]), AT_LOWER)
+        for i in range(m):
+            vstat[n + i] = _VS_TO_ENGINE.get(int(warm.row_status[i]), BASIC)
+    elif warm.primal is not None:
+        # crossover-slam from an interior point: park each structural at its
+        # nearest bound, slacks basic (values-pass analogue of
+        # ClpSolve.cpp:3585+ crossover; proper basis crossover comes later)
+        x = np.asarray(warm.primal)
+        for j in range(n):
+            dl = x[j] - l[j] if np.isfinite(l[j]) else np.inf
+            du = u[j] - x[j] if np.isfinite(u[j]) else np.inf
+            if dl <= du and np.isfinite(l[j]):
+                vstat[j] = AT_LOWER
+            elif np.isfinite(u[j]):
+                vstat[j] = AT_UPPER
+            else:
+                vstat[j] = FREE
+        vstat[n:] = BASIC
+    else:
+        vstat[n:] = BASIC
+    # fixed variables always nonbasic at the bound
+    fixed = l == u
+    vstat = np.where(fixed & (vstat != BASIC), AT_LOWER, vstat).astype(np.int32)
+    vstat, basis = _repair_basis(vstat, m, nt, l, u)
+    return initial_state(lp, opts, vstat=jnp.asarray(vstat), basis=jnp.asarray(basis))
+
+
+def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
+             engine_status: int) -> Solution:
+    m, nt = lp.G.shape
+    n = nt - m
+    vstat = np.asarray(state.vstat)
+    basis = np.asarray(state.basis)
+    xfull = np.asarray(engine.nonbasic_values(lp, state.vstat, opts.dual_bound))
+    xfull[basis] = np.asarray(state.xb)
+    x = xfull[:n]
+    row_act = xfull[n:]
+    sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
+    y = np.asarray(state.y) * sense
+    d = model.objective - model.matrix.T @ y
+    obj = float(model.objective @ x) + model.objective_offset
+
+    status_map = {
+        engine.OPTIMAL: ProblemStatus.OPTIMAL,
+        engine.PRIMAL_INFEASIBLE: ProblemStatus.PRIMAL_INFEASIBLE,
+        engine.DUAL_INFEASIBLE: ProblemStatus.DUAL_INFEASIBLE,
+        engine.ITER_LIMIT: ProblemStatus.STOPPED,
+        engine.NUMERICAL: ProblemStatus.ERRORS,
+        engine.CONTINUE: ProblemStatus.ERRORS,
+    }
+    col_status = np.array([_ENGINE_TO_VS[int(s)] for s in vstat[:n]], dtype=np.int8)
+    row_status = np.array([_ENGINE_TO_VS[int(s)] for s in vstat[n:]], dtype=np.int8)
+    return Solution(
+        status=status_map[engine_status],
+        objective_value=obj,
+        primal=x,
+        duals=y,
+        reduced_costs=d,
+        row_activity=row_act,
+        iterations=int(state.iterations),
+        column_status=col_status,
+        row_status=row_status,
+    )
+
+
+def _at_fake_bound(lp, state: SimplexState, dual_bound: float) -> bool:
+    l = np.asarray(lp.l)
+    u = np.asarray(lp.u)
+    vstat = np.asarray(state.vstat)
+    fake_lo = (vstat == AT_LOWER) & ~np.isfinite(l)
+    fake_up = (vstat == AT_UPPER) & ~np.isfinite(u)
+    return bool(np.any(fake_lo | fake_up))
+
+
+def simplex_solve(
+    model: Model,
+    options: SolveOptions,
+    dual: bool,
+    warm: Optional[Solution] = None,
+) -> Solution:
+    lp, info = to_standard_form(model)
+    m, nt = lp.G.shape
+    n = nt - m
+
+    max_iter = options.max_iterations or model.maximum_iterations
+    max_iter = int(min(max_iter, 50 * (m + n) + 10000))
+
+    def make_opts(dual_bound: float) -> SimplexOptions:
+        return SimplexOptions(
+            primal_tolerance=model.primal_tolerance,
+            dual_tolerance=model.dual_tolerance,
+            dual_bound=dual_bound,
+            refactor_frequency=options.refactor_frequency,
+            max_iterations=max_iter,
+        )
+
+    opts = make_opts(DUAL_BOUND_DEFAULT)
+    if warm is not None:
+        state = _warm_state(lp, opts, warm, n, m)
+    else:
+        state = initial_state(lp, opts)
+
+    if dual:
+        state = recompute(lp, state, opts.dual_bound)
+        state = make_dual_feasible(lp, state, opts)
+        state = dual_solve(lp, state, opts)
+        st = int(state.status)
+        # fake-bound escalation (resetFakeBounds analogue)
+        attempts = 0
+        while st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound) and attempts < 2:
+            attempts += 1
+            opts = make_opts(opts.dual_bound * 100.0)
+            state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
+            state = recompute(lp, state, opts.dual_bound)
+            state = make_dual_feasible(lp, state, opts)
+            state = dual_solve(lp, state, opts)
+            st = int(state.status)
+        if st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound):
+            # finish with primal from this basis using true bounds
+            state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
+            state = primal_solve(lp, state, opts)
+            st = int(state.status)
+    else:
+        state = primal_solve(lp, state, opts)
+        st = int(state.status)
+
+    # numerical failure: retry once with the other algorithm
+    if st in (engine.NUMERICAL, engine.CONTINUE):
+        state2 = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
+        if dual:
+            state2 = primal_solve(lp, state2, opts)
+        else:
+            state2 = recompute(lp, state2, opts.dual_bound)
+            state2 = make_dual_feasible(lp, state2, opts)
+            state2 = dual_solve(lp, state2, opts)
+        if int(state2.status) in (engine.OPTIMAL, engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
+            state, st = state2, int(state2.status)
+
+    return _extract(model, lp, state, opts, st)

@@ -1,0 +1,519 @@
+"""Jitted dense revised-simplex engines (dual + primal).
+
+Everything here is shape-static and jit/vmap-safe. The iteration protocol
+mirrors the reference's status codes (ClpSimplexDual.cpp:462-470):
+
+    CONTINUE(-1) -> keep iterating;  OPTIMAL(0);  PRIMAL_INFEASIBLE(1);
+    DUAL_INFEASIBLE(2) (= unbounded);  ITER_LIMIT(3);  NUMERICAL(4)
+    REFACTOR(5) -> internal: chunk ended, refactorize and resume.
+
+Structure per solve (gutsOfDual / gutsOfPrimal equivalent):
+
+    outer lax.while_loop:                 # statusOfProblemInDual :4996
+        refactorize basis (dense LU -> explicit inverse)
+        recompute x_B, duals y, reduced costs dj   # gutsOfSolution
+        inner lax.while_loop (<= chunk pivots):    # whileIterating :973
+            price -> BTRAN row -> ratio test -> FTRAN -> rank-1 updates
+
+Variable status codes (cf. ClpSimplex::Status, ClpSimplex.hpp:119-126):
+    0 = nonbasic at lower, 1 = nonbasic at upper, 2 = basic,
+    3 = nonbasic free (primal only; dual folds free vars into fake bounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..forms import StandardLP
+from ..ops.linalg import lu_refactor
+
+# status codes (match ProblemStatus where >= 0)
+CONTINUE = -1
+OPTIMAL = 0
+PRIMAL_INFEASIBLE = 1
+DUAL_INFEASIBLE = 2
+ITER_LIMIT = 3
+NUMERICAL = 4
+
+AT_LOWER = 0
+AT_UPPER = 1
+BASIC = 2
+FREE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SimplexOptions:
+    primal_tolerance: float = 1e-7
+    dual_tolerance: float = 1e-7
+    pivot_tolerance: float = 1e-9
+    harris_tolerance_frac: float = 0.5  # fraction of tolerance used in pass 1
+    dual_bound: float = 1e10  # fake bound magnitude (ClpSimplexDual dualBound_)
+    refactor_frequency: int = 100
+    max_iterations: int = 200000
+    # perturbation magnitude applied by the driver (0 = off)
+    perturbation: float = 0.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SimplexState:
+    basis: jnp.ndarray  # int32[m] variable index basic in row i
+    vstat: jnp.ndarray  # int32[nt]
+    binv: jnp.ndarray  # f64[m, m]
+    xb: jnp.ndarray  # f64[m] values of basic variables
+    dj: jnp.ndarray  # f64[nt] reduced costs (0 at basic)
+    y: jnp.ndarray  # f64[m] simplex multipliers
+    weights: jnp.ndarray  # f64[m] DSE weights (dual) — primal keeps devex in wcol
+    wcol: jnp.ndarray  # f64[nt] devex reference weights (primal)
+    iterations: jnp.ndarray  # int32
+    status: jnp.ndarray  # int32, CONTINUE while running
+    refactor_now: jnp.ndarray  # bool — accuracy trigger
+
+
+def nonbasic_values(lp: StandardLP, vstat, dual_bound):
+    """Values taken by nonbasic variables (with fake bounds where infinite).
+
+    Fake-bound semantics per ClpSimplexDual.cpp:143-158: a nonbasic variable
+    whose relevant bound is infinite sits at +-dual_bound instead.
+    """
+    vlo = jnp.where(jnp.isfinite(lp.l), lp.l, -dual_bound)
+    vup = jnp.where(jnp.isfinite(lp.u), lp.u, dual_bound)
+    val = jnp.where(vstat == AT_LOWER, vlo, jnp.where(vstat == AT_UPPER, vup, 0.0))
+    return jnp.where(vstat == BASIC, 0.0, val)
+
+
+def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
+    """Refactorize + recompute primals/duals (gutsOfSolution equivalent)."""
+    G, b, c = lp.G, lp.b, lp.c
+    B = jnp.take(G, state.basis, axis=1)
+    binv, ok = lu_refactor(B)
+    xn = nonbasic_values(lp, state.vstat, dual_bound)
+    xb = binv @ (b - G @ xn)
+    cb = jnp.take(c, state.basis)
+    y = cb @ binv
+    dj = c - y @ G
+    dj = jnp.where(state.vstat == BASIC, 0.0, dj)
+    status = jnp.where(ok, state.status, NUMERICAL)
+    return dataclasses.replace(
+        state,
+        binv=binv,
+        xb=xb,
+        y=y,
+        dj=dj,
+        status=status,
+        refactor_now=jnp.asarray(False),
+    )
+
+
+def _basic_bounds(lp: StandardLP, basis):
+    lb = jnp.take(lp.l, basis)
+    ub = jnp.take(lp.u, basis)
+    return lb, ub
+
+
+# --------------------------------------------------------------------------
+# Dual simplex
+# --------------------------------------------------------------------------
+
+
+def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
+    """One dual pivot: price row -> BTRAN -> ratio test -> FTRAN -> update."""
+    G = lp.G
+    m, nt = G.shape
+    ptol = opts.primal_tolerance
+    dtol = opts.dual_tolerance
+
+    lb, ub = _basic_bounds(lp, state.basis)
+    below = lb - state.xb
+    above = state.xb - ub
+    infeas = jnp.maximum(jnp.maximum(below, above), 0.0)
+    cand = infeas > ptol
+
+    # --- dual steepest edge row choice (ClpDualRowSteepest) ---
+    score = jnp.where(cand, infeas * infeas / jnp.maximum(state.weights, 1e-50), -jnp.inf)
+    r = jnp.argmax(score)
+    any_infeas = jnp.any(cand)
+    sigma = jnp.where(above[r] > below[r], 1.0, -1.0)  # +1: leaves at upper
+
+    # --- BTRAN row + PRICE ---
+    rho = state.binv[r, :]
+    alpha = rho @ G  # tableau row r over all variables
+
+    at_lo = state.vstat == AT_LOWER
+    at_up = state.vstat == AT_UPPER
+    a = sigma * alpha
+    elig = (at_lo & (a > opts.pivot_tolerance)) | (at_up & (a < -opts.pivot_tolerance))
+    # fixed variables (l == u) can never usefully enter
+    fixed = jnp.take(lp.l, jnp.arange(nt)) == jnp.take(lp.u, jnp.arange(nt))
+    elig = elig & ~fixed
+
+    # --- Harris two-pass dual ratio test (dualColumn0 equivalent) ---
+    sgn = jnp.where(at_lo, 1.0, -1.0)
+    rel = opts.harris_tolerance_frac * dtol
+    safe_a = jnp.where(elig, a, 1.0)
+    theta_relaxed = jnp.where(elig, (state.dj + sgn * rel) / safe_a, jnp.inf)
+    theta_max = jnp.min(theta_relaxed, initial=jnp.inf)
+    theta_true = jnp.where(elig, state.dj / safe_a, jnp.inf)
+    in_window = elig & (theta_true <= theta_max)
+    pivot_mag = jnp.where(in_window, jnp.abs(a), -jnp.inf)
+    q = jnp.argmax(pivot_mag)
+    any_elig = jnp.any(elig)
+
+    # --- FTRAN entering column ---
+    abar = state.binv @ G[:, q]
+    alpha_rq = alpha[q]
+    abar_r = abar[r]
+    # accuracy cross-check (reference: dual checks alpha vs ftran value)
+    acc_bad = jnp.abs(alpha_rq - abar_r) > 1e-8 * (1.0 + jnp.abs(abar_r))
+    piv_small = jnp.abs(abar_r) < opts.pivot_tolerance
+
+    # --- primal step: leaving variable lands on its violated bound ---
+    target = jnp.where(sigma > 0, ub[r], lb[r])
+    delta_q = (state.xb[r] - target) / abar_r
+    # entering variable's new value
+    dual_bound = opts.dual_bound
+    vlo = jnp.where(jnp.isfinite(lp.l), lp.l, -dual_bound)
+    vup = jnp.where(jnp.isfinite(lp.u), lp.u, dual_bound)
+    xq_old = jnp.where(state.vstat[q] == AT_LOWER, vlo[q], vup[q])
+    xq_new = xq_old + delta_q
+
+    # --- dual step + dj update ---
+    theta_d = state.dj[q] / alpha_rq
+    dj_new = state.dj - theta_d * alpha
+    dj_new = dj_new.at[q].set(0.0)
+    p_leave = state.basis[r]
+    dj_new = dj_new.at[p_leave].set(-theta_d)
+
+    # --- DSE weight update (Forrest-Goldfarb) ---
+    tau = state.binv @ rho
+    wr = jnp.maximum(state.weights[r], 1e-50)
+    ratio = abar / alpha_rq
+    w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr
+    w_new = jnp.maximum(w_new, 1e-8)
+    w_new = w_new.at[r].set(jnp.maximum(wr / (alpha_rq * alpha_rq), 1e-8))
+
+    # --- basis inverse product-form update ---
+    factor = abar / abar_r
+    factor = factor.at[r].set(1.0 - 1.0 / abar_r)
+    binv_new = state.binv - jnp.outer(factor, state.binv[r, :])
+
+    # --- basic solution update ---
+    xb_new = state.xb - delta_q * abar
+    xb_new = xb_new.at[r].set(xq_new)
+
+    basis_new = state.basis.at[r].set(q)
+    vstat_new = state.vstat.at[p_leave].set(
+        jnp.where(sigma > 0, AT_UPPER, AT_LOWER).astype(state.vstat.dtype)
+    )
+    vstat_new = vstat_new.at[q].set(BASIC)
+
+    # --- dispatch on special cases ---
+    do_pivot = any_infeas & any_elig & ~acc_bad & ~piv_small
+    status = jnp.where(
+        ~any_infeas,
+        OPTIMAL,
+        jnp.where(~any_elig, PRIMAL_INFEASIBLE, state.status),
+    )
+    # accuracy problems: ask for refactorization instead of pivoting
+    refactor_now = state.refactor_now | (any_infeas & any_elig & (acc_bad | piv_small))
+
+    new_state = SimplexState(
+        basis=jnp.where(do_pivot, basis_new, state.basis),
+        vstat=jnp.where(do_pivot, vstat_new, state.vstat),
+        binv=jnp.where(do_pivot, binv_new, state.binv),
+        xb=jnp.where(do_pivot, xb_new, state.xb),
+        dj=jnp.where(do_pivot, dj_new, state.dj),
+        y=state.y,  # refreshed at refactorization
+        weights=jnp.where(do_pivot, w_new, state.weights),
+        wcol=state.wcol,
+        iterations=state.iterations + jnp.where(do_pivot, 1, 0),
+        status=status,
+        refactor_now=refactor_now,
+    )
+    return new_state
+
+
+# --------------------------------------------------------------------------
+# Primal simplex
+# --------------------------------------------------------------------------
+
+
+def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
+    """One primal pivot with composite phase-1 handling.
+
+    Phase 1 uses the infeasibility-gradient objective (the vectorized
+    equivalent of ClpNonLinearCost's composite costs, ClpNonLinearCost.hpp:
+    8-28): basic variables outside their bounds contribute +-1 costs.
+    """
+    G = lp.G
+    m, nt = G.shape
+    ptol = opts.primal_tolerance
+    dtol = opts.dual_tolerance
+
+    lb, ub = _basic_bounds(lp, state.basis)
+    below = lb - state.xb
+    above = state.xb - ub
+    sig = jnp.where(above > ptol, 1.0, jnp.where(below > ptol, -1.0, 0.0))
+    in_phase1 = jnp.any(sig != 0.0)
+
+    # phase-1 reduced costs: d1_j = -(sig' Binv G)_j
+    y1 = sig @ state.binv
+    d1 = -(y1 @ G)
+    dj_used = jnp.where(in_phase1, d1, state.dj)
+
+    at_lo = state.vstat == AT_LOWER
+    at_up = state.vstat == AT_UPPER
+    at_fr = state.vstat == FREE
+    fixed = lp.l == lp.u
+    elig = (
+        ((at_lo & (dj_used < -dtol)) | (at_up & (dj_used > dtol)))
+        | (at_fr & (jnp.abs(dj_used) > dtol))
+    ) & ~fixed
+
+    # --- Dantzig/devex pricing (ClpPrimalColumnSteepest modes) ---
+    score = jnp.where(
+        elig, dj_used * dj_used / jnp.maximum(state.wcol, 1e-50), -jnp.inf
+    )
+    q = jnp.argmax(score)
+    any_elig = jnp.any(elig)
+
+    direction = jnp.where(at_up[q], -1.0, jnp.where(at_fr[q], -jnp.sign(dj_used[q]), 1.0))
+
+    # --- FTRAN ---
+    abar = state.binv @ G[:, q]
+    d = direction * abar  # xb changes by -t * d for entering step t >= 0
+
+    # --- Harris two-pass primal ratio test (primalRow equivalent) ---
+    # Block at the FIRST kink in the direction of travel: an infeasible-above
+    # basic moving down hits its upper bound first (it lands there feasible);
+    # a basic already below its lower bound moving further down has no kink
+    # in that direction (phase-1 gradient already accounts for it).
+    dec = d > opts.pivot_tolerance  # basic value decreasing
+    inc = d < -opts.pivot_tolerance
+    lb_f = jnp.isfinite(lb)
+    ub_f = jnp.isfinite(ub)
+    is_above = above > ptol
+    is_below = below > ptol
+    # bound each moving basic blocks at (value), +-inf if none
+    dec_bnd = jnp.where(is_above, ub, jnp.where(is_below, -jnp.inf, jnp.where(lb_f, lb, -jnp.inf)))
+    inc_bnd = jnp.where(is_below, lb, jnp.where(is_above, jnp.inf, jnp.where(ub_f, ub, jnp.inf)))
+    block_dec = dec & jnp.isfinite(dec_bnd)
+    block_inc = inc & jnp.isfinite(inc_bnd)
+    blocking = block_dec | block_inc
+    safe_d = jnp.where(dec | inc, d, 1.0)
+    bnd = jnp.where(block_dec, dec_bnd, inc_bnd)
+    # relaxed ratios (pass 1): allow ptol overshoot past the bound
+    t_rel = jnp.where(blocking, (state.xb - bnd) / safe_d + ptol / jnp.abs(safe_d), jnp.inf)
+    theta_max = jnp.min(t_rel, initial=jnp.inf)
+    # true ratios (pass 2): pick largest pivot within window
+    t_true = jnp.where(blocking, jnp.maximum((state.xb - bnd) / safe_d, 0.0), jnp.inf)
+    in_window = blocking & (t_true <= theta_max)
+    pivot_mag = jnp.where(in_window, jnp.abs(d), -jnp.inf)
+    r = jnp.argmax(pivot_mag)
+    has_block = jnp.any(in_window)
+    theta_basic = jnp.where(has_block, t_true[r], jnp.inf)
+
+    # entering variable's own opposite bound (bound flip)
+    width_q = lp.u[q] - lp.l[q]
+    theta_own = jnp.where(jnp.isfinite(width_q), width_q, jnp.inf)
+    theta = jnp.minimum(theta_basic, theta_own)
+
+    unbounded = ~jnp.isfinite(theta) & any_elig
+    flip = (theta_own <= theta_basic) & jnp.isfinite(theta_own)
+    theta = jnp.maximum(theta, 0.0)
+
+    # --- updates ---
+    xb_step = state.xb - theta * d
+
+    # dual updates need the BTRAN row of the leaving basic (pivot row)
+    rho = state.binv[r, :]
+    alpha = rho @ G
+    alpha_rq = alpha[q]
+    abar_r = abar[r]
+    acc_bad = jnp.abs(alpha_rq - abar_r) > 1e-8 * (1.0 + jnp.abs(abar_r))
+    piv_small = jnp.abs(abar_r) < opts.pivot_tolerance
+
+    theta_d = state.dj[q] / alpha_rq
+    dj_piv = state.dj - theta_d * alpha
+    dj_piv = dj_piv.at[q].set(0.0)
+    p_leave = state.basis[r]
+    dj_piv = dj_piv.at[p_leave].set(-theta_d)
+
+    # devex weight update (ClpPrimalColumnSteepest mode 3-ish)
+    wq = jnp.maximum(state.wcol[q], 1e-50)
+    alpha_sq = alpha * alpha
+    w_piv = jnp.maximum(state.wcol, alpha_sq * (wq / (alpha_rq * alpha_rq)))
+    w_piv = w_piv.at[q].set(jnp.maximum(wq / (alpha_rq * alpha_rq), 1.0))
+
+    factor = abar / abar_r
+    factor = factor.at[r].set(1.0 - 1.0 / abar_r)
+    binv_piv = state.binv - jnp.outer(factor, state.binv[r, :])
+
+    xq_old = jnp.where(
+        at_lo[q], lp.l[q], jnp.where(at_up[q], lp.u[q], 0.0)
+    )
+    xq_new = xq_old + direction * theta
+    xb_piv = xb_step.at[r].set(xq_new)
+
+    # leaving variable status: lands on the bound it hit
+    hit_lower = jnp.where(block_dec[r], ~is_above[r], is_below[r])
+    leave_stat = jnp.where(hit_lower, AT_LOWER, AT_UPPER)
+    basis_piv = state.basis.at[r].set(q)
+    vstat_piv = state.vstat.at[p_leave].set(leave_stat.astype(state.vstat.dtype))
+    vstat_piv = vstat_piv.at[q].set(BASIC)
+
+    # bound-flip variant: no basis change
+    flip_stat = jnp.where(at_lo[q], AT_UPPER, AT_LOWER)
+    vstat_flip = state.vstat.at[q].set(flip_stat.astype(state.vstat.dtype))
+
+    do_any = any_elig & ~unbounded
+    do_flip = do_any & flip
+    do_pivot = do_any & ~flip & has_block & ~acc_bad & ~piv_small
+    bad = do_any & ~flip & has_block & (acc_bad | piv_small)
+
+    status = jnp.where(
+        ~any_elig,
+        jnp.where(in_phase1, PRIMAL_INFEASIBLE, OPTIMAL),
+        jnp.where(unbounded, jnp.where(in_phase1, NUMERICAL, DUAL_INFEASIBLE), state.status),
+    )
+    refactor_now = state.refactor_now | bad
+
+    new_state = SimplexState(
+        basis=jnp.where(do_pivot, basis_piv, state.basis),
+        vstat=jnp.where(do_pivot, vstat_piv, jnp.where(do_flip, vstat_flip, state.vstat)),
+        binv=jnp.where(do_pivot, binv_piv, state.binv),
+        xb=jnp.where(do_pivot, xb_piv, jnp.where(do_flip, xb_step, state.xb)),
+        dj=jnp.where(do_pivot, dj_piv, state.dj),
+        y=state.y,
+        weights=state.weights,
+        wcol=jnp.where(do_pivot, w_piv, state.wcol),
+        iterations=state.iterations + jnp.where(do_pivot | do_flip, 1, 0),
+        status=status,
+        refactor_now=refactor_now,
+    )
+    return new_state
+
+
+# --------------------------------------------------------------------------
+# Chunked solve loops
+# --------------------------------------------------------------------------
+
+
+def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iteration_fn):
+    """outer refactorize loop + inner pivot loop (gutsOfDual structure)."""
+
+    chunk = opts.refactor_frequency
+
+    def inner_cond(carry):
+        st, k = carry
+        return (
+            (st.status == CONTINUE)
+            & (k < chunk)
+            & ~st.refactor_now
+            & (st.iterations < opts.max_iterations)
+        )
+
+    def inner_body(carry):
+        st, k = carry
+        st = iteration_fn(lp, st, opts)
+        return st, k + 1
+
+    def outer_cond(carry):
+        st, stalls = carry
+        return (st.status == CONTINUE) & (st.iterations < opts.max_iterations) & (stalls < 3)
+
+    def outer_body(carry):
+        st, stalls = carry
+        iters_before = st.iterations
+        st = recompute(lp, st, opts.dual_bound)
+        st = dataclasses.replace(
+            st, status=jnp.where(st.status == NUMERICAL, NUMERICAL, CONTINUE)
+        )
+        st, _ = jax.lax.while_loop(inner_cond, inner_body, (st, 0))
+        # stall: a chunk that made no pivots right after a fresh factorization
+        # means a persistent numerical block (tiny pivot) -> escalate
+        # (reference analogue: saferTolerances / flagging,
+        # ClpFactorization.hpp:227, ClpSimplex flagged variables)
+        made_progress = st.iterations > iters_before
+        stalls = jnp.where(made_progress, 0, stalls + 1)
+        return st, stalls
+
+    state, stalls = jax.lax.while_loop(outer_cond, outer_body, (state, jnp.asarray(0)))
+    state = dataclasses.replace(
+        state,
+        status=jnp.where((state.status == CONTINUE) & (stalls >= 3), NUMERICAL, state.status),
+    )
+    # final consistency pass
+    state = recompute(lp, state, opts.dual_bound)
+    state = dataclasses.replace(
+        state,
+        status=jnp.where(
+            (state.status == CONTINUE) & (state.iterations >= opts.max_iterations),
+            ITER_LIMIT,
+            state.status,
+        ),
+    )
+    return state
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def dual_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
+    return _run_loop(lp, state, opts, dual_iteration)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def primal_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
+    return _run_loop(lp, state, opts, primal_iteration)
+
+
+def initial_state(lp: StandardLP, opts: SimplexOptions, vstat=None, basis=None) -> SimplexState:
+    """All-slack starting basis (or caller-provided warm start arrays)."""
+    m, nt = lp.G.shape
+    n = nt - m
+    if basis is None:
+        basis = jnp.arange(n, n + m, dtype=jnp.int32)
+    if vstat is None:
+        lf = jnp.isfinite(lp.l[:n])
+        uf = jnp.isfinite(lp.u[:n])
+        closer_upper = uf & (~lf | (jnp.abs(lp.u[:n]) < jnp.abs(lp.l[:n])))
+        col_stat = jnp.where(
+            lf & ~closer_upper, AT_LOWER, jnp.where(uf, AT_UPPER, FREE)
+        )
+        vstat = jnp.concatenate([col_stat, jnp.full(m, BASIC)]).astype(jnp.int32)
+    return SimplexState(
+        basis=jnp.asarray(basis, jnp.int32),
+        vstat=jnp.asarray(vstat, jnp.int32),
+        binv=jnp.zeros((m, m), lp.G.dtype),
+        xb=jnp.zeros(m, lp.G.dtype),
+        dj=jnp.zeros(nt, lp.G.dtype),
+        y=jnp.zeros(m, lp.G.dtype),
+        weights=jnp.ones(m, lp.G.dtype),
+        wcol=jnp.ones(nt, lp.G.dtype),
+        iterations=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(CONTINUE, jnp.int32),
+        refactor_now=jnp.asarray(False),
+    )
+
+
+def make_dual_feasible(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
+    """Flip nonbasic statuses so dj is sign-feasible (changeBounds :3148).
+
+    Free nonbasics are folded to a fake bound on the side their dj prefers.
+    Must be called after an initial `recompute`.
+    """
+    dj = state.dj
+    at_nb = state.vstat != BASIC
+    want_upper = at_nb & (dj < -opts.dual_tolerance)
+    want_lower = at_nb & (dj > opts.dual_tolerance)
+    vstat = jnp.where(
+        want_upper,
+        AT_UPPER,
+        jnp.where(want_lower, AT_LOWER, state.vstat),
+    ).astype(state.vstat.dtype)
+    # any remaining FREE nonbasic with tiny dj: park at fake lower bound
+    vstat = jnp.where(at_nb & (vstat == FREE), AT_LOWER, vstat).astype(state.vstat.dtype)
+    return dataclasses.replace(state, vstat=vstat)

@@ -1,0 +1,230 @@
+"""Solve orchestration — the ClpSimplex::initialSolve equivalent.
+
+Mirrors the reference's dispatcher flow (ClpSolve.cpp:845-4070):
+  1. empty-problem short-circuit (:877-906)
+  2. presolve (:955-1076)
+  3. problem analysis & automatic method choice (:1276-1760)
+  4. run the chosen method (dual / primal / barrier+crossover / batched)
+  5. postsolve + cleanup solve if residual infeasibilities remain
+  6. final status, timing
+
+TPU-first differences: the solvers are jitted fixed-shape device programs;
+`solve_batch` exposes the scenario-batched path (vmap/pjit over a mesh axis)
+that the reference has no analogue for (SURVEY.md §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .constants import INF, ProblemStatus, SecondaryStatus, SolveMethod
+from .forms import to_ipm_form, to_standard_form, expand_ipm_solution
+from .model import Model, Solution
+from .options import SolveOptions
+
+
+def _empty_solution(model: Model) -> Solution:
+    """Reference: empty-problem short-circuit (ClpSolve.cpp:877-906)."""
+    n, m = model.num_cols, model.num_rows
+    x = np.clip(np.zeros(n), model.col_lower, model.col_upper)
+    sol = Solution(
+        status=ProblemStatus.OPTIMAL,
+        objective_value=float(model.objective @ x) + model.objective_offset,
+        primal=x,
+        duals=np.zeros(m),
+        reduced_costs=model.objective.copy(),
+        row_activity=np.zeros(m),
+    )
+    infeas_col = np.any(model.col_lower > model.col_upper + 1e-12)
+    infeas_row = np.any(
+        (model.row_lower > model.row_upper + 1e-12)
+        | ((model.row_lower > 1e-12) & (model.num_cols == 0))
+        | ((model.row_upper < -1e-12) & (model.num_cols == 0))
+    ) if m else False
+    if infeas_col or infeas_row:
+        sol.status = ProblemStatus.PRIMAL_INFEASIBLE
+    return sol
+
+
+def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
+    """Automatic method choice from shape statistics.
+
+    Policy modeled on the reference's doIdiot/doSprint heuristics
+    (ClpSolve.cpp:1276-1760), simplified for the TPU build: barrier is the
+    most hardware-natural default for anything square-ish and dense-ish; the
+    dual simplex covers warm starts and finishing.
+    """
+    m, n = model.num_rows, model.num_cols
+    if model.quadratic_objective is not None:
+        return SolveMethod.BARRIER_NO_CROSS
+    if m == 0 or n == 0:
+        return SolveMethod.DUAL_SIMPLEX
+    return SolveMethod.BARRIER
+
+
+def _ipm_to_solution(model: Model, res, info, options: SolveOptions) -> Solution:
+    n, m = info.n, info.m
+    sense = info.sense
+    v = expand_ipm_solution(info, np.asarray(res.x))
+    x = v[:n]
+    y_int = np.asarray(res.y)
+    d_full = np.asarray(res.z) - np.asarray(res.w)  # internal reduced costs of kept vars
+    # rebuild reduced costs in user sense: d_user = c_user - A'y_user
+    y = y_int * sense
+    A = model.matrix
+    d = model.objective - A.T @ y
+    if model.quadratic_objective is not None:
+        d = d + sense * (model.quadratic_objective @ x)
+    row_act = A @ x
+    obj = float(model.objective @ x) + model.objective_offset
+    if model.quadratic_objective is not None:
+        obj += 0.5 * float(x @ (model.quadratic_objective @ x))
+
+    converged = bool(res.converged)
+    status = ProblemStatus.OPTIMAL if converged else ProblemStatus.STOPPED
+    secondary = SecondaryStatus.NONE
+    if not converged:
+        # crude divergence-based certificates; the simplex cleanup refines
+        if float(res.blowup) > 1e11 and float(res.primal_infeas) > options.barrier_tolerance:
+            status = ProblemStatus.PRIMAL_INFEASIBLE
+        elif float(np.max(np.abs(x), initial=0.0)) > 1e12:
+            status = ProblemStatus.DUAL_INFEASIBLE
+        else:
+            secondary = SecondaryStatus.FAILED_TO_CONVERGE
+    return Solution(
+        status=status,
+        secondary_status=secondary,
+        objective_value=obj,
+        primal=x,
+        duals=y,
+        reduced_costs=np.asarray(d),
+        row_activity=np.asarray(row_act),
+        iterations=int(res.iterations),
+    )
+
+
+def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
+    from .interior.mehrotra import IPMOptions, ipm_solve_jit
+
+    lp, info = to_ipm_form(model)
+    opts = IPMOptions(
+        tol=options.barrier_tolerance,
+        max_iter=options.barrier_max_iterations,
+    )
+    res = ipm_solve_jit(lp, opts)
+    sol = _ipm_to_solution(model, res, info, options)
+    return sol
+
+
+def _solve_simplex(model: Model, options: SolveOptions, dual: bool,
+                   warm: Optional[Solution] = None) -> Solution:
+    from .simplex.driver import simplex_solve
+
+    return simplex_solve(model, options, dual=dual, warm=warm)
+
+
+def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solution:
+    """Presolve -> method -> solve -> postsolve -> cleanup; sets model.solution."""
+    options = options or SolveOptions()
+    t0 = time.time()
+
+    if model.num_cols == 0 or model.num_rows == 0:
+        sol = _empty_solution(model)
+        sol.solve_time = time.time() - t0
+        model.solution = sol
+        return sol
+
+    # --- presolve ---
+    presolved = None
+    pinfo = None
+    work = model
+    if options.presolve.enabled:
+        from .presolve import presolve as run_presolve
+
+        presolved, pinfo = run_presolve(model, options.presolve)
+        if pinfo.status == ProblemStatus.PRIMAL_INFEASIBLE:
+            sol = Solution(
+                status=ProblemStatus.PRIMAL_INFEASIBLE,
+                secondary_status=SecondaryStatus.INFEAS_OR_UNBOUNDED_IN_PRESOLVE,
+            )
+            sol.solve_time = time.time() - t0
+            model.solution = sol
+            return sol
+        work = presolved
+
+    method = options.method
+    if method == SolveMethod.AUTOMATIC:
+        method = _auto_method(work, options)
+
+    if work.num_cols == 0 or work.num_rows == 0:
+        sol = _empty_solution(work)
+    elif method in (SolveMethod.BARRIER, SolveMethod.BARRIER_NO_CROSS):
+        sol = _solve_barrier(work, options)
+        if (
+            method == SolveMethod.BARRIER
+            and options.crossover
+            and sol.status in (ProblemStatus.OPTIMAL, ProblemStatus.STOPPED)
+        ):
+            # crossover: finish with a simplex from the interior solution
+            # (reference: ClpSolve.cpp:3585-3786 values-pass cleanup)
+            sol = _solve_simplex(work, options, dual=False, warm=sol)
+    elif method == SolveMethod.DUAL_SIMPLEX:
+        sol = _solve_simplex(work, options, dual=True)
+    elif method in (SolveMethod.PRIMAL_SIMPLEX, SolveMethod.PRIMAL_IDIOT):
+        warm = None
+        if method == SolveMethod.PRIMAL_IDIOT or options.crash == "idiot":
+            from .crash import idiot_crash
+
+            warm = idiot_crash(work, options)
+        sol = _solve_simplex(work, options, dual=False, warm=warm)
+    elif method == SolveMethod.PDLP:
+        from .pdlp import pdlp_solve
+
+        sol = pdlp_solve(work, options)
+    else:
+        raise NotImplementedError(f"method {method}")
+
+    work.solution = sol
+
+    # --- postsolve ---
+    if presolved is not None:
+        from .presolve import postsolve as run_postsolve
+
+        sol = run_postsolve(model, pinfo, sol)
+        # cleanup solve on the original model if needed (reference:
+        # ClpSolve.cpp cleanup semantics, secondaryStatus 2/3/4)
+        if options.cleanup and sol.status == ProblemStatus.OPTIMAL:
+            from .validate import check_kkt
+
+            rep = check_kkt(model, x=sol.primal, y=sol.duals, tol=1e-6)
+            if not rep.ok:
+                sol2 = _solve_simplex(model, options, dual=True, warm=sol)
+                if sol2.status == ProblemStatus.OPTIMAL:
+                    sol = sol2
+
+    sol.solve_time = time.time() - t0
+    model.solution = sol
+    return sol
+
+
+def solve_batch(
+    models: Sequence[Model],
+    options: Optional[SolveOptions] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> list[Solution]:
+    """Solve many same-shape LPs in one batched device program.
+
+    The headline TPU capability (SURVEY.md §2: "scenario batching — absent
+    in reference"). All models must share (m, n); they are stacked on a
+    leading scenario axis, vmapped through the IPM, and sharded over `mesh`
+    (axis "scenario") when given.
+    """
+    from .parallel.batch import solve_batch_ipm
+
+    options = options or SolveOptions()
+    return solve_batch_ipm(models, options, mesh)

@@ -1,0 +1,37 @@
+"""Test fixtures: force CPU with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware, and enable x64 before jax inits."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import pathlib
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+REFERENCE_EXAMPLES = pathlib.Path("/root/reference/examples")
+
+
+@pytest.fixture
+def afiro_path():
+    p = REFERENCE_EXAMPLES / "modified_afiro.mps"
+    if not p.exists():
+        pytest.skip("reference sample data not available")
+    return str(p)
+
+
+@pytest.fixture
+def hello_path():
+    p = REFERENCE_EXAMPLES / "hello.mps"
+    if not p.exists():
+        pytest.skip("reference sample data not available")
+    return str(p)

@@ -1,0 +1,118 @@
+"""Interior-point solver tests: KKT oracle + scipy cross-checks."""
+
+import numpy as np
+import pytest
+
+import clp_tpu
+from clp_tpu import Model, SolveOptions, SolveMethod, check_kkt, INF
+from clp_tpu.utils.generators import random_lp, nqueens_lp, transport_lp
+from tests.test_mps import _linprog
+
+
+def _solve_barrier(model, crossover=False):
+    return model.barrier(crossover=crossover)
+
+
+def test_tiny_lp():
+    """min -x1-2x2 s.t. x1+x2<=4, x1<=2, x2<=3, x>=0 -> opt at (1,3), obj -7."""
+    import scipy.sparse as sp
+
+    model = Model()
+    model.load_problem(
+        sp.csc_matrix(np.array([[1.0, 1.0]])),
+        col_lower=[0, 0],
+        col_upper=[2, 3],
+        objective=[-1.0, -2.0],
+        row_lower=[-INF],
+        row_upper=[4.0],
+    )
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - (-7.0)) < 1e-6
+    rep = check_kkt(model)
+    assert rep.ok, str(rep)
+
+
+def test_equality_lp():
+    """min x1+x2 s.t. x1+x2=1, x>=0 -> obj 1."""
+    import scipy.sparse as sp
+
+    model = Model()
+    model.load_problem(
+        sp.csc_matrix(np.array([[1.0, 1.0]])),
+        col_lower=[0, 0],
+        col_upper=[INF, INF],
+        objective=[1.0, 1.0],
+        row_lower=[1.0],
+        row_upper=[1.0],
+    )
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_lps_vs_scipy(seed):
+    model = random_lp(15, 25, seed=seed)
+    ref = _linprog(model)
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert ref.status == 0
+    assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    rep = check_kkt(model)
+    assert rep.ok, str(rep)
+
+
+def test_nqueens():
+    model = nqueens_lp(6)
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    # LP relaxation of 6-queens places 6 fractional queens
+    assert abs(sol.objective_value - 6.0) < 1e-5
+
+
+def test_transport():
+    model = transport_lp(5, 7, seed=1)
+    ref = _linprog(model)
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+
+
+def test_free_variables():
+    """Free variable LP: min x + y, x + y >= 2, x free in effect."""
+    import scipy.sparse as sp
+
+    model = Model()
+    model.load_problem(
+        sp.csc_matrix(np.array([[1.0, 1.0], [1.0, -1.0]])),
+        col_lower=[-INF, 0],
+        col_upper=[INF, INF],
+        objective=[1.0, 1.0],
+        row_lower=[2.0, -INF],
+        row_upper=[INF, 1.0],
+    )
+    ref = _linprog(model)
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-6
+
+
+def test_afiro_mps(afiro_path):
+    model = Model()
+    model.read_mps(afiro_path)
+    ref = _linprog(model)
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    rep = check_kkt(model)
+    assert rep.ok, str(rep)
+
+
+def test_maximize():
+    model = nqueens_lp(4)  # a maximize model
+    sol = _solve_barrier(model)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - 4.0) < 1e-5
+    rep = check_kkt(model)
+    assert rep.ok, str(rep)
