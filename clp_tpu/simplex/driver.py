@@ -130,7 +130,7 @@ def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
     n = nt - m
     vstat = np.asarray(state.vstat)
     basis = np.asarray(state.basis)
-    xfull = np.asarray(engine.nonbasic_values(lp, state.vstat, opts.dual_bound))
+    xfull = np.array(engine.nonbasic_values(lp, state.vstat, opts.dual_bound))
     xfull[basis] = np.asarray(state.xb)
     x = xfull[:n]
     row_act = xfull[n:]

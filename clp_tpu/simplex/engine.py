@@ -97,7 +97,7 @@ def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
     y = cb @ binv
     dj = c - y @ G
     dj = jnp.where(state.vstat == BASIC, 0.0, dj)
-    status = jnp.where(ok, state.status, NUMERICAL)
+    status = jnp.where(ok, state.status, NUMERICAL).astype(state.status.dtype)
     return dataclasses.replace(
         state,
         binv=binv,
@@ -205,7 +205,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     xb_new = state.xb - delta_q * abar
     xb_new = xb_new.at[r].set(xq_new)
 
-    basis_new = state.basis.at[r].set(q)
+    basis_new = state.basis.at[r].set(q.astype(state.basis.dtype))
     vstat_new = state.vstat.at[p_leave].set(
         jnp.where(sigma > 0, AT_UPPER, AT_LOWER).astype(state.vstat.dtype)
     )
@@ -217,7 +217,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
         ~any_infeas,
         OPTIMAL,
         jnp.where(~any_elig, PRIMAL_INFEASIBLE, state.status),
-    )
+    ).astype(state.status.dtype)
     # accuracy problems: ask for refactorization instead of pivoting
     refactor_now = state.refactor_now | (any_infeas & any_elig & (acc_bad | piv_small))
 
@@ -230,7 +230,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
         y=state.y,  # refreshed at refactorization
         weights=jnp.where(do_pivot, w_new, state.weights),
         wcol=state.wcol,
-        iterations=state.iterations + jnp.where(do_pivot, 1, 0),
+        iterations=state.iterations + do_pivot.astype(state.iterations.dtype),
         status=status,
         refactor_now=refactor_now,
     )
@@ -362,7 +362,7 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     # leaving variable status: lands on the bound it hit
     hit_lower = jnp.where(block_dec[r], ~is_above[r], is_below[r])
     leave_stat = jnp.where(hit_lower, AT_LOWER, AT_UPPER)
-    basis_piv = state.basis.at[r].set(q)
+    basis_piv = state.basis.at[r].set(q.astype(state.basis.dtype))
     vstat_piv = state.vstat.at[p_leave].set(leave_stat.astype(state.vstat.dtype))
     vstat_piv = vstat_piv.at[q].set(BASIC)
 
@@ -379,7 +379,7 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
         ~any_elig,
         jnp.where(in_phase1, PRIMAL_INFEASIBLE, OPTIMAL),
         jnp.where(unbounded, jnp.where(in_phase1, NUMERICAL, DUAL_INFEASIBLE), state.status),
-    )
+    ).astype(state.status.dtype)
     refactor_now = state.refactor_now | bad
 
     new_state = SimplexState(
@@ -391,7 +391,7 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
         y=state.y,
         weights=state.weights,
         wcol=jnp.where(do_pivot, w_piv, state.wcol),
-        iterations=state.iterations + jnp.where(do_pivot | do_flip, 1, 0),
+        iterations=state.iterations + (do_pivot | do_flip).astype(state.iterations.dtype),
         status=status,
         refactor_now=refactor_now,
     )
@@ -431,7 +431,10 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
         iters_before = st.iterations
         st = recompute(lp, st, opts.dual_bound)
         st = dataclasses.replace(
-            st, status=jnp.where(st.status == NUMERICAL, NUMERICAL, CONTINUE)
+            st,
+            status=jnp.where(st.status == NUMERICAL, NUMERICAL, CONTINUE).astype(
+                st.status.dtype
+            ),
         )
         st, _ = jax.lax.while_loop(inner_cond, inner_body, (st, 0))
         # stall: a chunk that made no pivots right after a fresh factorization
@@ -439,13 +442,15 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
         # (reference analogue: saferTolerances / flagging,
         # ClpFactorization.hpp:227, ClpSimplex flagged variables)
         made_progress = st.iterations > iters_before
-        stalls = jnp.where(made_progress, 0, stalls + 1)
+        stalls = jnp.where(made_progress, 0, stalls + 1).astype(stalls.dtype)
         return st, stalls
 
-    state, stalls = jax.lax.while_loop(outer_cond, outer_body, (state, jnp.asarray(0)))
+    state, stalls = jax.lax.while_loop(outer_cond, outer_body, (state, jnp.asarray(0, jnp.int32)))
     state = dataclasses.replace(
         state,
-        status=jnp.where((state.status == CONTINUE) & (stalls >= 3), NUMERICAL, state.status),
+        status=jnp.where(
+            (state.status == CONTINUE) & (stalls >= 3), NUMERICAL, state.status
+        ).astype(state.status.dtype),
     )
     # final consistency pass
     state = recompute(lp, state, opts.dual_bound)
@@ -455,7 +460,7 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
             (state.status == CONTINUE) & (state.iterations >= opts.max_iterations),
             ITER_LIMIT,
             state.status,
-        ),
+        ).astype(state.status.dtype),
     )
     return state
 

@@ -1,15 +1,23 @@
 """Test fixtures: force CPU with 8 virtual devices so multi-chip sharding
-paths are exercised without TPU hardware, and enable x64 before jax inits."""
+paths are exercised without TPU hardware.
+
+The container presets JAX_PLATFORMS=axon and a sitecustomize that
+initializes the TPU backend at interpreter start, so env vars alone are too
+late — we must flip the platform via jax.config before any backend use.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import pathlib
 import sys

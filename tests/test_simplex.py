@@ -1,0 +1,126 @@
+"""Dual and primal simplex tests against the oracle and scipy."""
+
+import numpy as np
+import pytest
+
+import clp_tpu
+from clp_tpu import Model, SolveOptions, SolveMethod, check_kkt, INF, ProblemStatus
+from clp_tpu.utils.generators import (
+    random_lp,
+    nqueens_lp,
+    transport_lp,
+    infeasible_lp,
+    unbounded_lp,
+)
+from tests.test_mps import _linprog
+
+
+def _no_presolve(**kw):
+    o = SolveOptions(**kw)
+    o.presolve.enabled = False
+    return o
+
+
+def test_handbuilt_exact():
+    """Hand-built LP with exact known solution (unitTest.cpp:1413-1480 style).
+
+    max 2a+3b s.t. a+b<=4, a+3b<=6, a,b>=0 -> a=3, b=1, obj=9.
+    """
+    import scipy.sparse as sp
+
+    model = Model()
+    model.load_problem(
+        sp.csc_matrix(np.array([[1.0, 1.0], [1.0, 3.0]])),
+        col_lower=[0, 0],
+        col_upper=[INF, INF],
+        objective=[2.0, 3.0],
+        row_lower=[-INF, -INF],
+        row_upper=[4.0, 6.0],
+    )
+    model.set_maximize()
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - 9.0) < 1e-9
+    np.testing.assert_allclose(sol.primal, [3.0, 1.0], atol=1e-9)
+    assert check_kkt(model).ok
+
+
+@pytest.mark.parametrize("dual", [True, False])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_lps(dual, seed):
+    model = random_lp(12, 20, seed=seed)
+    ref = _linprog(model)
+    method = SolveMethod.DUAL_SIMPLEX if dual else SolveMethod.PRIMAL_SIMPLEX
+    sol = model.initial_solve(_no_presolve(method=method))
+    assert ref.status == 0
+    assert sol.status == ProblemStatus.OPTIMAL, sol
+    assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun)), (
+        sol.objective_value,
+        ref.fun,
+    )
+    rep = check_kkt(model)
+    assert rep.ok, str(rep)
+
+
+@pytest.mark.parametrize("dual", [True, False])
+def test_transport(dual):
+    model = transport_lp(4, 6, seed=2)
+    ref = _linprog(model)
+    method = SolveMethod.DUAL_SIMPLEX if dual else SolveMethod.PRIMAL_SIMPLEX
+    sol = model.initial_solve(_no_presolve(method=method))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
+
+
+def test_nqueens_dual():
+    model = nqueens_lp(5)
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - 5.0) < 1e-7
+
+
+def test_infeasible():
+    model = infeasible_lp()
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
+
+
+def test_unbounded():
+    model = unbounded_lp()
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.PRIMAL_SIMPLEX))
+    assert sol.status == ProblemStatus.DUAL_INFEASIBLE
+
+
+def test_afiro_dual(afiro_path):
+    model = Model()
+    model.read_mps(afiro_path)
+    ref = _linprog(model)
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
+    assert check_kkt(model).ok
+
+
+def test_warm_start_resolve(afiro_path):
+    """Basis warm start: re-solve after a small cost change takes few pivots."""
+    model = Model()
+    model.read_mps(afiro_path)
+    sol1 = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol1.status == ProblemStatus.OPTIMAL
+    # perturb one objective coefficient slightly and re-solve warm
+    model.objective = model.objective.copy()
+    model.objective[0] *= 1.001
+    from clp_tpu.simplex.driver import simplex_solve
+
+    sol2 = simplex_solve(model, _no_presolve(), dual=True, warm=sol1)
+    assert sol2.status == ProblemStatus.OPTIMAL
+    assert sol2.iterations <= max(5, sol1.iterations // 2)
+
+
+def test_bounded_ranges():
+    """Ranged rows + bounded vars exercise flips and upper statuses."""
+    model = random_lp(10, 16, seed=7, equality_frac=0.5)
+    ref = _linprog(model)
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
