@@ -153,6 +153,12 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
     info = PresolveInfo(original=model)
     work = model.copy()
     tol = 1e-10
+    # crossed bounds are infeasible, not fixed (check before any transform)
+    if np.any(model.col_lower > model.col_upper + 1e-9) or np.any(
+        model.row_lower > model.row_upper + 1e-9
+    ):
+        info.status = ProblemStatus.PRIMAL_INFEASIBLE
+        return work, info
     for _ in range(max(1, options.passes)):
         changed = False
         if options.fixed_variables:
@@ -182,9 +188,20 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
 
 
 def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
-    """Replay the tape backwards, rebuilding x, y, dj, and statuses."""
+    """Replay the tape backwards, rebuilding x, y, dj, and statuses.
+
+    Each record is interpreted in its OWN frame (the model state at the time
+    the transform ran); a running (x, y, dj) triple is maintained through the
+    reversal — the standard presolve-postsolve contract (CoinPresolve's
+    *_action::postsolve works the same way).
+    """
     x = None if sol.primal is None else np.asarray(sol.primal, dtype=np.float64).copy()
     y = None if sol.duals is None else np.asarray(sol.duals, dtype=np.float64).copy()
+    dj = (
+        None
+        if sol.reduced_costs is None
+        else np.asarray(sol.reduced_costs, dtype=np.float64).copy()
+    )
     cstat = None if sol.column_status is None else np.asarray(sol.column_status).copy()
     rstat = None if sol.row_status is None else np.asarray(sol.row_status).copy()
 
@@ -197,11 +214,18 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
         if isinstance(rec, _FixedCols):
             n_after = x.size
             n_before = n_after + rec.idx.size
-            xs = np.empty(n_before)
             keep = np.setdiff1d(np.arange(n_before), rec.idx)
+            xs = np.empty(n_before)
             xs[keep] = x
             xs[rec.idx] = rec.values
             x = xs
+            if dj is not None:
+                djs = np.empty(n_before)
+                djs[keep] = dj
+                # reduced cost of a re-inserted fixed column in this frame
+                yv = y if y is not None else np.zeros(rec.cols.shape[0])
+                djs[rec.idx] = rec.costs - np.asarray(rec.cols.T @ yv).ravel()
+                dj = djs
             if cstat is not None:
                 cs = np.empty(n_before, dtype=cstat.dtype)
                 cs[keep] = cstat
@@ -227,42 +251,39 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
             ys = np.zeros(m_before)
             if y is not None:
                 ys[keep] = y
-            # rows return with zero dual; the final consistency pass below
-            # transfers reduced costs onto them where their implied bound is
-            # the active one
             if rstat is not None:
                 rs = np.full(m_before, int(VariableStatus.BASIC), dtype=rstat.dtype)
                 rs[keep] = rstat
-                for k in range(rec.idx.size):
-                    i, j = rec.idx[k], rec.col[k]
-                    tol = 1e-7 * (1.0 + abs(x[j]))
-                    if abs(x[j] - rec.new_lower[k]) <= tol:
-                        rs[i] = int(VariableStatus.AT_LOWER)
-                    elif abs(x[j] - rec.new_upper[k]) <= tol:
-                        rs[i] = int(VariableStatus.AT_UPPER)
-                rstat = rs
+            else:
+                rs = None
+            for k in range(rec.idx.size):
+                i, j, a = rec.idx[k], rec.col[k], rec.coef[k]
+                # if x_j sits strictly inside its PRE-TIGHTENING bounds but
+                # has a nonzero reduced cost, that cost belongs to the
+                # removed row: transfer it (y_i = dj_j / a -> dj_j = 0)
+                tol = 1e-7 * (1.0 + abs(x[j]))
+                strict_inside = (x[j] > rec.old_lower[k] + tol) and (
+                    x[j] < rec.old_upper[k] - tol
+                )
+                if dj is not None and strict_inside and abs(dj[j]) > 1e-9:
+                    ys[i] = dj[j] / a
+                    dj[j] = 0.0
+                    if rs is not None:
+                        sense = model.optimization_direction or 1.0
+                        if ys[i] * sense > 0:  # min: y>0 <=> active at lower
+                            rs[i] = int(VariableStatus.AT_LOWER)
+                        else:
+                            rs[i] = int(VariableStatus.AT_UPPER)
+                        if cstat is not None:
+                            cstat[j] = int(VariableStatus.BASIC)
             y = ys
+            rstat = rs
 
-    # final dual consistency pass: recompute dj against the original model,
-    # then transfer any residual dj of singleton-tightened bound-active
-    # columns onto their rows
     A = model.matrix
     if y is None or y.size != model.num_rows:
         y = np.zeros(model.num_rows)
-    dj = model.objective - A.T @ y
-    for rec in info.tape:
-        if isinstance(rec, _SingletonRows):
-            for k in range(rec.idx.size):
-                i, j, a = rec.idx[k], rec.col[k], rec.coef[k]
-                if i >= model.num_rows:
-                    continue
-                tol = 1e-7 * (1.0 + abs(x[j]))
-                orig_lo, orig_up = model.col_lower[j], model.col_upper[j]
-                strict_inside = (x[j] > orig_lo + tol) and (x[j] < orig_up - tol)
-                if strict_inside and abs(dj[j]) > 1e-9:
-                    y[i] += dj[j] / a
-                    dj = model.objective - A.T @ y
-
+    if dj is None or dj.size != model.num_cols:
+        dj = model.objective - A.T @ y
     row_act = A @ x
     obj = float(model.objective @ x) + model.objective_offset
     out = Solution(
