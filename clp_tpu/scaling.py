@@ -1,0 +1,100 @@
+"""Matrix scaling — equilibrium and geometric modes.
+
+Reference semantics: ClpModel::scaling(mode) (ClpModel.hpp:724,1314-1316):
+0 off, 1 equilibrium, 2 geometric, 3 auto, 4 dynamic, 5 geometric-rows-only.
+Implemented as vectorized host-side passes producing row/col scale factors;
+solvers apply them to the standard form and unscale solutions on the way
+out.
+
+Scaled problem:  A' = R A C,  where R = diag(row_scale), C = diag(col_scale)
+  x' = C^-1 x        (so col bounds scale by C^-1)
+  y' = R^-1 y        (row duals scale back by R)
+  c' = C c,          b-type row bounds scale by R
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+from .constants import ScalingMode
+
+
+@dataclasses.dataclass
+class ScaleFactors:
+    row: np.ndarray  # R diagonal
+    col: np.ndarray  # C diagonal
+
+
+def compute_scaling(A: sp.csc_matrix, mode: ScalingMode, passes: int = 3) -> ScaleFactors:
+    m, n = A.shape
+    row = np.ones(m)
+    col = np.ones(n)
+    if mode == ScalingMode.OFF or A.nnz == 0:
+        return ScaleFactors(row, col)
+
+    Aabs = abs(A.tocoo())
+    ri, ci, v = Aabs.row, Aabs.col, Aabs.data.astype(np.float64)
+    v = np.where(v > 0, v, 1.0)
+
+    if mode in (ScalingMode.GEOMETRIC, ScalingMode.AUTO, ScalingMode.DYNAMIC,
+                ScalingMode.GEOMETRIC_ROWS_ONLY):
+        logv = np.log2(v)
+        for _ in range(passes):
+            # rows: geometric mean -> scale = 2^-mean(log)
+            rsum = np.zeros(m)
+            rcnt = np.zeros(m)
+            cur = logv + np.log2(row[ri]) + np.log2(col[ci])
+            np.add.at(rsum, ri, cur)
+            np.add.at(rcnt, ri, 1.0)
+            row = row * np.exp2(-rsum / np.maximum(rcnt, 1.0))
+            if mode != ScalingMode.GEOMETRIC_ROWS_ONLY:
+                csum = np.zeros(n)
+                ccnt = np.zeros(n)
+                cur = logv + np.log2(row[ri]) + np.log2(col[ci])
+                np.add.at(csum, ci, cur)
+                np.add.at(ccnt, ci, 1.0)
+                col = col * np.exp2(-csum / np.maximum(ccnt, 1.0))
+    if mode in (ScalingMode.EQUILIBRIUM, ScalingMode.AUTO):
+        # final equilibration pass: max |a'_ij| per row -> 1
+        rmax = np.zeros(m)
+        np.maximum.at(rmax, ri, v * row[ri] * col[ci])
+        row = np.where(rmax > 0, row / np.maximum(rmax, 1e-30), 1.0)
+        cmax = np.zeros(n)
+        np.maximum.at(cmax, ci, v * row[ri] * col[ci])
+        col = np.where(cmax > 0, col / np.maximum(cmax, 1e-30), 1.0)
+
+    # snap to powers of two (preserves exactness of scaled arithmetic, the
+    # same trick the reference's scaling uses)
+    row = np.exp2(np.round(np.log2(np.maximum(row, 1e-30))))
+    col = np.exp2(np.round(np.log2(np.maximum(col, 1e-30))))
+    row = np.clip(row, 1e-10, 1e10)
+    col = np.clip(col, 1e-10, 1e10)
+    return ScaleFactors(row, col)
+
+
+def scale_model_arrays(model, factors: ScaleFactors):
+    """Return scaled copies of (A, cl, cu, obj, rl, ru) without mutating."""
+    R, C = factors.row, factors.col
+    from .constants import INF
+
+    A = sp.diags(R) @ model.matrix @ sp.diags(C)
+    # infinities must stay infinite regardless of the scale factor
+    cl = np.where(model.col_lower <= -INF, -INF, model.col_lower / C)
+    cu = np.where(model.col_upper >= INF, INF, model.col_upper / C)
+    obj = model.objective * C
+    rl = np.where(model.row_lower <= -INF, -INF, model.row_lower * R)
+    ru = np.where(model.row_upper >= INF, INF, model.row_upper * R)
+    return A.tocsc(), cl, cu, obj, rl, ru
+
+
+def unscale_solution(factors: ScaleFactors, x=None, y=None, dj=None):
+    """Map scaled-space solution back: x = C x', y = R y', dj = dj'/C."""
+    R, C = factors.row, factors.col
+    out = []
+    out.append(None if x is None else np.asarray(x) * C)
+    out.append(None if y is None else np.asarray(y) * R)
+    out.append(None if dj is None else np.asarray(dj) / C)
+    return tuple(out)

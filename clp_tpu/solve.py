@@ -161,6 +161,31 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     if method == SolveMethod.AUTOMATIC:
         method = _auto_method(work, options)
 
+    # --- scaling (reference: ClpModel::scaling modes, applied pre-solve) ---
+    factors = None
+    from .constants import ScalingMode
+
+    if options.scaling != ScalingMode.OFF and work.num_cols and work.num_rows:
+        from .scaling import compute_scaling, scale_model_arrays
+
+        mode = options.scaling
+        factors = compute_scaling(work.matrix, mode)
+        if np.allclose(factors.row, 1.0) and np.allclose(factors.col, 1.0):
+            factors = None
+        else:
+            A, cl, cu, obj, rl, ru = scale_model_arrays(work, factors)
+            scaled = work.copy()
+            scaled.load_problem(A, cl, cu, obj, rl, ru)
+            scaled.objective_offset = work.objective_offset
+            scaled.optimization_direction = work.optimization_direction
+            if work.quadratic_objective is not None:
+                import scipy.sparse as _sp
+
+                C = _sp.diags(factors.col)
+                scaled.quadratic_objective = (C @ work.quadratic_objective @ C).tocsc()
+            unscaled_work = work
+            work = scaled
+
     if work.num_cols == 0 or work.num_rows == 0:
         sol = _empty_solution(work)
     elif method in (SolveMethod.BARRIER, SolveMethod.BARRIER_NO_CROSS):
@@ -188,6 +213,23 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         sol = pdlp_solve(work, options)
     else:
         raise NotImplementedError(f"method {method}")
+
+    # --- unscale ---
+    if factors is not None:
+        from .scaling import unscale_solution
+
+        x, y, dj = unscale_solution(
+            factors, sol.primal, sol.duals, sol.reduced_costs
+        )
+        sol.primal, sol.duals, sol.reduced_costs = x, y, dj
+        work = unscaled_work
+        if x is not None:
+            sol.row_activity = work.matrix @ x
+            sol.objective_value = (
+                float(work.objective @ x) + work.objective_offset
+            )
+            if work.quadratic_objective is not None:
+                sol.objective_value += 0.5 * float(x @ (work.quadratic_objective @ x))
 
     work.solution = sol
 
