@@ -33,7 +33,8 @@ from .constants import INF
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StandardLP:
-    """Dense standard-form LP on device: min c'v s.t. Gv=b, l<=v<=u.
+    """Dense standard-form LP/QP on device:
+        min c'v + (1/2) v'Qv   s.t.  Gv=b,  l<=v<=u   (Q optional).
 
     A pytree — safe to vmap/shard over an added leading batch axis.
     """
@@ -43,6 +44,7 @@ class StandardLP:
     c: jnp.ndarray  # (nt,)
     l: jnp.ndarray  # (nt,)  -inf allowed
     u: jnp.ndarray  # (nt,)  +inf allowed
+    Q: Optional[jnp.ndarray] = None  # (nt, nt) PSD, or None for pure LP
 
     @property
     def m(self) -> int:
@@ -110,12 +112,26 @@ def to_ipm_form(model, dtype=jnp.float64) -> tuple[StandardLP, FormInfo]:
         b = b - G[:, fixed_idx] @ l[fixed_idx]
     offset_extra = float(c[fixed_idx] @ l[fixed_idx]) if fixed_idx.size else 0.0
 
+    Q_dev = None
+    if model.quadratic_objective is not None:
+        nt = n + m
+        Qfull = np.zeros((nt, nt))
+        Qfull[:n, :n] = np.asarray(model.quadratic_objective.todense()) * sense
+        if fixed_idx.size:
+            vals = l[fixed_idx]
+            # cross terms with fixed variables fold into c and the offset
+            c = c + Qfull[:, fixed_idx] @ vals
+            offset_extra += 0.5 * float(vals @ (Qfull[np.ix_(fixed_idx, fixed_idx)] @ vals))
+            # (c got the full cross term incl. fixed rows; kept slice below)
+        Q_dev = jnp.asarray(Qfull[np.ix_(kept, kept)], dtype)
+
     lp = StandardLP(
         G=jnp.asarray(G[:, kept], dtype),
         b=jnp.asarray(b, dtype),
         c=jnp.asarray(c[kept], dtype),
         l=jnp.asarray(l[kept], dtype),
         u=jnp.asarray(u[kept], dtype),
+        Q=Q_dev,
     )
     fixed_values = np.where(fixed, l, 0.0)
     info = FormInfo(

@@ -96,6 +96,7 @@ def _max_step(v, dv, mask):
 def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     """Single-instance Mehrotra IPM; jit/vmap over instances externally."""
     G, b, c, l, u = lp.G, lp.b, lp.c, lp.l, lp.u
+    Q = lp.Q  # None for pure LP; (nt, nt) PSD for QP
     m, nt = G.shape
     dtype = G.dtype
     hl = jnp.isfinite(l)
@@ -107,26 +108,30 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
 
     x0, y0, z0, w0 = _starting_point(lp, hl, hu, opts)
 
+    def grad(x):
+        return c if Q is None else c + Q @ x
+
     def residuals(x, y, z, w):
         rb = b - G @ x
-        rc = c - G.T @ y - z + w
+        rc = grad(x) - G.T @ y - z + w
         return rb, rc
 
-    def gap_of(x, z, w):
-        g = jnp.where(hl, x - l, 1.0)
-        t = jnp.where(hu, u - x, 1.0)
-        mu = (jnp.sum(jnp.where(hl, g * z, 0.0)) + jnp.sum(jnp.where(hu, t * w, 0.0))) / n_active
-        return g, t, mu
+    def mu_of(g, t, z, w):
+        return (
+            jnp.sum(jnp.where(hl, g * z, 0.0)) + jnp.sum(jnp.where(hu, t * w, 0.0))
+        ) / n_active
 
     def metrics(x, y, z, w):
         rb, rc = residuals(x, y, z, w)
         pinf = jnp.max(jnp.abs(rb), initial=0.0) / bnorm
         dinf = jnp.max(jnp.abs(rc), initial=0.0) / cnorm
-        pobj = c @ x
+        quad = 0.0 if Q is None else 0.5 * (x @ (Q @ x))
+        pobj = c @ x + quad
         dobj = (
             b @ y
             + jnp.sum(jnp.where(hl, l * z, 0.0))
             - jnp.sum(jnp.where(hu, u * w, 0.0))
+            - quad
         )
         relgap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj))
         return pinf, dinf, relgap, pobj, dobj
@@ -136,32 +141,54 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         return (pinf <= opts.tol) & (dinf <= opts.tol) & (relgap <= opts.tol)
 
     def cond(state):
-        x, y, z, w, it, done, _ = state
+        x, y, z, w, g, t, it, done = state
         return (~done) & (it < opts.max_iter)
 
     def body(state):
-        x, y, z, w, it, _, _ = state
+        # g and t are carried (updated by alpha*dx), NOT recomputed as x-l:
+        # recomputation rounds to exactly zero once x converges onto a bound,
+        # which poisons the z/g divisions — carrying slacks keeps them
+        # strictly positive (standard primal-dual implementation practice)
+        x, y, z, w, g, t, it, _ = state
         rb, rc = residuals(x, y, z, w)
-        g, t, mu = gap_of(x, z, w)
+        mu = mu_of(g, t, z, w)
 
         zg = jnp.where(hl, z / g, 0.0)
         wt = jnp.where(hu, w / t, 0.0)
         dinv = zg + wt + opts.reg_primal * (1.0 + jnp.abs(c))
-        d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
 
-        Gd = G * d  # (m, nt) row-scaled by columns
-        M = Gd @ G.T
-        L, _ = chol_factor_reg(M, base_reg=opts.reg_dual)
+        if Q is None:
+            d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+            Gd = G * d  # (m, nt) row-scaled by columns
+            M = Gd @ G.T
+            L, _ = chol_factor_reg(M, base_reg=opts.reg_dual)
+
+            def hsolve(r):  # (Q + D^-1)^{-1} r for the LP case: just d * r
+                return d * r if r.ndim == 1 else d[:, None] * r
+        else:
+            # QP: H = Q + D^-1 is SPD (Q PSD, D^-1 > 0); reduce through it
+            # (the reference requires KKT mode for QP barriers,
+            # ClpPredictorCorrector.cpp:114-124 — this is the same algebra
+            # folded into two SPD solves)
+            H = Q + jnp.diag(jnp.maximum(dinv, 1.0 / opts.free_var_cap))
+            Lh, _ = chol_factor_reg(H, base_reg=opts.reg_dual)
+
+            def hsolve(r):
+                return chol_solve(Lh, r)
+
+            W = hsolve(G.T)  # (nt, m)
+            M = G @ W
+            L, _ = chol_factor_reg(M, base_reg=opts.reg_dual)
 
         def newton(rgz, rtw):
             h = rc - jnp.where(hl, rgz / g, 0.0) + jnp.where(hu, rtw / t, 0.0)
-            rhs = rb + Gd @ h
+            rhs = rb + G @ hsolve(h)
             dy = chol_solve(L, rhs)
             if opts.refine_steps:
                 for _ in range(opts.refine_steps):
                     r = rhs - M @ dy
                     dy = dy + chol_solve(L, r)
-            dx = d * (G.T @ dy - h)
+            dx = hsolve(G.T @ dy - h)
             dz = jnp.where(hl, (rgz - z * dx) / g, 0.0)
             dw = jnp.where(hu, (rtw + w * dx) / t, 0.0)
             return dx, dy, dz, dw
@@ -197,6 +224,22 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         y1 = y + ad * dy
         z1 = jnp.where(hl, z + ad * dz, 0.0)
         w1 = jnp.where(hu, w + ad * dw, 0.0)
+        g1 = jnp.where(hl, g + ap * dx, 1.0)
+        t1 = jnp.where(hu, t - ap * dx, 1.0)
+        # a step of at most eta*alpha_max guarantees g1 >= (1-eta)*g
+        # mathematically; enforce it against floating-point cancellation
+        slack_keep = 0.1 * (1.0 - opts.step_factor)
+        g1 = jnp.where(hl, jnp.maximum(g1, slack_keep * g), 1.0)
+        t1 = jnp.where(hu, jnp.maximum(t1, slack_keep * t), 1.0)
+
+        # centrality safeguard (Gondzio-style): keep every complementarity
+        # product within a band around mu so no multiplier collapses to zero
+        # prematurely (the dual-residual perturbation this introduces is
+        # absorbed by the infeasible-start Newton steps)
+        mu1 = mu_of(g1, t1, z1, w1)
+        lo_band = 1e-5
+        z1 = jnp.where(hl & (g1 * z1 < lo_band * mu1), lo_band * mu1 / g1, z1)
+        w1 = jnp.where(hu & (t1 * w1 < lo_band * mu1), lo_band * mu1 / t1, w1)
 
         # reject steps that produced non-finite values (keep previous iterate,
         # convergence check will stop us; mirrors the reference's disaster
@@ -211,14 +254,16 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         y1 = jnp.where(finite, y1, y)
         z1 = jnp.where(finite, z1, z)
         w1 = jnp.where(finite, w1, w)
+        g1 = jnp.where(finite, g1, g)
+        t1 = jnp.where(finite, t1, t)
 
         done = converged(x1, y1, z1, w1) | (~finite)
-        _, _, mu1 = gap_of(x1, z1, w1)
-        return x1, y1, z1, w1, it + 1, done, mu1
+        return x1, y1, z1, w1, g1, t1, it + 1, done
 
-    _, _, mu0 = gap_of(x0, z0, w0)
-    init = (x0, y0, z0, w0, jnp.asarray(0), converged(x0, y0, z0, w0), mu0)
-    x, y, z, w, it, done, _ = jax.lax.while_loop(cond, body, init)
+    g0 = jnp.where(hl, x0 - l, 1.0)
+    t0 = jnp.where(hu, u - x0, 1.0)
+    init = (x0, y0, z0, w0, g0, t0, jnp.asarray(0), converged(x0, y0, z0, w0))
+    x, y, z, w, g, t, it, done = jax.lax.while_loop(cond, body, init)
 
     pinf, dinf, relgap, pobj, dobj = metrics(x, y, z, w)
     conv = (pinf <= opts.tol) & (dinf <= opts.tol) & (relgap <= opts.tol)

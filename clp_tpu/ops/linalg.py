@@ -26,8 +26,14 @@ import jax.numpy as jnp
 def chol_factor_reg(M: jnp.ndarray, base_reg: float = 0.0, max_bumps: int = 6):
     """Cholesky of M + delta*I, escalating delta x100 until finite.
 
-    Returns (L, delta_used). Keeping this inside jit means a batched solve
-    can have some instances regularized without host round-trips.
+    `base_reg` is an ABSOLUTE first-attempt shift — IPM normal-equation
+    diagonals grow without bound near convergence, so scaling the default
+    shift by the diagonal would swamp the well-conditioned block and corrupt
+    the Newton direction. Only the escalation fallback (after a failed
+    factorization) is diagonal-scaled.
+
+    Returns (L, delta_used). Staying inside jit means a batched solve can
+    have some instances regularized without host round-trips.
     """
     scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1))), 1.0)
     eye = jnp.eye(M.shape[-1], dtype=M.dtype)
@@ -43,11 +49,11 @@ def chol_factor_reg(M: jnp.ndarray, base_reg: float = 0.0, max_bumps: int = 6):
 
     def body(carry):
         _, _, bumps, delta = carry
-        delta = jnp.where(delta == 0.0, 1e-12 * scale, delta * 100.0)
+        delta = jnp.maximum(1e-14 * scale, delta * 100.0)
         L, ok = attempt(delta)
         return L, ok, bumps + 1, delta
 
-    delta0 = jnp.asarray(base_reg, M.dtype) * scale
+    delta0 = jnp.asarray(base_reg, M.dtype)
     L0, ok0 = attempt(delta0)
     L, ok, _, delta = jax.lax.while_loop(cond, body, (L0, ok0, 0, delta0))
     return L, delta

@@ -286,6 +286,8 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
         dj = model.objective - A.T @ y
     row_act = A @ x
     obj = float(model.objective @ x) + model.objective_offset
+    if model.quadratic_objective is not None:
+        obj += 0.5 * float(x @ (model.quadratic_objective @ x))
     out = Solution(
         status=sol.status,
         secondary_status=sol.secondary_status,

@@ -140,10 +140,15 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         return sol
 
     # --- presolve ---
+    # QP: the tape transforms are not yet Q-aware, and the simplex cleanup
+    # would ignore the quadratic term — barrier handles QPs directly
+    # (reference analogy: QP forces the KKT barrier path,
+    # ClpPredictorCorrector.cpp:114-124)
+    is_qp = model.quadratic_objective is not None
     presolved = None
     pinfo = None
     work = model
-    if options.presolve.enabled:
+    if options.presolve.enabled and not is_qp:
         from .presolve import presolve as run_presolve
 
         presolved, pinfo = run_presolve(model, options.presolve)
