@@ -21,9 +21,15 @@ LP solvers need float64: importing this package enables jax x64 mode.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# escape hatch: the container's sitecustomize pins the TPU platform before
+# env vars can act; CLPTPU_PLATFORM=cpu forces a backend from user code
+if _os.environ.get("CLPTPU_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["CLPTPU_PLATFORM"])
 
 from .constants import (  # noqa: E402,F401
     INF,

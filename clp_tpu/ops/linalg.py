@@ -79,17 +79,52 @@ def solve_refined(
     return x
 
 
+def gauss_jordan_inverse(B: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverse via Gauss-Jordan with partial pivoting, pure jnp.
+
+    Exists because the TPU XLA client implements LuDecomposition only for
+    f32 and the solver needs f64 basis inverses. Row operations are rank-1
+    outer-product updates (VPU/MXU friendly); the column loop is a
+    `lax.fori_loop`. Used as the refactorization path on non-CPU backends.
+    """
+    m = B.shape[-1]
+    dtype = B.dtype
+    aug = jnp.concatenate([B, jnp.eye(m, dtype=dtype)], axis=-1)
+    idx = jnp.arange(m)
+
+    def step(k, aug):
+        col = aug[:, k]
+        mask = idx >= k
+        p = jnp.argmax(jnp.where(mask, jnp.abs(col), -jnp.inf))
+        # swap rows k and p
+        rowk, rowp = aug[k], aug[p]
+        aug = aug.at[k].set(rowp).at[p].set(rowk)
+        piv = aug[k, k]
+        newk = aug[k] / piv
+        factors = aug[:, k].at[k].set(0.0)
+        aug = aug - jnp.outer(factors, newk)
+        aug = aug.at[k].set(newk)
+        return aug
+
+    aug = jax.lax.fori_loop(0, m, step, aug)
+    return aug[:, m:]
+
+
 def lu_refactor(B: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense LU of a basis matrix, returning (Binv, ok_flag).
+    """Dense factorization of a basis matrix, returning (Binv, ok_flag).
 
     The simplex engine maintains an explicit inverse updated by rank-1
     product-form transforms each pivot; this is the periodic from-scratch
     refactorization (reference cadence: ClpFactorization::timeToRefactorize,
-    ClpFactorization.cpp:1524).
+    ClpFactorization.cpp:1524). On CPU, XLA's f64 LU is used; on TPU
+    backends (no f64 LuDecomposition kernel) the Gauss-Jordan path runs.
     """
-    lu, piv = jax.scipy.linalg.lu_factor(B)
-    n = B.shape[-1]
-    eye = jnp.eye(n, dtype=B.dtype)
-    Binv = jax.scipy.linalg.lu_solve((lu, piv), eye)
+    if jax.devices()[0].platform == "cpu":
+        lu, piv = jax.scipy.linalg.lu_factor(B)
+        n = B.shape[-1]
+        eye = jnp.eye(n, dtype=B.dtype)
+        Binv = jax.scipy.linalg.lu_solve((lu, piv), eye)
+    else:
+        Binv = gauss_jordan_inverse(B)
     ok = jnp.all(jnp.isfinite(Binv))
     return Binv, ok
