@@ -1,0 +1,323 @@
+"""Post-optimal analysis: ranging, parametrics, dualize.
+
+The ClpSimplexOther capability set (ClpSimplexOther.cpp): dualRanging (:50),
+primalRanging (:770), parametrics (:2554+), dualize/restoreFromDual
+(:1681/:1397). Host-side numpy implementations operating on the optimal
+basis — analysis features are control-path, not hot-path, so they live on
+the host and reuse scipy LU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.linalg as sla
+
+from .constants import INF, ProblemStatus, VariableStatus
+from .model import Model
+
+
+def _basis_data(model: Model):
+    """Rebuild standard-form arrays + basis partition from the solution."""
+    sol = model.solution
+    if sol.column_status is None:
+        raise ValueError("ranging needs a basic solution (solve with simplex first)")
+    A = np.asarray(model.matrix.todense())
+    m, n = A.shape
+    sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
+    G = np.concatenate([A, -np.eye(m)], axis=1)
+    c = np.concatenate([model.objective * sense, np.zeros(m)])
+    l = np.concatenate([model.col_lower, model.row_lower])
+    u = np.concatenate([model.col_upper, model.row_upper])
+    stat = np.concatenate([sol.column_status, sol.row_status])
+    basic = np.flatnonzero(stat == int(VariableStatus.BASIC))
+    assert basic.size == m, f"basis has {basic.size} != {m} members"
+    B = G[:, basic]
+    lu = sla.lu_factor(B)
+    x = np.concatenate([sol.primal, sol.row_activity])
+    dj = c - (sla.lu_solve(lu, c[basic], trans=1)) @ G
+    return G, c, l, u, stat, basic, lu, x, dj, sense
+
+
+@dataclasses.dataclass
+class RangingResult:
+    """Per-column cost ranges and per-row RHS ranges preserving the basis."""
+
+    cost_down: np.ndarray  # (n,) lowest c_j keeping basis optimal
+    cost_up: np.ndarray  # (n,)
+    rhs_down: np.ndarray  # (m,) lowest rhs keeping basis feasible
+    rhs_up: np.ndarray  # (m,)
+
+
+def ranging(model: Model, dual_tol: float = 1e-9) -> RangingResult:
+    """Cost (dual) and RHS (primal) ranging at the optimal basis.
+
+    Reference behavior: ClpSimplexOther::dualRanging/primalRanging with
+    exact expected values tested in unitTest.cpp:1609-1698.
+    """
+    G, c, l, u, stat, basic, lu, x, dj, sense = _basis_data(model)
+    m = G.shape[0]
+    n = model.num_cols
+    nt = G.shape[1]
+    pos_in_basis = {int(j): r for r, j in enumerate(basic)}
+    nonbasic = np.flatnonzero(stat != int(VariableStatus.BASIC))
+
+    cost_down = np.full(n, -np.inf)
+    cost_up = np.full(n, np.inf)
+    for j in range(n):
+        if stat[j] == int(VariableStatus.BASIC):
+            r = pos_in_basis[j]
+            # tableau row r over nonbasics
+            rho = sla.lu_solve(lu, np.eye(m)[r], trans=1)
+            alpha = rho @ G
+            up = np.inf
+            down = -np.inf
+            for k in nonbasic:
+                a = alpha[k]
+                if abs(a) < 1e-11:
+                    continue
+                dk = dj[k]
+                at_lo = stat[k] in (int(VariableStatus.AT_LOWER), int(VariableStatus.FIXED))
+                # delta on c_j shifts dj_k by -delta*alpha_k; keep sign
+                if at_lo:  # dj_k >= 0 required
+                    bound = dk / a  # delta <= dk/a if a>0 ; >= if a<0
+                    if a > 0:
+                        up = min(up, bound)
+                    else:
+                        down = max(down, bound)
+                elif stat[k] == int(VariableStatus.AT_UPPER):  # dj_k <= 0
+                    bound = dk / a
+                    if a > 0:
+                        down = max(down, bound)
+                    else:
+                        up = min(up, bound)
+            cost_down[j] = c[j] + down
+            cost_up[j] = c[j] + up
+        else:
+            d = dj[j]
+            if stat[j] == int(VariableStatus.AT_UPPER):
+                # dj <= 0 must hold: c_j may rise by -dj, fall without limit
+                cost_down[j] = -np.inf
+                cost_up[j] = c[j] - d
+            else:
+                # at lower (dj >= 0): c_j may fall by dj, rise without limit
+                cost_down[j] = c[j] - d
+                cost_up[j] = np.inf
+    # back to user sense
+    if sense < 0:
+        cost_down, cost_up = -cost_up, -cost_down
+
+    # RHS ranging: reported as DELTA ranges [rhs_down, rhs_up] (how far both
+    # row bounds can shift together keeping the basis primal feasible).
+    rhs_down = np.full(m, -np.inf)
+    rhs_up = np.full(m, np.inf)
+    xb = x[basic]
+    lb = l[basic]
+    ub = u[basic]
+    slack_stat = stat[n:]
+    s_act = x[n : n + m]
+    for i in range(m):
+        if slack_stat[i] == int(VariableStatus.BASIC):
+            # non-binding row: bounds can move until they reach the activity
+            rhs_down[i] = (
+                s_act[i] - model.row_upper[i] if model.row_upper[i] < INF else -np.inf
+            )
+            rhs_up[i] = (
+                s_act[i] - model.row_lower[i] if model.row_lower[i] > -INF else np.inf
+            )
+            continue
+        # nonbasic slack moves with the bound shift: x_{n+i} += delta, and
+        # xB' = xB + delta * w with w = Binv e_i  (slack column is -e_i)
+        w = sla.lu_solve(lu, np.eye(m)[:, i])
+        down = -np.inf
+        up = np.inf
+        for r in range(m):
+            a = w[r]
+            if abs(a) < 1e-11:
+                continue
+            gap_up = (ub[r] - xb[r]) if ub[r] < INF else np.inf
+            gap_dn = (xb[r] - lb[r]) if lb[r] > -INF else np.inf
+            if a > 0:
+                up = min(up, gap_up / a)
+                down = max(down, -gap_dn / a)
+            else:
+                up = min(up, gap_dn / (-a))
+                down = max(down, -gap_up / (-a))
+        rhs_down[i] = down
+        rhs_up[i] = up
+    return RangingResult(cost_down, cost_up, rhs_down, rhs_up)
+
+
+def parametrics(
+    model: Model,
+    theta_end: float,
+    dc: Optional[np.ndarray] = None,
+    d_row_lower: Optional[np.ndarray] = None,
+    d_row_upper: Optional[np.ndarray] = None,
+    d_col_lower: Optional[np.ndarray] = None,
+    d_col_upper: Optional[np.ndarray] = None,
+    max_points: int = 64,
+    tol: float = 1e-9,
+) -> list[tuple[float, float]]:
+    """Objective/rhs/bound homotopy in theta over [0, theta_end].
+
+    Returns (theta, objective) samples including every basis-change
+    breakpoint (found by adaptive bisection on basis equality), endpoint
+    included — the capability of ClpSimplexOther::parametrics (:2554),
+    implemented by warm re-solves rather than in-pivot homotopy.
+    """
+    from .options import SolveOptions
+    from .constants import SolveMethod
+    from .simplex.driver import simplex_solve
+
+    base = model.copy()
+
+    def at(theta: float):
+        mm = base.copy()
+        if dc is not None:
+            mm.objective = mm.objective + theta * np.asarray(dc)
+        if d_row_lower is not None:
+            mm.row_lower = np.where(
+                mm.row_lower > -INF, mm.row_lower + theta * np.asarray(d_row_lower), mm.row_lower
+            )
+        if d_row_upper is not None:
+            mm.row_upper = np.where(
+                mm.row_upper < INF, mm.row_upper + theta * np.asarray(d_row_upper), mm.row_upper
+            )
+        if d_col_lower is not None:
+            mm.col_lower = np.where(
+                mm.col_lower > -INF, mm.col_lower + theta * np.asarray(d_col_lower), mm.col_lower
+            )
+        if d_col_upper is not None:
+            mm.col_upper = np.where(
+                mm.col_upper < INF, mm.col_upper + theta * np.asarray(d_col_upper), mm.col_upper
+            )
+        opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+        opts.presolve.enabled = False
+        warm = model.solution if model.solution.column_status is not None else None
+        sol = simplex_solve(mm, opts, dual=True, warm=warm)
+        basis_sig = (
+            tuple(np.flatnonzero(sol.column_status == int(VariableStatus.BASIC)))
+            if sol.column_status is not None
+            else ()
+        )
+        return sol, basis_sig
+
+    points: list[tuple[float, float]] = []
+    s0, b0 = at(0.0)
+    s1, b1 = at(theta_end)
+    points.append((0.0, s0.objective_value))
+
+    def refine(t0, b_0, t1, b_1, depth):
+        if depth <= 0 or b_0 == b_1 or (t1 - t0) < 1e-9 * max(1.0, abs(theta_end)):
+            return
+        tm = 0.5 * (t0 + t1)
+        sm, bm = at(tm)
+        refine(t0, b_0, tm, bm, depth - 1)
+        points.append((tm, sm.objective_value))
+        refine(tm, bm, t1, b_1, depth - 1)
+
+    refine(0.0, b0, theta_end, b1, depth=int(np.ceil(np.log2(max_points))))
+    points.append((theta_end, s1.objective_value))
+    return points
+
+
+def dualize(model: Model) -> tuple[Model, dict]:
+    """Build the explicit LP dual (ClpSimplexOther::dualize, :1681).
+
+    Primal: min c'x s.t. bL <= Ax <= bU, l <= x <= u (minimization form).
+    Dual variables: lamL_i >= 0 (rows with finite bL), lamU_i >= 0 (finite
+    bU), muL_j >= 0 (finite l), muU_j >= 0 (finite u), with
+        A'(lamL - lamU) + muL - muU = c
+        max bL'lamL - bU'lamU + l'muL - u'muU
+    Returned as a *minimization* model (negated objective). The mapping dict
+    lists the column index of each dual variable so `restore_from_dual` can
+    rebuild the primal solution.
+    """
+    import scipy.sparse as sp
+
+    sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
+    A = model.matrix
+    m, n = A.shape
+    c = model.objective * sense
+    bL, bU = model.row_lower, model.row_upper
+    l, u = model.col_lower, model.col_upper
+
+    cols = []
+    obj = []
+    names = []
+    mapping = {"lamL": {}, "lamU": {}, "muL": {}, "muU": {}, "n": n, "m": m}
+    k = 0
+    for i in range(m):
+        if bL[i] > -INF:
+            cols.append(A[i, :].T)
+            obj.append(-bL[i])  # min of negated max objective
+            mapping["lamL"][i] = k
+            names.append(f"lamL{i}")
+            k += 1
+        if bU[i] < INF:  # equality rows get BOTH parts (free dual, split)
+            cols.append(-A[i, :].T)
+            obj.append(bU[i])
+            mapping["lamU"][i] = k
+            names.append(f"lamU{i}")
+            k += 1
+    eye = sp.eye(n, format="csc")
+    for j in range(n):
+        if l[j] > -INF:
+            cols.append(eye[:, j])
+            obj.append(-l[j])
+            mapping["muL"][j] = k
+            names.append(f"muL{j}")
+            k += 1
+        if u[j] < INF:  # fixed columns get BOTH parts (free dual, split)
+            cols.append(-eye[:, j])
+            obj.append(u[j])
+            mapping["muU"][j] = k
+            names.append(f"muU{j}")
+            k += 1
+    D = sp.hstack([sp.csc_matrix(col.reshape(n, 1)) for col in cols], format="csc")
+    dual = Model()
+    dual.load_problem(
+        D,
+        col_lower=np.zeros(k),
+        col_upper=np.full(k, INF),
+        objective=np.array(obj),
+        row_lower=c,
+        row_upper=c,
+    )
+    dual.col_names = names
+    dual.problem_name = f"dual_{model.problem_name or 'model'}"
+    return dual, mapping
+
+
+def restore_from_dual(model: Model, dual: Model, mapping: dict) -> None:
+    """Map the solved dual back onto the primal model's Solution."""
+    from .model import Solution
+
+    dsol = dual.solution
+    if dsol.status != ProblemStatus.OPTIMAL:
+        model.solution.status = dsol.status
+        return
+    sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
+    n, m = mapping["n"], mapping["m"]
+    # primal x = NEGATED duals of the dual's equality rows: the dual model
+    # minimizes the negated dual objective, flipping its multipliers
+    x = -np.asarray(dsol.duals)
+    lam = np.zeros(m)
+    dv = np.asarray(dsol.primal)
+    for i, k in mapping["lamL"].items():
+        lam[i] += dv[k]
+    for i, k in mapping["lamU"].items():
+        lam[i] -= dv[k]
+    obj = float(model.objective @ x) + model.objective_offset
+    model.solution = Solution(
+        status=ProblemStatus.OPTIMAL,
+        objective_value=obj,
+        primal=x,
+        duals=lam * sense,
+        reduced_costs=model.objective - model.matrix.T @ (lam * sense),
+        row_activity=model.matrix @ x,
+        iterations=dsol.iterations,
+    )

@@ -162,13 +162,32 @@ def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
     )
 
 
-def _at_fake_bound(lp, state: SimplexState, dual_bound: float) -> bool:
+def _fake_bound_mask(lp, state: SimplexState) -> np.ndarray:
     l = np.asarray(lp.l)
     u = np.asarray(lp.u)
     vstat = np.asarray(state.vstat)
     fake_lo = (vstat == AT_LOWER) & ~np.isfinite(l)
     fake_up = (vstat == AT_UPPER) & ~np.isfinite(u)
-    return bool(np.any(fake_lo | fake_up))
+    return fake_lo | fake_up
+
+
+def _at_fake_bound(lp, state: SimplexState, dual_bound: float) -> bool:
+    return bool(np.any(_fake_bound_mask(lp, state)))
+
+
+def _demote_fakes_to_free(lp, state: SimplexState) -> SimplexState:
+    """Park fake-bound nonbasics at value 0 as FREE.
+
+    A nonbasic left on a fake bound at dual optimality sits at +-dualBound
+    (1e10+), which poisons the extracted solution with catastrophic
+    cancellation. Demoting to FREE (value 0) keeps dj unchanged; the primal
+    finish restores feasibility, or proves unboundedness if the variable
+    genuinely needs to run away (reference: resetFakeBounds + primal
+    cleanup, ClpSimplexDual.cpp:8303).
+    """
+    mask = jnp.asarray(_fake_bound_mask(lp, state))
+    vstat = jnp.where(mask, FREE, state.vstat).astype(state.vstat.dtype)
+    return dataclasses.replace(state, vstat=vstat)
 
 
 def simplex_solve(
@@ -204,9 +223,16 @@ def simplex_solve(
         state = make_dual_feasible(lp, state, opts)
         state = dual_solve(lp, state, opts)
         st = int(state.status)
-        # fake-bound escalation (resetFakeBounds analogue)
+        # fake-bound escalation (resetFakeBounds analogue) — only worthwhile
+        # when a fake-bounded variable is actually pressed against its fake
+        # bound (nonzero dj); degenerate parks go straight to the primal
+        # finish below
+        def _pressed() -> bool:
+            mask = _fake_bound_mask(lp, state)
+            return bool(np.any(mask & (np.abs(np.asarray(state.dj)) > 10 * model.dual_tolerance)))
+
         attempts = 0
-        while st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound) and attempts < 2:
+        while st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound) and _pressed() and attempts < 2:
             attempts += 1
             opts = make_opts(opts.dual_bound * 100.0)
             state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
@@ -215,7 +241,9 @@ def simplex_solve(
             state = dual_solve(lp, state, opts)
             st = int(state.status)
         if st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound):
-            # finish with primal from this basis using true bounds
+            # finish with primal from this basis using true bounds, with
+            # fake-bound nonbasics demoted to FREE at value 0
+            state = _demote_fakes_to_free(lp, state)
             state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
             state = primal_solve(lp, state, opts)
             st = int(state.status)

@@ -403,8 +403,43 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
 # --------------------------------------------------------------------------
 
 
-def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iteration_fn):
-    """outer refactorize loop + inner pivot loop (gutsOfDual structure)."""
+def _primal_feasible(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
+    lb, ub = _basic_bounds(lp, state.basis)
+    infeas = jnp.maximum(jnp.maximum(lb - state.xb, state.xb - ub), 0.0)
+    return jnp.max(infeas, initial=0.0) <= opts.primal_tolerance
+
+
+def _dual_feasible(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
+    at_lo = state.vstat == AT_LOWER
+    at_up = state.vstat == AT_UPPER
+    fixed = lp.l == lp.u
+    viol = jnp.where(
+        at_lo & ~fixed,
+        jnp.maximum(-state.dj, 0.0),
+        jnp.where(at_up & ~fixed, jnp.maximum(state.dj, 0.0), 0.0),
+    )
+    return jnp.max(viol, initial=0.0) <= opts.dual_tolerance * 10.0
+
+
+def _verify_dual_claim(lp, state, opts):
+    # dual simplex optimality = primal feasibility on fresh factors
+    return _primal_feasible(lp, state, opts)
+
+
+def _verify_primal_claim(lp, state, opts):
+    # primal simplex optimality = feasible AND no attractive entering column
+    return _primal_feasible(lp, state, opts) & _dual_feasible(lp, state, opts)
+
+
+def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iteration_fn,
+              verify_fn):
+    """outer refactorize loop + inner pivot loop (gutsOfDual structure).
+
+    An OPTIMAL claim from the inner loop is only accepted after a fresh
+    refactorization confirms it (`verify_fn`) — incremental state drifts,
+    and the reference re-verifies the same way before finishing
+    (statusOfProblemInDual, ClpSimplexDual.cpp:4996).
+    """
 
     chunk = opts.refactor_frequency
 
@@ -423,37 +458,53 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
         return st, k + 1
 
     def outer_cond(carry):
-        st, stalls = carry
-        return (st.status == CONTINUE) & (st.iterations < opts.max_iterations) & (stalls < 3)
+        st, stalls, verified = carry
+        running = (st.status == CONTINUE) | ((st.status == OPTIMAL) & ~verified)
+        return running & (st.iterations < opts.max_iterations) & (stalls < 3)
 
     def outer_body(carry):
-        st, stalls = carry
+        st, stalls, _ = carry
         iters_before = st.iterations
+        claimed_optimal = st.status == OPTIMAL
         st = recompute(lp, st, opts.dual_bound)
+        verified = claimed_optimal & verify_fn(lp, st, opts) & (st.status != NUMERICAL)
+        # re-open the claim if the fresh factorization disproves it
         st = dataclasses.replace(
             st,
-            status=jnp.where(st.status == NUMERICAL, NUMERICAL, CONTINUE).astype(
-                st.status.dtype
-            ),
+            status=jnp.where(
+                st.status == NUMERICAL,
+                NUMERICAL,
+                jnp.where(verified, OPTIMAL, CONTINUE),
+            ).astype(st.status.dtype),
         )
-        st, _ = jax.lax.while_loop(inner_cond, inner_body, (st, 0))
+
+        def run_chunk(s):
+            s, _ = jax.lax.while_loop(inner_cond, inner_body, (s, 0))
+            return s
+
+        st = jax.lax.cond(verified, lambda s: s, run_chunk, st)
         # stall: a chunk that made no pivots right after a fresh factorization
         # means a persistent numerical block (tiny pivot) -> escalate
         # (reference analogue: saferTolerances / flagging,
         # ClpFactorization.hpp:227, ClpSimplex flagged variables)
-        made_progress = st.iterations > iters_before
+        made_progress = (st.iterations > iters_before) | verified
         stalls = jnp.where(made_progress, 0, stalls + 1).astype(stalls.dtype)
-        return st, stalls
+        return st, stalls, verified
 
-    state, stalls = jax.lax.while_loop(outer_cond, outer_body, (state, jnp.asarray(0, jnp.int32)))
+    state, stalls, verified = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (state, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+    )
     state = dataclasses.replace(
         state,
         status=jnp.where(
             (state.status == CONTINUE) & (stalls >= 3), NUMERICAL, state.status
         ).astype(state.status.dtype),
     )
-    # final consistency pass
-    state = recompute(lp, state, opts.dual_bound)
+    # final consistency pass (already on fresh factors if the claim verified)
+    state = jax.lax.cond(
+        verified, lambda s: s, lambda s: recompute(lp, s, opts.dual_bound), state
+    )
     state = dataclasses.replace(
         state,
         status=jnp.where(
@@ -467,12 +518,12 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
 
 @partial(jax.jit, static_argnames=("opts",))
 def dual_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
-    return _run_loop(lp, state, opts, dual_iteration)
+    return _run_loop(lp, state, opts, dual_iteration, _verify_dual_claim)
 
 
 @partial(jax.jit, static_argnames=("opts",))
 def primal_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
-    return _run_loop(lp, state, opts, primal_iteration)
+    return _run_loop(lp, state, opts, primal_iteration, _verify_primal_claim)
 
 
 def initial_state(lp: StandardLP, opts: SimplexOptions, vstat=None, basis=None) -> SimplexState:

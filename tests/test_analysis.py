@@ -1,0 +1,104 @@
+"""Ranging / parametrics / dualize tests, verified by brute-force re-solves."""
+
+import numpy as np
+import pytest
+
+import clp_tpu
+from clp_tpu import Model, SolveOptions, SolveMethod, ProblemStatus, INF
+from clp_tpu.analysis import ranging, parametrics, dualize, restore_from_dual
+from clp_tpu.utils.generators import random_lp, transport_lp
+from tests.test_mps import _linprog
+
+
+def _solve_dual(model):
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.enabled = False
+    return model.initial_solve(o)
+
+
+def test_cost_ranging_brute_force():
+    """Inside the reported cost range the optimal BASIS (objective slope)
+    stays; outside it the objective deviates from the linear prediction."""
+    model = random_lp(8, 12, seed=5)
+    sol = _solve_dual(model)
+    assert sol.status == ProblemStatus.OPTIMAL
+    r = ranging(model)
+    x = sol.primal
+    for j in [0, 3, 7]:
+        down, up = r.cost_down[j], r.cost_up[j]
+        assert down <= model.objective[j] + 1e-9 <= up + 2e-9
+        # perturb within the range: objective must change by exactly x_j*dc
+        for target in [down, up]:
+            if not np.isfinite(target):
+                continue
+            inner = 0.5 * (model.objective[j] + target)  # strictly inside
+            m2 = model.copy()
+            m2.objective = m2.objective.copy()
+            dc = inner - model.objective[j]
+            m2.objective[j] = inner
+            s2 = _solve_dual(m2)
+            assert s2.status == ProblemStatus.OPTIMAL
+            predicted = sol.objective_value + dc * x[j]
+            assert abs(s2.objective_value - predicted) < 1e-6 * (
+                1 + abs(predicted)
+            ), (j, target, dc)
+
+
+def test_rhs_ranging_brute_force():
+    model = random_lp(8, 12, seed=6)
+    sol = _solve_dual(model)
+    assert sol.status == ProblemStatus.OPTIMAL
+    r = ranging(model)
+    y = sol.duals
+    for i in [0, 2, 5]:
+        for target in [r.rhs_down[i], r.rhs_up[i]]:
+            if not np.isfinite(target) or abs(target) < 1e-12:
+                continue
+            delta = 0.5 * target  # strictly inside the delta range
+            m2 = model.copy()
+            m2.row_lower = m2.row_lower.copy()
+            m2.row_upper = m2.row_upper.copy()
+            if m2.row_lower[i] > -INF:
+                m2.row_lower[i] += delta
+            if m2.row_upper[i] < INF:
+                m2.row_upper[i] += delta
+            s2 = _solve_dual(m2)
+            assert s2.status == ProblemStatus.OPTIMAL
+            predicted = sol.objective_value + delta * y[i]
+            assert abs(s2.objective_value - predicted) < 1e-6 * (
+                1 + abs(predicted)
+            ), (i, target, delta)
+
+
+def test_parametrics_objective_ray():
+    model = random_lp(6, 10, seed=7)
+    sol = _solve_dual(model)
+    dc = np.zeros(model.num_cols)
+    dc[0] = 1.0
+    pts = parametrics(model, theta_end=2.0, dc=dc)
+    assert pts[0][0] == 0.0 and pts[-1][0] == 2.0
+    # objective is concave piecewise-linear in theta for a min problem
+    thetas = [p[0] for p in pts]
+    assert thetas == sorted(thetas)
+    # endpoint value matches a direct solve
+    m2 = model.copy()
+    m2.objective = m2.objective + 2.0 * dc
+    s2 = _solve_dual(m2)
+    assert abs(pts[-1][1] - s2.objective_value) < 1e-7 * (1 + abs(s2.objective_value))
+
+
+def test_dualize_matches_primal():
+    model = transport_lp(3, 4, seed=3)
+    ref = _linprog(model)
+    dual, mapping = dualize(model)
+    _solve_dual(dual)
+    assert dual.solution.status == ProblemStatus.OPTIMAL
+    # strong duality: dual's optimal value (negated max) == primal optimum
+    assert abs(-dual.solution.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    restore_from_dual(model, dual, mapping)
+    assert model.solution.status == ProblemStatus.OPTIMAL
+    assert abs(model.solution.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    from clp_tpu import check_kkt
+
+    rep = check_kkt(model)
+    assert rep.ok, str(rep)
