@@ -59,9 +59,27 @@ _SECTIONS = {
 }
 
 
-def read_mps(filename: str, into=None, keep_names: bool = True):
-    """Parse an MPS file into a Model (creates one if ``into`` is None)."""
+def read_mps(filename: str, into=None, keep_names: bool = True,
+             use_native: bool = True):
+    """Parse an MPS file into a Model (creates one if ``into`` is None).
+
+    Tries the native C++ parser first (clp_tpu.io.native) and falls back to
+    this pure-Python implementation for gzip input, quadratic sections, or
+    when the library isn't buildable.
+    """
     from ..model import Model
+
+    if use_native:
+        try:
+            from .native import read_mps_native
+
+            result = read_mps_native(filename, into=into, keep_names=keep_names)
+            if result is not None:
+                return result
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass  # any native hiccup falls back to the Python reader
 
     model = into if into is not None else Model()
 

@@ -128,10 +128,31 @@ def _solve_simplex(model: Model, options: SolveOptions, dual: bool,
     return simplex_solve(model, options, dual=dual, warm=warm)
 
 
+def _fire(model: Model, which, **info) -> bool:
+    """Fire an event hook; True means the handler requested an abort
+    (reference: event handler return >= 0 -> status 5, ClpModel.hpp:435)."""
+    h = model.event_handler
+    if h is None:
+        return False
+    from .events import Event, EventHandler
+
+    if isinstance(h, EventHandler):
+        rc = h.event(which, model, **info)
+    else:
+        rc = h(which, model)
+    return rc is not None and rc >= 0
+
+
 def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solution:
     """Presolve -> method -> solve -> postsolve -> cleanup; sets model.solution."""
+    from .events import Event
+
     options = options or SolveOptions()
     t0 = time.time()
+    if _fire(model, Event.START_SOLVE):
+        sol = Solution(status=ProblemStatus.USER_STOPPED)
+        model.solution = sol
+        return sol
 
     if model.num_cols == 0 or model.num_rows == 0:
         sol = _empty_solution(model)
@@ -151,7 +172,14 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     if options.presolve.enabled and not is_qp:
         from .presolve import presolve as run_presolve
 
+        _fire(model, Event.PRESOLVE_START)
         presolved, pinfo = run_presolve(model, options.presolve)
+        _fire(
+            model,
+            Event.PRESOLVE_END,
+            rows_dropped=model.num_rows - presolved.num_rows,
+            cols_dropped=model.num_cols - presolved.num_cols,
+        )
         if pinfo.status == ProblemStatus.PRIMAL_INFEASIBLE:
             sol = Solution(
                 status=ProblemStatus.PRIMAL_INFEASIBLE,
@@ -212,6 +240,10 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
 
             warm = idiot_crash(work, options)
         sol = _solve_simplex(work, options, dual=False, warm=warm)
+    elif method == SolveMethod.SPRINT:
+        from .sprint import sprint_solve
+
+        sol = sprint_solve(work, options)
     elif method == SolveMethod.PDLP:
         from .pdlp import pdlp_solve
 
@@ -256,6 +288,7 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
 
     sol.solve_time = time.time() - t0
     model.solution = sol
+    _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
     return sol
 
 
