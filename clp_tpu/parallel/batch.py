@@ -53,6 +53,83 @@ def ipm_solve_batched(lp: StandardLP, opts: IPMOptions):
     return jax.vmap(lambda one: ipm_solve(one, opts))(lp)
 
 
+def stack_models_simplex(models: Sequence[Model]) -> tuple[StandardLP, list]:
+    """Stack same-shape models into one batched StandardLP (simplex form)."""
+    from ..forms import to_standard_form
+
+    lps, infos = [], []
+    shape = None
+    for mod in models:
+        lp, info = to_standard_form(mod)
+        if shape is None:
+            shape = lp.G.shape
+        elif lp.G.shape != shape:
+            raise ValueError("all models in a batch must share shape")
+        lps.append(lp)
+        infos.append(info)
+    batched = StandardLP(
+        G=jnp.stack([lp.G for lp in lps]),
+        b=jnp.stack([lp.b for lp in lps]),
+        c=jnp.stack([lp.c for lp in lps]),
+        l=jnp.stack([lp.l for lp in lps]),
+        u=jnp.stack([lp.u for lp in lps]),
+    )
+    return batched, infos
+
+
+def solve_batch_dual_simplex(
+    models: Sequence[Model],
+    options: Optional[SolveOptions] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> list[Solution]:
+    """Batched dual simplex: vmap the whole pivot loop over instances.
+
+    The per-instance host policies (fake-bound escalation, algorithm
+    switching) are not available inside the batch; instances that end on
+    a fake bound or numerical trouble are re-solved individually through
+    the full driver.
+    """
+    from ..simplex import engine
+    from ..simplex.driver import _extract, simplex_solve
+
+    options = options or SolveOptions()
+    batched, infos = stack_models_simplex(models)
+    opts = engine.SimplexOptions(
+        refactor_frequency=options.refactor_frequency,
+        max_iterations=options.max_iterations or 100000,
+    )
+    if mesh is not None:
+        sh = scenario_sharding(mesh, options.mesh_axis)
+        batched = jax.tree.map(lambda a: jax.device_put(a, sh), batched)
+
+    @partial(jax.jit, static_argnames=("o",))
+    def run(lp, o):
+        def one(lp1):
+            st = engine.initial_state(lp1, o)
+            st = engine.recompute(lp1, st, o.dual_bound)
+            st = engine.make_dual_feasible(lp1, st, o)
+            return engine.dual_solve(lp1, st, o)
+
+        return jax.vmap(one)(lp)
+
+    states = run(batched, opts)
+    out = []
+    for i, mod in enumerate(models):
+        st_i = jax.tree.map(lambda a: a[i], states)
+        lp_i = jax.tree.map(lambda a: a[i], batched)
+        status = int(st_i.status)
+        from ..simplex.driver import _at_fake_bound
+
+        if status == engine.OPTIMAL and not _at_fake_bound(lp_i, st_i, opts.dual_bound):
+            sol = _extract(mod, lp_i, st_i, opts, status)
+        else:
+            # fall back to the full single-instance driver for the hard cases
+            sol = simplex_solve(mod, options, dual=True)
+        mod.solution = sol
+        out.append(sol)
+    return out
+
+
 def solve_batch_ipm(
     models: Sequence[Model],
     options: SolveOptions,

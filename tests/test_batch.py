@@ -53,3 +53,15 @@ def test_batch_shape_mismatch_raises():
     b = random_lp(6, 8, seed=0)
     with pytest.raises(ValueError):
         stack_models([a, b])
+
+
+def test_batch_dual_simplex():
+    from clp_tpu.parallel.batch import solve_batch_dual_simplex
+
+    models = _perturbed_models(base_seed=2, count=4)
+    sols = solve_batch_dual_simplex(models)
+    for m, s in zip(models, sols):
+        assert s.status == ProblemStatus.OPTIMAL
+        ref = _linprog(m)
+        assert abs(s.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
+        assert check_kkt(m).ok
