@@ -52,6 +52,13 @@ class _SingletonRows:
 
 
 @dataclasses.dataclass
+class _RedundantRows:
+    """Rows whose activity range can never bind: dropped with zero dual."""
+
+    idx: np.ndarray
+
+
+@dataclasses.dataclass
 class PresolveInfo:
     status: ProblemStatus = ProblemStatus.UNKNOWN
     tape: list = dataclasses.field(default_factory=list)
@@ -148,6 +155,73 @@ def _singleton_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
     return True
 
 
+def _fix_empty_columns(model: Model, tape: list, tol: float) -> Optional[bool]:
+    """Columns with no matrix entries: pin at the cost-preferred bound.
+
+    c_j > 0 -> lower, c_j < 0 -> upper, c_j = 0 -> any finite bound (or 0).
+    An empty column pushed toward an infinite bound is dual infeasible
+    (unbounded); returns None for that (distinct from False = no change).
+    """
+    counts = np.diff(model.matrix.indptr)
+    empty = np.flatnonzero(counts == 0)
+    empty = empty[model.col_lower[empty] != model.col_upper[empty]]
+    if empty.size == 0:
+        return False
+    c = model.objective[empty]
+    lo = model.col_lower[empty]
+    up = model.col_upper[empty]
+    target = np.where(
+        c > tol, lo, np.where(c < -tol, up, np.where(lo > -INF, lo, np.minimum(up, 0.0)))
+    )
+    if np.any((c > tol) & (lo <= -INF)) or np.any((c < -tol) & (up >= INF)):
+        return None  # unbounded
+    model.col_lower = model.col_lower.copy()
+    model.col_upper = model.col_upper.copy()
+    model.col_lower[empty] = target
+    model.col_upper[empty] = target
+    return True  # the fixed-column transform removes them next
+
+
+def _redundant_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
+    """Drop rows that can never bind given the column bounds.
+
+    Implied activity range [min_act, max_act] from column bounds; a row with
+    min_act >= rl and max_act <= ru is redundant (dual 0, slack basic). Also
+    detects infeasibility when the implied range misses [rl, ru] entirely.
+    """
+    A = model.matrix.tocsr()
+    m, n = A.shape
+    if m == 0:
+        return False
+    pos = A.maximum(0)
+    neg = A.minimum(0)
+    cl = np.where(model.col_lower <= -INF, -np.inf, model.col_lower)
+    cu = np.where(model.col_upper >= INF, np.inf, model.col_upper)
+    with np.errstate(invalid="ignore"):
+        max_act = pos @ cu + neg @ cl
+        min_act = pos @ cl + neg @ cu
+    max_act = np.where(np.isnan(max_act), np.inf, max_act)
+    min_act = np.where(np.isnan(min_act), -np.inf, min_act)
+    rl, ru = model.row_lower, model.row_upper
+    feas_tol = tol * (1.0 + np.maximum(np.abs(rl), np.abs(ru)))
+    if np.any(min_act > ru + feas_tol) or np.any(max_act < rl - feas_tol):
+        return None  # infeasible
+    redundant = (min_act >= rl - feas_tol) & (max_act <= ru + feas_tol) & (
+        np.diff(A.indptr) > 0
+    )
+    idx = np.flatnonzero(redundant)
+    if idx.size == 0:
+        return False
+    tape.append(_RedundantRows(idx))
+    keep = np.setdiff1d(np.arange(m), idx)
+    model._A = model.matrix.tocsc()[keep, :].tocsc()
+    model.row_lower = model.row_lower[keep]
+    model.row_upper = model.row_upper[keep]
+    if model.row_names is not None:
+        model.row_names = [model.row_names[i] for i in keep]
+    return True
+
+
 def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInfo]:
     """Return (reduced model, tape info). The input model is untouched."""
     info = PresolveInfo(original=model)
@@ -161,6 +235,12 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
         return work, info
     for _ in range(max(1, options.passes)):
         changed = False
+        if options.empty_rows_cols:
+            r = _fix_empty_columns(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.DUAL_INFEASIBLE
+                return work, info
+            changed |= r
         if options.fixed_variables:
             changed |= _remove_fixed_columns(work, info.tape, tol)
         if options.empty_rows_cols:
@@ -171,6 +251,12 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
             changed |= r
         if options.singleton_rows:
             r = _singleton_rows(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.PRIMAL_INFEASIBLE
+                return work, info
+            changed |= r
+        if options.forcing:
+            r = _redundant_rows(work, info.tape, tol)
             if r is None:
                 info.status = ProblemStatus.PRIMAL_INFEASIBLE
                 return work, info
@@ -231,7 +317,7 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 cs[keep] = cstat
                 cs[rec.idx] = int(VariableStatus.FIXED)
                 cstat = cs
-        elif isinstance(rec, _EmptyRows):
+        elif isinstance(rec, (_EmptyRows, _RedundantRows)):
             m_after = 0 if y is None else y.size
             m_before = m_after + rec.idx.size
             keep = np.setdiff1d(np.arange(m_before), rec.idx)

@@ -263,4 +263,26 @@ def simplex_solve(
         if int(state2.status) in (engine.OPTIMAL, engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
             state, st = state2, int(state2.status)
 
+    # still stuck: cost-perturbation retry (anti-degeneracy escalation,
+    # reference: ClpSimplexDual::perturb, ClpSimplexDual.cpp:6533 — perturb,
+    # re-solve, restore true costs, clean up from the perturbed basis)
+    if st in (engine.NUMERICAL, engine.CONTINUE, engine.ITER_LIMIT):
+        rng = np.random.default_rng(model.random_seed)
+        c = np.asarray(lp.c)
+        scale = 1e-6 * (1.0 + np.abs(c))
+        lp_pert = dataclasses.replace(
+            lp, c=jnp.asarray(c + rng.uniform(0.5, 1.0, c.size) * scale)
+        )
+        state3 = initial_state(lp, opts) if warm is None else _warm_state(lp, opts, warm, n, m)
+        state3 = recompute(lp_pert, state3, opts.dual_bound)
+        state3 = make_dual_feasible(lp_pert, state3, opts)
+        state3 = dual_solve(lp_pert, state3, opts)
+        if int(state3.status) == engine.OPTIMAL:
+            # restore true costs, clean up with the primal from this basis
+            state3 = dataclasses.replace(state3, status=jnp.asarray(engine.CONTINUE, jnp.int32))
+            state3 = recompute(lp, state3, opts.dual_bound)
+            state3 = primal_solve(lp, state3, opts)
+            if int(state3.status) in (engine.OPTIMAL, engine.DUAL_INFEASIBLE):
+                state, st = state3, int(state3.status)
+
     return _extract(model, lp, state, opts, st)

@@ -180,9 +180,9 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             rows_dropped=model.num_rows - presolved.num_rows,
             cols_dropped=model.num_cols - presolved.num_cols,
         )
-        if pinfo.status == ProblemStatus.PRIMAL_INFEASIBLE:
+        if pinfo.status in (ProblemStatus.PRIMAL_INFEASIBLE, ProblemStatus.DUAL_INFEASIBLE):
             sol = Solution(
-                status=ProblemStatus.PRIMAL_INFEASIBLE,
+                status=pinfo.status,
                 secondary_status=SecondaryStatus.INFEAS_OR_UNBOUNDED_IN_PRESOLVE,
             )
             sol.solve_time = time.time() - t0
