@@ -41,6 +41,12 @@ class IPMOptions:
     reg_dual: float = 1e-10  # relative dual regularization (on M diagonal)
     free_var_cap: float = 1e10  # cap on D entries for free variables
     refine_steps: int = 1  # iterative refinement on each Newton solve
+    # "cholesky" (dense, default) or "cg" — Jacobi-preconditioned conjugate
+    # gradient on the normal equations WITHOUT materializing G D G'. The
+    # matrix-free path is the PDCO capability (reference: ClpPdco + ClpLsqr,
+    # ClpLsqr.cpp:8) rebuilt on jax.scipy CG; use for huge/memory-bound LPs.
+    linear_solver: str = "cholesky"
+    cg_maxiter: int = 200
 
 
 @jax.tree_util.register_dataclass
@@ -157,11 +163,39 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         wt = jnp.where(hu, w / t, 0.0)
         dinv = zg + wt + opts.reg_primal * (1.0 + jnp.abs(c))
 
-        if Q is None:
+        if Q is None and opts.linear_solver == "cg":
+            # matrix-free normal equations: Mv = G(d*(G'v)) + reg*v
+            d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+            reg = opts.reg_dual + 1e-12
+            diag_m = (G * G) @ d + reg
+
+            def matvec(v):
+                return G @ (d * (G.T @ v)) + reg * v
+
+            def nsolve(rhs):
+                sol, _ = jax.scipy.sparse.linalg.cg(
+                    matvec,
+                    rhs,
+                    M=lambda r: r / diag_m,
+                    tol=1e-12,
+                    maxiter=opts.cg_maxiter,
+                )
+                return sol
+
+            def hsolve(r):
+                return d * r if r.ndim == 1 else d[:, None] * r
+
+        elif Q is None:
             d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
             Gd = G * d  # (m, nt) row-scaled by columns
             M = Gd @ G.T
             L, _ = chol_factor_reg(M, base_reg=opts.reg_dual)
+
+            def nsolve(rhs):
+                dy = chol_solve(L, rhs)
+                for _ in range(opts.refine_steps):
+                    dy = dy + chol_solve(L, rhs - M @ dy)
+                return dy
 
             def hsolve(r):  # (Q + D^-1)^{-1} r for the LP case: just d * r
                 return d * r if r.ndim == 1 else d[:, None] * r
@@ -180,14 +214,16 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
             M = G @ W
             L, _ = chol_factor_reg(M, base_reg=opts.reg_dual)
 
+            def nsolve(rhs):
+                dy = chol_solve(L, rhs)
+                for _ in range(opts.refine_steps):
+                    dy = dy + chol_solve(L, rhs - M @ dy)
+                return dy
+
         def newton(rgz, rtw):
             h = rc - jnp.where(hl, rgz / g, 0.0) + jnp.where(hu, rtw / t, 0.0)
             rhs = rb + G @ hsolve(h)
-            dy = chol_solve(L, rhs)
-            if opts.refine_steps:
-                for _ in range(opts.refine_steps):
-                    r = rhs - M @ dy
-                    dy = dy + chol_solve(L, r)
+            dy = nsolve(rhs)
             dx = hsolve(G.T @ dy - h)
             dz = jnp.where(hl, (rgz - z * dx) / g, 0.0)
             dw = jnp.where(hu, (rtw + w * dx) / t, 0.0)

@@ -101,20 +101,51 @@ def _warm_state(lp, opts: SimplexOptions, warm: Solution, n: int, m: int) -> Sim
         for i in range(m):
             vstat[n + i] = _VS_TO_ENGINE.get(int(warm.row_status[i]), BASIC)
     elif warm.primal is not None:
-        # crossover-slam from an interior point: park each structural at its
-        # nearest bound, slacks basic (values-pass analogue of
-        # ClpSolve.cpp:3585+ crossover; proper basis crossover comes later)
-        x = np.asarray(warm.primal)
-        for j in range(n):
-            dl = x[j] - l[j] if np.isfinite(l[j]) else np.inf
-            du = u[j] - x[j] if np.isfinite(u[j]) else np.inf
-            if dl <= du and np.isfinite(l[j]):
-                vstat[j] = AT_LOWER
-            elif np.isfinite(u[j]):
-                vstat[j] = AT_UPPER
+        # crossover from an interior point (ClpSolve.cpp:3585+ equivalent):
+        # pick the most-interior variables as basis candidates and select m
+        # independent columns by pivoted QR; everything else parks at its
+        # nearest bound. The dual simplex then only repairs the few
+        # fractional leftovers instead of walking in from an all-slack basis.
+        x_struct = np.asarray(warm.primal)
+        G = np.asarray(lp.G)
+        x = np.concatenate([x_struct, np.asarray(G[:, :n] @ x_struct)])[:nt] \
+            if warm.row_activity is None else np.concatenate(
+                [x_struct, np.asarray(warm.row_activity)]
+            )
+        dist_lo = np.where(np.isfinite(l), x - l, np.inf)
+        dist_up = np.where(np.isfinite(u), u - x, np.inf)
+        interior = np.minimum(dist_lo, dist_up)  # inf for free vars
+        order = np.argsort(-np.minimum(interior, 1e20))
+        # candidate pool: clearly-interior variables first, then slacks
+        pool = order[: min(nt, 4 * m)]
+        try:
+            import scipy.linalg as _sla
+
+            _, _, piv = _sla.qr(G[:, pool], pivoting=True, mode="economic")
+            rank_cols = [int(pool[p]) for p in piv[:m]]
+        except Exception:
+            rank_cols = list(range(n, nt))  # fall back to slack basis
+        chosen = set()
+        for j in rank_cols:
+            if len(chosen) < m:
+                chosen.add(j)
+        # top up with slacks if QR returned dependent picks
+        for i in range(m):
+            if len(chosen) >= m:
+                break
+            chosen.add(n + i)
+        for j in range(nt):
+            if j in chosen:
+                vstat[j] = BASIC
             else:
-                vstat[j] = FREE
-        vstat[n:] = BASIC
+                dl = x[j] - l[j] if np.isfinite(l[j]) else np.inf
+                du = u[j] - x[j] if np.isfinite(u[j]) else np.inf
+                if dl <= du and np.isfinite(l[j]):
+                    vstat[j] = AT_LOWER
+                elif np.isfinite(u[j]):
+                    vstat[j] = AT_UPPER
+                else:
+                    vstat[j] = FREE
     else:
         vstat[n:] = BASIC
     # fixed variables always nonbasic at the bound

@@ -229,8 +229,9 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             and sol.status in (ProblemStatus.OPTIMAL, ProblemStatus.STOPPED)
         ):
             # crossover: finish with a simplex from the interior solution
-            # (reference: ClpSolve.cpp:3585-3786 values-pass cleanup)
-            sol = _solve_simplex(work, options, dual=False, warm=sol)
+            # (reference: ClpSolve.cpp:3585-3786 values-pass cleanup);
+            # dual finish — the IPM's duals are near-feasible
+            sol = _solve_simplex(work, options, dual=True, warm=sol)
     elif method == SolveMethod.DUAL_SIMPLEX:
         sol = _solve_simplex(work, options, dual=True)
     elif method in (SolveMethod.PRIMAL_SIMPLEX, SolveMethod.PRIMAL_IDIOT):

@@ -116,3 +116,16 @@ def test_maximize():
     assert abs(sol.objective_value - 4.0) < 1e-5
     rep = check_kkt(model)
     assert rep.ok, str(rep)
+
+
+def test_cg_mode_matches_cholesky():
+    """Matrix-free CG normal equations (PDCO capability) == dense path."""
+    from clp_tpu.forms import to_ipm_form
+    from clp_tpu.interior.mehrotra import IPMOptions, ipm_solve_jit
+
+    model = random_lp(20, 35, seed=8)
+    lp, _ = to_ipm_form(model)
+    r1 = ipm_solve_jit(lp, IPMOptions())
+    r2 = ipm_solve_jit(lp, IPMOptions(linear_solver="cg"))
+    assert bool(r1.converged) and bool(r2.converged)
+    assert abs(float(r1.pobj) - float(r2.pobj)) < 1e-7 * (1 + abs(float(r1.pobj)))
