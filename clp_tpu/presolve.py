@@ -59,6 +59,26 @@ class _RedundantRows:
 
 
 @dataclasses.dataclass
+class _Doubleton:
+    """Equality row a*x_j + b*x_k = rhs: x_j substituted out.
+
+    Frame note: `row` and columns refer to the model state just before THIS
+    substitution (one record per eliminated variable).
+    """
+
+    row: int
+    col_out: int  # j, eliminated
+    col_keep: int  # k (index in the pre-substitution frame)
+    a: float
+    b: float
+    rhs: float
+    c_out: float  # objective coefficient of x_j before elimination
+    col_j: object  # sparse column A[:, j] (pre-frame, row `row` removed)
+    old_keep_lower: float
+    old_keep_upper: float
+
+
+@dataclasses.dataclass
 class PresolveInfo:
     status: ProblemStatus = ProblemStatus.UNKNOWN
     tape: list = dataclasses.field(default_factory=list)
@@ -222,6 +242,97 @@ def _redundant_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
     return True
 
 
+def _doubleton_rows(model: Model, tape: list, tol: float, limit: int = 200) -> Optional[bool]:
+    """Substitute out one variable per 2-entry EQUALITY row.
+
+    a*x_j + b*x_k = rhs  =>  x_j = (rhs - b*x_k)/a; x_j's bounds fold onto
+    x_k; column j merges into column k. Processes up to `limit` rows per
+    pass, one at a time (each substitution changes the frame).
+    """
+    changed = False
+    for _ in range(limit):
+        Ar = model.matrix.tocsr()
+        counts = np.diff(Ar.indptr)
+        eq = (model.row_lower == model.row_upper) & (counts == 2)
+        rows = np.flatnonzero(eq)
+        if rows.size == 0:
+            return changed
+        i = int(rows[0])
+        p = Ar.indptr[i]
+        j, k = int(Ar.indices[p]), int(Ar.indices[p + 1])
+        a, b = float(Ar.data[p]), float(Ar.data[p + 1])
+        # eliminate the variable with the larger |coef| for stability
+        if abs(a) < abs(b):
+            j, k = k, j
+            a, b = b, a
+        if abs(a) < 1e-12:
+            return changed  # degenerate coefficient; leave to the solver
+        rhs = float(model.row_lower[i])
+
+        # fold x_j's bounds onto x_k: x_j = (rhs - b*x_k)/a in [l_j, u_j]
+        l_j, u_j = model.col_lower[j], model.col_upper[j]
+        cands = []
+        for bound in (l_j, u_j):
+            if -INF < bound < INF:
+                cands.append((rhs - a * bound) / b)
+        if abs(b) > 1e-12 and cands:
+            lo_i, up_i = min(cands), max(cands)
+            if not (np.isfinite(l_j) and np.isfinite(u_j)):
+                # one-sided: only one implied bound applies
+                if np.isfinite(l_j) != np.isfinite(u_j):
+                    implied = cands[0]
+                    sign = (b / a > 0)
+                    # x_j >= l_j <=> x_k <= (rhs - a l_j)/b when b/a > 0
+                    if np.isfinite(l_j):
+                        lo_i, up_i = (-INF, implied) if sign else (implied, INF)
+                    else:
+                        lo_i, up_i = (implied, INF) if sign else (-INF, implied)
+        else:
+            lo_i, up_i = -INF, INF
+
+        old_kl, old_ku = float(model.col_lower[k]), float(model.col_upper[k])
+        new_kl = max(old_kl, lo_i)
+        new_ku = min(old_ku, up_i)
+        if new_kl > new_ku + tol * (1 + abs(new_kl)):
+            return None  # infeasible
+
+        A = model.matrix.tocsc()
+        col_j = A[:, j].copy()
+        keep_rows = np.setdiff1d(np.arange(model.num_rows), [i])
+        col_j_reduced = col_j[keep_rows]
+        tape.append(
+            _Doubleton(
+                row=i, col_out=j, col_keep=k, a=a, b=b, rhs=rhs,
+                c_out=float(model.objective[j]),
+                col_j=col_j_reduced,
+                old_keep_lower=old_kl, old_keep_upper=old_ku,
+            )
+        )
+
+        # substitution: A[:,k] += A[:,j]*(-b/a); row-bound shift by A[:,j]*rhs/a
+        shift = np.asarray((col_j * (rhs / a)).todense()).ravel()
+        Anew = A.tolil()
+        colk = np.asarray(A[:, k].todense()).ravel()
+        colj = np.asarray(col_j.todense()).ravel()
+        newk = colk - colj * (b / a)
+        for r in range(model.num_rows):
+            Anew[r, k] = newk[r]
+        model._A = Anew.tocsc()
+        model.objective = model.objective.copy()
+        model.objective[k] -= model.objective[j] * (b / a)
+        model.objective_offset += model.objective[j] * (rhs / a)
+        model.row_lower = np.where(model.row_lower > -INF, model.row_lower - shift, model.row_lower)
+        model.row_upper = np.where(model.row_upper < INF, model.row_upper - shift, model.row_upper)
+        model.col_lower = model.col_lower.copy()
+        model.col_upper = model.col_upper.copy()
+        model.col_lower[k] = new_kl
+        model.col_upper[k] = new_ku
+        model.delete_columns([j])
+        model.delete_rows([i])
+        changed = True
+    return changed
+
+
 def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInfo]:
     """Return (reduced model, tape info). The input model is untouched."""
     info = PresolveInfo(original=model)
@@ -257,6 +368,12 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
             changed |= r
         if options.forcing:
             r = _redundant_rows(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.PRIMAL_INFEASIBLE
+                return work, info
+            changed |= r
+        if options.doubleton:
+            r = _doubleton_rows(work, info.tape, tol)
             if r is None:
                 info.status = ProblemStatus.PRIMAL_INFEASIBLE
                 return work, info
@@ -317,6 +434,39 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 cs[keep] = cstat
                 cs[rec.idx] = int(VariableStatus.FIXED)
                 cstat = cs
+        elif isinstance(rec, _Doubleton):
+            # current frame: col j and row i are absent
+            j, k_pre, i = rec.col_out, rec.col_keep, rec.row
+            k_cur = k_pre - (1 if k_pre > j else 0)
+            xk = x[k_cur]
+            xj = (rec.rhs - rec.b * xk) / rec.a
+            # reinsert column j
+            n_before = x.size + 1
+            keepc = np.setdiff1d(np.arange(n_before), [j])
+            xs = np.empty(n_before)
+            xs[keepc] = x
+            xs[j] = xj
+            x = xs
+            # reinsert row i with the dual that zeroes dj_j
+            m_before = (0 if y is None else y.size) + 1
+            keepr = np.setdiff1d(np.arange(m_before), [i])
+            ys = np.zeros(m_before)
+            if y is not None:
+                ys[keepr] = y
+            colj_dot = float(rec.col_j.T.dot(ys[keepr])[0]) if y is not None else 0.0
+            ys[i] = (rec.c_out - colj_dot) / rec.a
+            y = ys
+            dj = None  # recomputed wholesale at the end
+            if cstat is not None:
+                cs = np.empty(n_before, dtype=cstat.dtype)
+                cs[keepc] = cstat
+                cs[j] = int(VariableStatus.BASIC)
+                cstat = cs
+            if rstat is not None:
+                rs = np.empty(m_before, dtype=rstat.dtype)
+                rs[keepr] = rstat
+                rs[i] = int(VariableStatus.FIXED)
+                rstat = rs
         elif isinstance(rec, (_EmptyRows, _RedundantRows)):
             m_after = 0 if y is None else y.size
             m_before = m_after + rec.idx.size

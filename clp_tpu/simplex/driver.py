@@ -180,6 +180,15 @@ def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
     }
     col_status = np.array([_ENGINE_TO_VS[int(s)] for s in vstat[:n]], dtype=np.int8)
     row_status = np.array([_ENGINE_TO_VS[int(s)] for s in vstat[n:]], dtype=np.int8)
+
+    # certificate rays (reference: ClpModel::infeasibilityRay/unboundedRay,
+    # ClpModel.hpp:875-899), reconstructed from the final state
+    infeas_ray = None
+    unbounded_ray = None
+    if engine_status == engine.PRIMAL_INFEASIBLE:
+        infeas_ray = _farkas_ray(lp, state, sense)
+    elif engine_status == engine.DUAL_INFEASIBLE:
+        unbounded_ray = _primal_ray(lp, state, n)
     return Solution(
         status=status_map[engine_status],
         objective_value=obj,
@@ -190,7 +199,72 @@ def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
         iterations=int(state.iterations),
         column_status=col_status,
         row_status=row_status,
+        infeasibility_ray=infeas_ray,
+        unbounded_ray=unbounded_ray,
     )
+
+
+def _farkas_ray(lp, state: SimplexState, sense: float) -> Optional[np.ndarray]:
+    """Dual (Farkas) ray from the most-infeasible basic's BTRAN row.
+
+    At dual termination with an infeasible basic row r and no eligible
+    entering column, sigma * Binv[r,:] certifies infeasibility.
+    """
+    G = np.asarray(lp.G)
+    l = np.asarray(lp.l)
+    u = np.asarray(lp.u)
+    basis = np.asarray(state.basis)
+    xb = np.asarray(state.xb)
+    lb, ub = l[basis], u[basis]
+    below = lb - xb
+    above = xb - ub
+    infeas = np.maximum(np.maximum(below, above), 0.0)
+    if infeas.max(initial=0.0) <= 0:
+        return None
+    r = int(np.argmax(infeas))
+    sigma = 1.0 if above[r] > below[r] else -1.0
+    rho = sigma * np.asarray(state.binv)[r, :]
+    return rho * sense
+
+
+def _primal_ray(lp, state: SimplexState, n: int) -> Optional[np.ndarray]:
+    """Unbounded primal direction: entering column with no blocking basic."""
+    G = np.asarray(lp.G)
+    l = np.asarray(lp.l)
+    u = np.asarray(lp.u)
+    vstat = np.asarray(state.vstat)
+    dj = np.asarray(state.dj)
+    binv = np.asarray(state.binv)
+    basis = np.asarray(state.basis)
+    lb, ub = l[basis], u[basis]
+    nt = G.shape[1]
+    cand = [
+        (abs(dj[j]), j)
+        for j in range(nt)
+        if vstat[j] != BASIC
+        and l[j] != u[j]
+        and (
+            (vstat[j] == AT_LOWER and dj[j] < -1e-9)
+            or (vstat[j] == AT_UPPER and dj[j] > 1e-9)
+            or (vstat[j] == FREE and abs(dj[j]) > 1e-9)
+        )
+    ]
+    for _, q in sorted(cand, reverse=True):
+        direction = -1.0 if (vstat[q] == AT_UPPER or (vstat[q] == FREE and dj[q] > 0)) else 1.0
+        abar = binv @ G[:, q]
+        d = direction * abar
+        blocked = np.any((d > 1e-9) & np.isfinite(lb)) or np.any(
+            (d < -1e-9) & np.isfinite(ub)
+        )
+        if not blocked and (not np.isfinite(u[q] if direction > 0 else l[q])):
+            ray = np.zeros(n)
+            if q < n:
+                ray[q] = direction
+            for i, b in enumerate(basis):
+                if b < n:
+                    ray[b] = -d[i]
+            return ray
+    return None
 
 
 def _fake_bound_mask(lp, state: SimplexState) -> np.ndarray:

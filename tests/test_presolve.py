@@ -90,3 +90,41 @@ def test_postsolve_duals_consistent():
     assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
     rep = check_kkt(model)
     assert rep.ok, str(rep)
+
+
+def test_doubleton_substitution():
+    """Equality doubleton rows get substituted; solution matches & KKT holds."""
+    rng = np.random.default_rng(11)
+    base = random_lp(8, 12, seed=11)
+    # append doubleton equality rows: x0 + 2 x1 = 1.5, 3 x2 - x3 = 0.4
+    n = base.num_cols
+    r1 = np.zeros((1, n)); r1[0, 0] = 1.0; r1[0, 1] = 2.0
+    r2 = np.zeros((1, n)); r2[0, 2] = 3.0; r2[0, 3] = -1.0
+    base.add_rows(sp.csc_matrix(np.vstack([r1, r2])), lower=[1.5, 0.4], upper=[1.5, 0.4])
+
+    m_on = base.copy()
+    m_off = base.copy()
+    o_on = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o_off.presolve.enabled = False
+    s_on = m_on.initial_solve(o_on)
+    s_off = m_off.initial_solve(o_off)
+    assert s_on.status == s_off.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-6 * (
+        1 + abs(s_off.objective_value)
+    )
+    rep = check_kkt(m_on)
+    assert rep.ok, str(rep)
+
+
+def test_doubleton_shrinks():
+    from clp_tpu.presolve import presolve
+    from clp_tpu.options import PresolveOptions
+
+    base = random_lp(6, 10, seed=12)
+    n = base.num_cols
+    r1 = np.zeros((1, n)); r1[0, 0] = 1.0; r1[0, 5] = -2.0
+    base.add_rows(sp.csc_matrix(r1), lower=[0.25], upper=[0.25])
+    red, info = presolve(base, PresolveOptions())
+    assert red.num_cols <= base.num_cols - 1
+    assert red.num_rows <= base.num_rows - 1

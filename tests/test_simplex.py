@@ -124,3 +124,38 @@ def test_bounded_ranges():
     sol = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
     assert sol.status == ProblemStatus.OPTIMAL
     assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
+
+
+def test_infeasibility_ray():
+    """Farkas certificate: ray'A x bounded away from feasible rhs combination."""
+    model = infeasible_lp()
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
+    ray = sol.infeasibility_ray
+    assert ray is not None and ray.shape == (model.num_rows,)
+    # Farkas: y'A <= 0 (for x >= 0) while y' applied to the bound system is
+    # strictly positive — check the aggregated constraint is unsatisfiable:
+    # for each variable, coefficient sign must make the combo impossible.
+    combo = model.matrix.T @ ray  # n-vector
+    # with x >= 0 and combo_j <= eps, lhs y'(Ax) <= 0; need rhs combo > 0
+    import numpy as np
+    rl = np.where(model.row_lower <= -clp_tpu.INF, 0.0, model.row_lower)
+    ru = np.where(model.row_upper >= clp_tpu.INF, 0.0, model.row_upper)
+    rhs = float(np.sum(np.where(ray > 0, ray * rl, ray * ru)))
+    assert np.all(combo <= 1e-6) and rhs > 1e-6, (combo, rhs)
+
+
+def test_unbounded_ray():
+    model = unbounded_lp()
+    sol = model.initial_solve(_no_presolve(method=SolveMethod.PRIMAL_SIMPLEX))
+    assert sol.status == ProblemStatus.DUAL_INFEASIBLE
+    ray = sol.unbounded_ray
+    assert ray is not None and ray.shape == (model.num_cols,)
+    import numpy as np
+    # ray is a recession direction improving the objective
+    sense = model.optimization_direction or 1.0
+    assert float(model.objective @ ray) * sense < -1e-9
+    act = model.matrix @ ray
+    ok_up = (act <= 1e-9) | (model.row_upper >= clp_tpu.INF)
+    ok_lo = (act >= -1e-9) | (model.row_lower <= -clp_tpu.INF)
+    assert np.all(ok_up & ok_lo)
