@@ -217,10 +217,29 @@ class CLI:
                 rc = self.do_batch(files)
             elif al in ("help", "?"):
                 print(HELP)
+            elif al == "params":
+                from .params import help_text
+
+                print(help_text())
             elif al in ("exit", "quit", "end", "stop"):
                 return rc
             else:
-                print(f"Unknown parameter {a} (try -help)")
+                # typed parameter registry with Clp-style prefix matching
+                from .params import apply as apply_param, lookup
+
+                p = lookup(al)
+                if p is not None and p.setter is not None:
+                    i += 1
+                    if i >= len(args):
+                        print(f"** missing value for {a}")
+                        return 1
+                    try:
+                        apply_param(self, al, args[i])
+                    except (TypeError, ValueError) as e:
+                        print(f"** bad value for {a}: {e}")
+                        return 1
+                else:
+                    print(f"Unknown parameter {a} (try -help or -params)")
             i += 1
         return rc
 

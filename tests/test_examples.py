@@ -1,0 +1,39 @@
+"""Examples run as smoke tests (reference pattern: examples/ are buildable
+drivers exercised by CI, SURVEY.md §4.4)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+ALL = [
+    "minimum.py",
+    "driver.py",
+    "defaults.py",
+    "test_barrier.py",
+    "test_qp.py",
+    "parametrics_example.py",
+    "batched_scenarios.py",
+]
+
+
+def _env():
+    env = dict(os.environ)
+    env["CLPTPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+    return env
+
+
+@pytest.mark.parametrize("script", ALL)
+def test_example_runs(script):
+    r = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, script)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=_env(),
+        cwd=os.path.join(EXAMPLES, ".."),
+    )
+    assert r.returncode == 0, (script, r.stdout[-500:], r.stderr[-2000:])
