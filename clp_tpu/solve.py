@@ -64,6 +64,8 @@ def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
         return SolveMethod.BARRIER_NO_CROSS
     if m == 0 or n == 0:
         return SolveMethod.DUAL_SIMPLEX
+    if n > 6 * m and n > 2000:
+        return SolveMethod.SPRINT  # wide LPs: column-subset working sets
     return SolveMethod.BARRIER
 
 
