@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .constants import INF, ProblemStatus, SolveMethod
+from .constants import INF, ProblemStatus, SolveMethod, VariableStatus
 from .model import Model, Solution
 from .options import SolveOptions
 
@@ -71,6 +71,89 @@ def solve_from_hot_start(
     finally:
         model.col_lower = saved_l
         model.col_upper = saved_u
+
+
+def crunch_solve(
+    model: Model,
+    warm: Solution,
+    options: Optional[SolveOptions] = None,
+    slack_margin: float = 1e-4,
+    max_rounds: int = 4,
+) -> Solution:
+    """Row-subset fast re-solve (ClpSimplexOther::crunch, :2312 afterCrunch).
+
+    Keeps rows that look binding at the warm solution (nonbasic slack or
+    activity near a bound) plus all equality rows; solves the reduced LP
+    warm; re-adds any dropped row the solution violates and repeats. Dropped
+    rows return with zero dual and a basic slack.
+    """
+    from .simplex.driver import simplex_solve
+
+    options = options or SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    options.presolve.enabled = False
+    m = model.num_rows
+    act = np.asarray(warm.row_activity) if warm.row_activity is not None else None
+    rl, ru = model.row_lower, model.row_upper
+    keep = np.zeros(m, dtype=bool)
+    keep |= rl == ru  # equalities always stay
+    if warm.row_status is not None:
+        keep |= np.asarray(warm.row_status) != int(VariableStatus.BASIC)
+    if act is not None:
+        scale = 1.0 + np.abs(act)
+        keep |= (rl > -INF) & (act - rl <= slack_margin * scale)
+        keep |= (ru < INF) & (ru - act <= slack_margin * scale)
+
+    for _ in range(max_rounds):
+        idx = np.flatnonzero(keep)
+        sub = Model()
+        sub.load_problem(
+            model.matrix.tocsr()[idx, :].tocsc(),
+            col_lower=model.col_lower,
+            col_upper=model.col_upper,
+            objective=model.objective,
+            row_lower=rl[idx],
+            row_upper=ru[idx],
+        )
+        sub.optimization_direction = model.optimization_direction
+        w = Solution(
+            column_status=warm.column_status,
+            row_status=None
+            if warm.row_status is None
+            else np.asarray(warm.row_status)[idx],
+        ) if warm.column_status is not None else None
+        sol = simplex_solve(sub, options, dual=True, warm=w)
+        if sol.status != ProblemStatus.OPTIMAL:
+            break
+        x = np.asarray(sol.primal)
+        full_act = model.matrix @ x
+        tol = model.primal_tolerance * (1.0 + np.abs(full_act))
+        viol = (~keep) & (
+            ((rl > -INF) & (full_act < rl - tol))
+            | ((ru < INF) & (full_act > ru + tol))
+        )
+        if not viol.any():
+            # expand to the full frame
+            y = np.zeros(m)
+            y[idx] = np.asarray(sol.duals)
+            rstat = np.full(m, int(VariableStatus.BASIC), dtype=np.int8)
+            if sol.row_status is not None:
+                rstat[idx] = sol.row_status
+            out = Solution(
+                status=ProblemStatus.OPTIMAL,
+                objective_value=sol.objective_value,
+                primal=x,
+                duals=y,
+                reduced_costs=model.objective - model.matrix.T @ y,
+                row_activity=full_act,
+                iterations=sol.iterations,
+                column_status=sol.column_status,
+                row_status=rstat,
+            )
+            model.solution = out
+            return out
+        keep |= viol
+    # fall back to the full solve
+    return simplex_solve(model, options, dual=True, warm=warm)
 
 
 @dataclasses.dataclass

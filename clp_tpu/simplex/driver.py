@@ -315,6 +315,8 @@ def simplex_solve(
             dual_bound=dual_bound,
             refactor_frequency=options.refactor_frequency,
             max_iterations=max_iter,
+            dual_pivot="dantzig" if options.dual_pivot == "dantzig" else "steepest",
+            primal_pivot="dantzig" if options.primal_pivot == "dantzig" else "devex",
         )
 
     opts = make_opts(DUAL_BOUND_DEFAULT)

@@ -56,6 +56,10 @@ class SimplexOptions:
     max_iterations: int = 200000
     # perturbation magnitude applied by the driver (0 = off)
     perturbation: float = 0.0
+    # pivot rules (reference: pluggable strategy classes ClpDualRowSteepest /
+    # ClpPrimalColumnSteepest etc. — here a static branch in the kernel)
+    dual_pivot: str = "steepest"  # "steepest" | "dantzig"
+    primal_pivot: str = "devex"  # "devex" | "dantzig"
 
 
 @jax.tree_util.register_dataclass
@@ -133,8 +137,13 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     infeas = jnp.maximum(jnp.maximum(below, above), 0.0)
     cand = infeas > ptol
 
-    # --- dual steepest edge row choice (ClpDualRowSteepest) ---
-    score = jnp.where(cand, infeas * infeas / jnp.maximum(state.weights, 1e-50), -jnp.inf)
+    # --- row choice: steepest edge (ClpDualRowSteepest) or Dantzig ---
+    if opts.dual_pivot == "dantzig":
+        score = jnp.where(cand, infeas, -jnp.inf)
+    else:
+        score = jnp.where(
+            cand, infeas * infeas / jnp.maximum(state.weights, 1e-50), -jnp.inf
+        )
     r = jnp.argmax(score)
     any_infeas = jnp.any(cand)
     sigma = jnp.where(above[r] > below[r], 1.0, -1.0)  # +1: leaves at upper
@@ -274,10 +283,13 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
         | (at_fr & (jnp.abs(dj_used) > dtol))
     ) & ~fixed
 
-    # --- Dantzig/devex pricing (ClpPrimalColumnSteepest modes) ---
-    score = jnp.where(
-        elig, dj_used * dj_used / jnp.maximum(state.wcol, 1e-50), -jnp.inf
-    )
+    # --- column choice: devex (ClpPrimalColumnSteepest modes) or Dantzig ---
+    if opts.primal_pivot == "dantzig":
+        score = jnp.where(elig, jnp.abs(dj_used), -jnp.inf)
+    else:
+        score = jnp.where(
+            elig, dj_used * dj_used / jnp.maximum(state.wcol, 1e-50), -jnp.inf
+        )
     q = jnp.argmax(score)
     any_elig = jnp.any(elig)
 

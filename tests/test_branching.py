@@ -69,3 +69,25 @@ def test_strong_branch_batched():
             assert abs(r.objective - (-ref.fun)) < 1e-7 * (1 + abs(ref.fun))
         elif r.status == ProblemStatus.PRIMAL_INFEASIBLE:
             assert ref.status == 2
+
+
+def test_crunch_resolve():
+    """Crunch after a bound change matches a full re-solve."""
+    from clp_tpu.branching import crunch_solve
+    from clp_tpu.utils.generators import random_lp
+    from tests.test_mps import _linprog
+
+    model = random_lp(30, 45, seed=9)
+    sol = _solve(model)
+    assert sol.status == ProblemStatus.OPTIMAL
+    # change a bound and crunch-resolve
+    m2 = model.copy()
+    m2.col_upper = m2.col_upper.copy()
+    m2.col_upper[0] = max(m2.col_lower[0], sol.primal[0] * 0.5)
+    s2 = crunch_solve(m2, sol)
+    ref = _linprog(m2)
+    assert s2.status == ProblemStatus.OPTIMAL
+    assert abs(s2.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    from clp_tpu import check_kkt
+
+    assert check_kkt(m2, x=s2.primal, y=s2.duals).ok

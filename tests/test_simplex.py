@@ -159,3 +159,16 @@ def test_unbounded_ray():
     ok_up = (act <= 1e-9) | (model.row_upper >= clp_tpu.INF)
     ok_lo = (act >= -1e-9) | (model.row_lower <= -clp_tpu.INF)
     assert np.all(ok_up & ok_lo)
+
+
+@pytest.mark.parametrize("rule", ["dantzig", "steepest"])
+def test_pivot_rule_options(rule):
+    """Both pivot rules reach the same optimum (strategy-sweep pattern)."""
+    model = random_lp(10, 16, seed=13)
+    ref = _linprog(model)
+    o = _no_presolve(method=SolveMethod.DUAL_SIMPLEX)
+    o.dual_pivot = rule
+    o.primal_pivot = "dantzig" if rule == "dantzig" else "devex"
+    sol = model.initial_solve(o)
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
