@@ -67,6 +67,9 @@ class Solution:
     infeasibility_ray: Optional[np.ndarray] = None
     unbounded_ray: Optional[np.ndarray] = None
     solve_time: float = 0.0
+    # per-phase wall timings (reference: CLP_INTERVAL_TIMING messages,
+    # ClpSolve.cpp:858-866) — keys like presolve/scaling/solve/postsolve
+    timings: dict = dataclasses.field(default_factory=dict)
 
 
 class Model:

@@ -1,0 +1,157 @@
+"""Osi-shaped solver interface adapter.
+
+Mirrors the method surface Cbc consumes from OsiClpSolverInterface
+(src/OsiClp/OsiClpSolverInterface.hpp: initialSolve/resolve :72/:974,
+markHotStart/solveFromHotStart :321-325, standard Osi accessors) so a
+branch-and-bound framework written against Osi conventions can drive this
+solver with a mechanical rename. Names intentionally keep Osi's camelCase.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .branching import HotStart, mark_hot_start, solve_from_hot_start
+from .constants import INF, ProblemStatus, SolveMethod
+from .model import Model, Solution
+from .options import SolveOptions
+
+
+class OsiClpTpuSolverInterface:
+    def __init__(self, model: Optional[Model] = None):
+        self.model = model or Model()
+        self.options = SolveOptions()
+        self._hot: Optional[HotStart] = None
+
+    # --- problem building ---
+    def loadProblem(self, matrix, collb, colub, obj, rowlb, rowub):
+        self.model.load_problem(matrix, collb, colub, obj, rowlb, rowub)
+
+    def readMps(self, filename: str) -> int:
+        return self.model.read_mps(filename)
+
+    def writeMps(self, filename: str) -> int:
+        return self.model.write_mps(filename)
+
+    def setObjSense(self, sense: float) -> None:
+        self.model.optimization_direction = sense
+
+    def getObjSense(self) -> float:
+        return self.model.optimization_direction
+
+    def addRow(self, row, lb: float, ub: float) -> None:
+        self.model.add_rows(row, [lb], [ub])
+
+    def addCol(self, col, lb: float, ub: float, obj: float) -> None:
+        self.model.add_columns(col, [lb], [ub], [obj])
+
+    def setColBounds(self, j: int, lb: float, ub: float) -> None:
+        self.model.col_lower = self.model.col_lower.copy()
+        self.model.col_upper = self.model.col_upper.copy()
+        self.model.col_lower[j] = lb
+        self.model.col_upper[j] = ub
+
+    def setInteger(self, j: int) -> None:
+        self.model.set_integer(j)
+
+    # --- solves ---
+    def initialSolve(self) -> None:
+        self.model.initial_solve(self.options)
+
+    def resolve(self) -> None:
+        """Warm re-solve from the current basis (Osi's dual-first contract)."""
+        from .simplex.driver import simplex_solve
+
+        warm = self.model.solution if self.model.solution.column_status is not None else None
+        o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+        o.presolve.enabled = False
+        self.model.solution = simplex_solve(self.model, o, dual=True, warm=warm)
+
+    def branchAndBound(self, max_nodes: int = 10000):
+        from .mip import fathom
+
+        res = fathom(self.model, max_nodes=max_nodes)
+        self.model.solution = Solution(
+            status=res.status,
+            objective_value=res.objective_value,
+            primal=res.primal,
+            iterations=res.iterations,
+        )
+        return res
+
+    # --- hot starts (strong branching support) ---
+    def markHotStart(self) -> None:
+        self._hot = mark_hot_start(self.model)
+
+    def solveFromHotStart(self) -> None:
+        if self._hot is None:
+            self.resolve()
+            return
+        from .simplex.driver import simplex_solve
+
+        o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX, max_iterations=2000)
+        o.presolve.enabled = False
+        warm = Solution(
+            column_status=self._hot.column_status, row_status=self._hot.row_status
+        )
+        self.model.solution = simplex_solve(self.model, o, dual=True, warm=warm)
+
+    def unmarkHotStart(self) -> None:
+        self._hot = None
+
+    # --- status ---
+    def isProvenOptimal(self) -> bool:
+        return self.model.is_proven_optimal()
+
+    def isProvenPrimalInfeasible(self) -> bool:
+        return self.model.is_proven_primal_infeasible()
+
+    def isProvenDualInfeasible(self) -> bool:
+        return self.model.is_proven_dual_infeasible()
+
+    def isIterationLimitReached(self) -> bool:
+        return self.model.status == ProblemStatus.STOPPED
+
+    # --- accessors ---
+    def getNumRows(self) -> int:
+        return self.model.num_rows
+
+    def getNumCols(self) -> int:
+        return self.model.num_cols
+
+    def getObjValue(self) -> float:
+        return self.model.objective_value()
+
+    def getColSolution(self):
+        return self.model.primal_column_solution()
+
+    def getRowPrice(self):
+        return self.model.dual_row_solution()
+
+    def getReducedCost(self):
+        return self.model.dual_column_solution()
+
+    def getRowActivity(self):
+        return self.model.primal_row_solution()
+
+    def getColLower(self):
+        return self.model.col_lower
+
+    def getColUpper(self):
+        return self.model.col_upper
+
+    def getObjCoefficients(self):
+        return self.model.objective
+
+    def getIterationCount(self) -> int:
+        return self.model.solution.iterations
+
+    # --- warm start objects (CoinWarmStartBasis analogue) ---
+    def getWarmStart(self):
+        return self.model.get_basis_status()
+
+    def setWarmStart(self, warm) -> None:
+        cs, rs = warm
+        self.model.set_basis_status(cs, rs)

@@ -175,7 +175,9 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         from .presolve import presolve as run_presolve
 
         _fire(model, Event.PRESOLVE_START)
+        t_phase = time.time()
         presolved, pinfo = run_presolve(model, options.presolve)
+        timings = {"presolve": time.time() - t_phase}
         _fire(
             model,
             Event.PRESOLVE_END,
@@ -192,10 +194,13 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             return sol
         work = presolved
 
+    if presolved is None:
+        timings = {}
     method = options.method
     if method == SolveMethod.AUTOMATIC:
         method = _auto_method(work, options)
 
+    t_phase = time.time()
     # --- scaling (reference: ClpModel::scaling modes, applied pre-solve) ---
     factors = None
     from .constants import ScalingMode
@@ -221,6 +226,8 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             unscaled_work = work
             work = scaled
 
+    timings["scaling"] = time.time() - t_phase
+    t_phase = time.time()
     if work.num_cols == 0 or work.num_rows == 0:
         sol = _empty_solution(work)
     elif method in (SolveMethod.BARRIER, SolveMethod.BARRIER_NO_CROSS):
@@ -254,6 +261,8 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     else:
         raise NotImplementedError(f"method {method}")
 
+    timings["solve"] = time.time() - t_phase
+    t_phase = time.time()
     # --- unscale ---
     if factors is not None:
         from .scaling import unscale_solution
@@ -289,7 +298,9 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
                 if sol2.status == ProblemStatus.OPTIMAL:
                     sol = sol2
 
+    timings["postsolve"] = time.time() - t_phase
     sol.solve_time = time.time() - t0
+    sol.timings = timings
     model.solution = sol
     _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
     return sol

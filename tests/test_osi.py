@@ -1,0 +1,62 @@
+"""Osi-shaped adapter conformance (OsiClpSolverInterfaceTest pattern)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import clp_tpu
+from clp_tpu import INF
+from clp_tpu.osi import OsiClpTpuSolverInterface
+from clp_tpu.utils.generators import random_lp
+from tests.test_mps import _linprog
+
+
+def test_osi_solve_resolve_cycle():
+    si = OsiClpTpuSolverInterface(random_lp(8, 12, seed=30))
+    si.initialSolve()
+    assert si.isProvenOptimal()
+    obj1 = si.getObjValue()
+    assert si.getColSolution().shape == (12,)
+    assert si.getRowPrice().shape == (8,)
+    # tighten one bound, resolve warm
+    x = si.getColSolution()
+    j = int(np.argmax(x))
+    si.setColBounds(j, si.getColLower()[j], x[j] * 0.5)
+    si.resolve()
+    assert si.isProvenOptimal()
+    ref = _linprog(si.model)
+    assert abs(si.getObjValue() - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+
+
+def test_osi_hot_start():
+    si = OsiClpTpuSolverInterface(random_lp(6, 9, seed=31))
+    si.initialSolve()
+    si.markHotStart()
+    x = si.getColSolution().copy()
+    lo = si.getColLower().copy()
+    up = si.getColUpper().copy()
+    j = int(np.argmax(x))
+    si.setColBounds(j, lo[j], max(lo[j], x[j] * 0.25))
+    si.solveFromHotStart()
+    assert si.isProvenOptimal()
+    ref = _linprog(si.model)
+    assert abs(si.getObjValue() - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    si.unmarkHotStart()
+
+
+def test_osi_branch_and_bound():
+    si = OsiClpTpuSolverInterface()
+    rng = np.random.default_rng(5)
+    n = 6
+    v = rng.uniform(1, 5, n)
+    w = rng.uniform(1, 4, n)
+    si.loadProblem(
+        sp.csc_matrix(w.reshape(1, -1)),
+        np.zeros(n), np.ones(n), v, [-INF], [0.5 * w.sum()],
+    )
+    si.setObjSense(-1.0)
+    for j in range(n):
+        si.setInteger(j)
+    res = si.branchAndBound()
+    assert si.isProvenOptimal()
+    x = si.getColSolution()
+    assert np.abs(x - np.round(x)).max() < 1e-6
