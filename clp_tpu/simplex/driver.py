@@ -121,7 +121,14 @@ def _warm_state(lp, opts: SimplexOptions, warm: Solution, n: int, m: int) -> Sim
         try:
             import scipy.linalg as _sla
 
-            _, _, piv = _sla.qr(G[:, pool], pivoting=True, mode="economic")
+            # column-pivoted QR pivots by norm; normalize each column and
+            # weight by interiority rank so the pivoting follows our
+            # preference except where columns are (near-)dependent
+            Gp = G[:, pool]
+            norms = np.linalg.norm(Gp, axis=0)
+            norms = np.where(norms > 1e-12, norms, 1.0)
+            weights = np.exp(-np.arange(pool.size) / max(m, 1))
+            _, _, piv = _sla.qr(Gp / norms * weights, pivoting=True, mode="economic")
             rank_cols = [int(pool[p]) for p in piv[:m]]
         except Exception:
             rank_cols = list(range(n, nt))  # fall back to slack basis
