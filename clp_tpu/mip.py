@@ -37,8 +37,12 @@ def fathom(
     integrality_tol: float = 1e-6,
     gap_tol: float = 1e-9,
     options: Optional[SolveOptions] = None,
+    max_seconds: Optional[float] = None,
 ) -> FathomResult:
     """Solve the MIP over integer-marked columns by B&B with warm duals."""
+    import time as _time
+
+    deadline = None if max_seconds is None else _time.monotonic() + max_seconds
     if model.integer_mask is None or not model.integer_mask.any():
         raise ValueError("fathom requires integer-marked columns (set_integer)")
     options = options or SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
@@ -60,6 +64,8 @@ def fathom(
 
     work = model.copy()
     while heap and nodes < max_nodes:
+        if deadline is not None and _time.monotonic() > deadline:
+            break
         bound, _, cl, cu, warm = heapq.heappop(heap)
         if bound >= incumbent_obj - gap_tol:
             continue  # pruned by bound

@@ -301,6 +301,15 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     timings["postsolve"] = time.time() - t_phase
     sol.solve_time = time.time() - t0
     sol.timings = timings
+    if options.log_level >= 2:
+        from .events import MessageHandler
+
+        mh = MessageHandler(log_level=options.log_level)
+        mh.message(6, rows=model.num_rows, cols=model.num_cols, elems=model.num_elements)
+        if "presolve" in timings and presolved is not None:
+            mh.message(14, drows=model.num_rows - presolved.num_rows,
+                       dcols=model.num_cols - presolved.num_cols)
+        mh.message(29, status=sol.status.name, time=sol.solve_time)
     model.solution = sol
     _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
     return sol

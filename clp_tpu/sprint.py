@@ -22,6 +22,11 @@ from .options import SolveOptions
 
 
 def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100) -> Solution:
+    import time as _time
+
+    deadline = (
+        None if options.max_seconds is None else _time.monotonic() + options.max_seconds
+    )
     m, n = model.num_rows, model.num_cols
     sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
     A = model.matrix.tocsc()
@@ -48,6 +53,8 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100) -> 
     total_iters = 0
 
     for pass_no in range(max_passes):
+        if deadline is not None and _time.monotonic() > deadline:
+            break
         idx = np.flatnonzero(active)
         k = idx.size
         sub = Model()
