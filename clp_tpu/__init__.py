@@ -30,6 +30,18 @@ _jax.config.update("jax_enable_x64", True)
 # env vars can act; CLPTPU_PLATFORM=cpu forces a backend from user code
 if _os.environ.get("CLPTPU_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["CLPTPU_PLATFORM"])
+# persistent compilation cache: remote TPU compiles cost minutes per shape;
+# caching amortizes them across processes/sessions
+try:
+    _cache_dir = _os.environ.get(
+        "CLPTPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/clp_tpu_jax")
+    )
+    if _cache_dir and _cache_dir != "off":
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # cache is an optimization, never a hard requirement
+    pass
 
 from .constants import (  # noqa: E402,F401
     INF,

@@ -121,6 +121,16 @@ class CLI:
                 print(f"{j:7d} {cn[j]:<16} {v:15.8g} {dj:15.8g}", file=f)
 
     def run_args(self, args: list[str]) -> int:
+        try:
+            return self._run_args(args)
+        except IndexError:
+            print("** missing value for the last parameter (try -help)")
+            return 1
+        except ValueError as e:
+            print(f"** bad parameter value: {e}")
+            return 1
+
+    def _run_args(self, args: list[str]) -> int:
         i = 0
         rc = 0
         while i < len(args):
