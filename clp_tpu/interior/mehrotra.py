@@ -110,7 +110,6 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     n_active = jnp.maximum(jnp.sum(hl) + jnp.sum(hu), 1).astype(dtype)
     bnorm = 1.0 + jnp.max(jnp.abs(b), initial=0.0)
     cnorm = 1.0 + jnp.max(jnp.abs(c), initial=0.0)
-    eye_m = jnp.eye(m, dtype=dtype)
 
     x0, y0, z0, w0 = _starting_point(lp, hl, hu, opts)
 

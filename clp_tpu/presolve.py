@@ -521,6 +521,47 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
     if dj is None or dj.size != model.num_cols:
         dj = model.objective - A.T @ y
     row_act = A @ x
+
+    # certificate rays: extend through the tape with zeros for removed rows
+    # and drop the certificate if the zero-extension is no longer valid
+    # (e.g. the infeasibility involved a singleton-tightened bound)
+    infeas_ray = sol.infeasibility_ray
+    if infeas_ray is not None and infeas_ray.size != model.num_rows:
+        ray = np.asarray(infeas_ray, dtype=np.float64)
+        for rec in reversed(info.tape):
+            if isinstance(rec, (_EmptyRows, _RedundantRows, _SingletonRows)):
+                m_before = ray.size + rec.idx.size
+                keep = np.setdiff1d(np.arange(m_before), rec.idx)
+                rr = np.zeros(m_before)
+                rr[keep] = ray
+                ray = rr
+            elif isinstance(rec, _Doubleton):
+                m_before = ray.size + 1
+                keep = np.setdiff1d(np.arange(m_before), [rec.row])
+                rr = np.zeros(m_before)
+                rr[keep] = ray
+                ray = rr
+        if ray.size == model.num_rows:
+            # Farkas validity on the original data: ray'A has the certifying
+            # sign pattern; keep only if it still certifies
+            combo = A.T @ ray
+            rl = np.where(model.row_lower <= -INF, 0.0, model.row_lower)
+            ru = np.where(model.row_upper >= INF, 0.0, model.row_upper)
+            rhs = float(np.sum(np.where(ray > 0, ray * rl, ray * ru)))
+            cl = model.col_lower
+            cu = model.col_upper
+            lhs_max = float(
+                np.sum(
+                    np.where(combo > 0, combo * np.where(cu < INF, cu, 0.0),
+                             combo * np.where(cl > -INF, cl, 0.0))
+                )
+            )
+            bad = (np.any((combo > 1e-9) & (cu >= INF))
+                   or np.any((combo < -1e-9) & (cl <= -INF))
+                   or lhs_max >= rhs - 1e-9)
+            infeas_ray = None if bad else ray
+        else:
+            infeas_ray = None
     obj = float(model.objective @ x) + model.objective_offset
     if model.quadratic_objective is not None:
         obj += 0.5 * float(x @ (model.quadratic_objective @ x))
@@ -535,6 +576,10 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
         iterations=sol.iterations,
         column_status=cstat,
         row_status=rstat,
+        infeasibility_ray=infeas_ray,
+        unbounded_ray=sol.unbounded_ray
+        if sol.unbounded_ray is not None and sol.unbounded_ray.size == model.num_cols
+        else None,
     )
     model.solution = out
     return out

@@ -25,7 +25,6 @@ from ..constants import (
     INF,
     DUAL_BOUND_DEFAULT,
     ProblemStatus,
-    SecondaryStatus,
     VariableStatus,
 )
 from ..forms import to_standard_form

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .constants import INF, ProblemStatus, SecondaryStatus, SolveMethod
-from .forms import to_ipm_form, to_standard_form, expand_ipm_solution
+from .forms import to_ipm_form, expand_ipm_solution
 from .model import Model, Solution
 from .options import SolveOptions
 

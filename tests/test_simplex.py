@@ -172,3 +172,21 @@ def test_pivot_rule_options(rule):
     sol = model.initial_solve(o)
     assert sol.status == ProblemStatus.OPTIMAL
     assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
+
+
+def test_infeasibility_ray_through_presolve():
+    """Ray survives postsolve zero-extension when presolve shrank the model."""
+    import scipy.sparse as sp
+
+    model = infeasible_lp()
+    # add an unrelated singleton row so presolve changes the row frame
+    srow = np.zeros((1, model.num_cols))
+    srow[0, 0] = 1.0
+    model.add_rows(sp.csc_matrix(srow), lower=[-clp_tpu.INF], upper=[50.0])
+    sol = model.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
+    ray = sol.infeasibility_ray
+    if ray is not None:  # certificate may be dropped if invalidated; if kept
+        assert ray.shape == (model.num_rows,)
+        combo = model.matrix.T @ ray
+        assert np.all(combo <= 1e-6)
