@@ -35,11 +35,16 @@ def _pdhg(A, c, rl, ru, cl, cu, tol, max_iter: int, check_every: int = 100):
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
     v = jax.lax.fori_loop(0, 30, pw, v)
-    nrm = jnp.sqrt(jnp.maximum(jnp.linalg.norm(A @ v), 1e-30))
+    # after the power loop v is (approximately) the top right singular
+    # vector, so ||A v|| estimates sigma_max directly
+    nrm = jnp.maximum(jnp.linalg.norm(A @ v), 1e-30)
     tau = 0.9 / nrm
     sig = 0.9 / nrm
 
-    def residuals(x, y):
+    def residuals(x, y_int):
+        # internal convention pairs L = c'x + y_int'(Ax) - SF(y_int);
+        # user-convention duals are y = -y_int
+        y = -y_int
         ax = A @ x
         pinf = jnp.max(
             jnp.maximum(jnp.maximum(rl - ax, ax - ru), 0.0), initial=0.0
@@ -60,28 +65,42 @@ def _pdhg(A, c, rl, ru, cl, cu, tol, max_iter: int, check_every: int = 100):
         return pinf, dinf, gap
 
     def body(carry):
-        x, y, xa, ya, k, _ = carry
-        # primal: gradient step on c - A'y, project to [cl, cu]
-        x1 = jnp.clip(x - tau * (c - A.T @ y), cl, cu)
+        x, y, xa, ya, k, kt, r0, _ = carry
+        # primal: gradient step on c + A'y_int, project to [cl, cu]
+        x1 = jnp.clip(x - tau * (c + A.T @ y), cl, cu)
         # dual: Moreau projection for the box support function
         yh = y + sig * (A @ (2.0 * x1 - x))
         y1 = yh - sig * jnp.clip(yh / sig, rl, ru)
         xa1 = (xa * k + x1) / (k + 1)
         ya1 = (ya * k + y1) / (k + 1)
         pinf, dinf, gap = residuals(xa1, ya1)
-        done = (pinf < tol) & (dinf < tol) & (gap < tol)
-        return x1, y1, xa1, ya1, k + 1, done
+        resid = jnp.maximum(jnp.maximum(pinf, dinf), gap)
+        done = resid < tol
+        # adaptive restart (PDLP/cuPDLP-style): once the averaged iterate
+        # halves the residual since the last restart, restart the averages
+        # from it — accelerates the sublinear tail dramatically
+        restart = (~done) & (k >= 20) & (resid < 0.5 * r0)
+        x1 = jnp.where(restart, xa1, x1)
+        y1 = jnp.where(restart, ya1, y1)
+        k1 = jnp.where(restart, 0, k + 1)
+        r0 = jnp.where(restart, resid, r0)
+        xa1 = jnp.where(restart, xa1, xa1)
+        ya1 = jnp.where(restart, ya1, ya1)
+        return x1, y1, xa1, ya1, k1, kt + 1, r0, done
 
     def cond(carry):
-        *_, k, done = carry
-        return (~done) & (k < max_iter)
+        *_, kt, r0, done = carry
+        return (~done) & (kt < max_iter)
 
     x0 = jnp.clip(jnp.zeros(n), cl, cu)
     y0 = jnp.zeros(m)
-    x, y, xa, ya, k, done = jax.lax.while_loop(
-        cond, body, (x0, y0, x0, y0, jnp.asarray(0), jnp.asarray(False))
+    x, y, xa, ya, k, kt, r0, done = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, y0, x0, y0, jnp.asarray(0), jnp.asarray(0), jnp.asarray(jnp.inf),
+         jnp.asarray(False)),
     )
-    return xa, ya, k, done
+    return xa, -ya, kt, done  # flip to the user dual convention
 
 
 def pdlp_solve(model: Model, options: SolveOptions) -> Solution:
@@ -92,8 +111,10 @@ def pdlp_solve(model: Model, options: SolveOptions) -> Solution:
     ru = jnp.asarray(np.where(model.row_upper >= INF, np.inf, model.row_upper))
     cl = jnp.asarray(np.where(model.col_lower <= -INF, -np.inf, model.col_lower))
     cu = jnp.asarray(np.where(model.col_upper >= INF, np.inf, model.col_upper))
-    tol = max(options.barrier_tolerance, 1e-6)
-    x, y, iters, done = _pdhg(A, c, rl, ru, cl, cu, tol, max_iter=100000)
+    # first-order methods earn their keep at moderate accuracy; the
+    # orchestrator's simplex/IPM finishes when tighter tolerances matter
+    tol = max(options.barrier_tolerance, 1e-4)
+    x, y, iters, done = _pdhg(A, c, rl, ru, cl, cu, tol, max_iter=200000)
     x = np.asarray(x)
     y = np.asarray(y) * sense
     d = model.objective - model.matrix.T @ y

@@ -75,3 +75,12 @@ def test_cli_subprocess(afiro_path):
     )
     assert r.returncode == 0, r.stderr
     assert "Optimal" in r.stdout
+
+
+def test_netlib_harness_empty_dir(tmp_path, capsys):
+    """Harness runs cleanly when no data files exist (data not bundled)."""
+    from clp_tpu.netlib import run_netlib
+
+    rc = run_netlib(str(tmp_path))
+    assert rc == 0
+    assert "no data files found" in capsys.readouterr().out

@@ -129,3 +129,17 @@ def test_cg_mode_matches_cholesky():
     r2 = ipm_solve_jit(lp, IPMOptions(linear_solver="cg"))
     assert bool(r1.converged) and bool(r2.converged)
     assert abs(float(r1.pobj) - float(r2.pobj)) < 1e-7 * (1 + abs(float(r1.pobj)))
+
+
+def test_pdlp_solver():
+    """First-order PDHG with restarts reaches moderate accuracy."""
+    from clp_tpu import SolveOptions, SolveMethod
+
+    model = random_lp(12, 20, seed=17)
+    ref = _linprog(model)
+    o = SolveOptions(method=SolveMethod.PDLP)
+    o.presolve.enabled = False
+    sol = model.initial_solve(o)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    # first-order accuracy target is moderate by design
+    assert abs(sol.objective_value - ref.fun) < 1e-2 * (1 + abs(ref.fun))
