@@ -304,6 +304,34 @@ class Model:
     def unbounded_ray(self) -> Optional[np.ndarray]:
         return self.solution.unbounded_ray
 
+    # --- whole-model checkpoint (reference: saveModel/restoreModel,
+    #     ClpSimplex.hpp:805-808) ---
+    def save_model(self, filename: str) -> int:
+        """Binary whole-model save including the last solution."""
+        import pickle
+
+        state = dict(self.__dict__)
+        state.pop("event_handler", None)
+        try:
+            with open(filename, "wb") as f:
+                pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+            return 0
+        except OSError:
+            return -1
+
+    def restore_model(self, filename: str) -> int:
+        import pickle
+
+        try:
+            with open(filename, "rb") as f:
+                state = pickle.load(f)
+        except (OSError, pickle.UnpicklingError):
+            return -1
+        handler = self.event_handler
+        self.__dict__.update(state)
+        self.event_handler = handler
+        return 0
+
     # --- basis warm start (reference: ClpModel.hpp:910-914, statusCopy) ---
     def get_basis_status(self):
         return self.solution.column_status, self.solution.row_status

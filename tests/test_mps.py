@@ -117,3 +117,20 @@ def test_lp_format_roundtrip(tmp_path):
     r1, r2 = _linprog(m1), _linprog(m2)
     assert r1.status == r2.status == 0
     assert abs(r1.fun - r2.fun) < 1e-6 * (1 + abs(r1.fun))
+
+
+def test_save_restore_model(tmp_path, afiro_path):
+    """Binary whole-model checkpoint round-trips data + solution."""
+    from clp_tpu import Model
+
+    m1 = Model()
+    m1.read_mps(afiro_path)
+    m1.dual()
+    path = str(tmp_path / "model.bin")
+    assert m1.save_model(path) == 0
+    m2 = Model()
+    assert m2.restore_model(path) == 0
+    assert m2.num_rows == m1.num_rows and m2.num_cols == m1.num_cols
+    assert m2.solution.status == m1.solution.status
+    assert m2.solution.objective_value == m1.solution.objective_value
+    np.testing.assert_array_equal(m2.solution.primal, m1.solution.primal)
