@@ -180,13 +180,25 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     acc_bad = jnp.abs(alpha_rq - abar_r) > 1e-8 * (1.0 + jnp.abs(abar_r))
     piv_small = jnp.abs(abar_r) < opts.pivot_tolerance
 
-    # --- primal step: leaving variable lands on its violated bound ---
-    target = jnp.where(sigma > 0, ub[r], lb[r])
-    delta_q = (state.xb[r] - target) / abar_r
-    # entering variable's new value
+    # --- bound flips (ClpSimplexDual flipBounds :6345): candidates whose
+    # ratio falls strictly below the chosen pivot's ratio would go dual
+    # infeasible after the price update — but having BOTH bounds finite they
+    # can jump to the opposite bound instead (dj sign is valid there).
+    theta_q = theta_true[q]
     dual_bound = opts.dual_bound
     vlo = jnp.where(jnp.isfinite(lp.l), lp.l, -dual_bound)
     vup = jnp.where(jnp.isfinite(lp.u), lp.u, dual_bound)
+    both_fin = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
+    idx = jnp.arange(nt)
+    flip = elig & both_fin & (theta_true < theta_q - 1e-12) & (idx != q)
+    width = lp.u - lp.l
+    flip_delta = jnp.where(flip, jnp.where(at_lo, width, -width), 0.0)
+    flow = state.binv @ (G @ flip_delta)  # effect of all flips on x_B
+
+    # --- primal step: leaving variable lands on its violated bound,
+    # after accounting for the flip flow ---
+    target = jnp.where(sigma > 0, ub[r], lb[r])
+    delta_q = (state.xb[r] - flow[r] - target) / abar_r
     xq_old = jnp.where(state.vstat[q] == AT_LOWER, vlo[q], vup[q])
     xq_new = xq_old + delta_q
 
@@ -211,11 +223,15 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     binv_new = state.binv - jnp.outer(factor, state.binv[r, :])
 
     # --- basic solution update ---
-    xb_new = state.xb - delta_q * abar
+    xb_new = state.xb - delta_q * abar - flow
     xb_new = xb_new.at[r].set(xq_new)
 
     basis_new = state.basis.at[r].set(q.astype(state.basis.dtype))
-    vstat_new = state.vstat.at[p_leave].set(
+    # apply bound flips first, then the pivot's status changes
+    vstat_flipped = jnp.where(
+        flip, jnp.where(at_lo, AT_UPPER, AT_LOWER), state.vstat
+    ).astype(state.vstat.dtype)
+    vstat_new = vstat_flipped.at[p_leave].set(
         jnp.where(sigma > 0, AT_UPPER, AT_LOWER).astype(state.vstat.dtype)
     )
     vstat_new = vstat_new.at[q].set(BASIC)
