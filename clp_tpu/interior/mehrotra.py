@@ -160,7 +160,10 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
 
         zg = jnp.where(hl, z / g, 0.0)
         wt = jnp.where(hu, w / t, 0.0)
-        dinv = zg + wt + opts.reg_primal * (1.0 + jnp.abs(c))
+        # regularization decays with mu: a static shift biases the optimum
+        # by O(reg) and floors the attainable duality gap just above tol
+        reg_p = jnp.minimum(opts.reg_primal, 1e-2 * mu + 1e-14)
+        dinv = zg + wt + reg_p * (1.0 + jnp.abs(c))
 
         if Q is None and opts.linear_solver == "cg":
             # matrix-free normal equations: Mv = G(d*(G'v)) + reg*v
@@ -256,6 +259,10 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         ad = jnp.minimum(1.0, eta * ad_max)
 
         x1 = x + ap * dx
+        # x and the carried slacks drift apart in float; x escaping its
+        # bounds makes pobj undercut dobj and the duality gap unattainable.
+        # Projecting back is absorbed by the infeasible-start Newton (rb).
+        x1 = jnp.clip(x1, l, u)
         y1 = y + ad * dy
         z1 = jnp.where(hl, z + ad * dz, 0.0)
         w1 = jnp.where(hu, w + ad * dw, 0.0)
