@@ -143,14 +143,24 @@ def _singleton_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
         coefs[k] = Ar.data[p]
     old_lo = model.col_lower[cols].copy()
     old_up = model.col_upper[cols].copy()
-    # implied bounds per row: rl/a <= x <= ru/a (order by sign of a)
+    # implied bounds per row: rl/a <= x <= ru/a (order by sign of a).
+    # Bounds are +-1e30-coded: dividing the code by a coefficient would
+    # produce spurious "finite" bounds, so mask the infinite sides first.
+    rl_s = model.row_lower[singles]
+    ru_s = model.row_upper[singles]
+    rl_ok = rl_s > -INF
+    ru_ok = ru_s < INF
     with np.errstate(divide="ignore", invalid="ignore"):
-        lo_i = np.where(coefs > 0, model.row_lower[singles] / coefs,
-                        model.row_upper[singles] / coefs)
-        up_i = np.where(coefs > 0, model.row_upper[singles] / coefs,
-                        model.row_lower[singles] / coefs)
-    lo_i = np.where(np.isfinite(lo_i), lo_i, -INF)
-    up_i = np.where(np.isfinite(up_i), up_i, INF)
+        lo_i = np.where(
+            coefs > 0,
+            np.where(rl_ok, rl_s / coefs, -INF),
+            np.where(ru_ok, ru_s / coefs, -INF),
+        )
+        up_i = np.where(
+            coefs > 0,
+            np.where(ru_ok, ru_s / coefs, INF),
+            np.where(rl_ok, rl_s / coefs, INF),
+        )
     # combine duplicates targeting the same column
     new_lo = model.col_lower.copy()
     new_up = model.col_upper.copy()
@@ -275,15 +285,19 @@ def _doubleton_rows(model: Model, tape: list, tol: float, limit: int = 200) -> O
         for bound in (l_j, u_j):
             if -INF < bound < INF:
                 cands.append((rhs - a * bound) / b)
+        # NOTE: host bounds are +-1e30-coded, so test against INF, never
+        # np.isfinite (1e30 IS float-finite)
+        has_l = l_j > -INF
+        has_u = u_j < INF
         if abs(b) > 1e-12 and cands:
             lo_i, up_i = min(cands), max(cands)
-            if not (np.isfinite(l_j) and np.isfinite(u_j)):
+            if not (has_l and has_u):
                 # one-sided: only one implied bound applies
-                if np.isfinite(l_j) != np.isfinite(u_j):
+                if has_l != has_u:
                     implied = cands[0]
                     sign = (b / a > 0)
                     # x_j >= l_j <=> x_k <= (rhs - a l_j)/b when b/a > 0
-                    if np.isfinite(l_j):
+                    if has_l:
                         lo_i, up_i = (-INF, implied) if sign else (implied, INF)
                     else:
                         lo_i, up_i = (implied, INF) if sign else (-INF, implied)
