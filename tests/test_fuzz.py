@@ -1,0 +1,88 @@
+"""Bounded fuzz battery — the patterns that caught real round-1 bugs.
+
+(The full batteries — 360+75+90 solves — run out-of-band; this keeps a
+representative slice in CI time.)
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import clp_tpu
+from clp_tpu import Model, SolveOptions, SolveMethod, check_kkt, INF
+from clp_tpu.utils.generators import random_lp
+from tests.test_mps import _linprog
+
+METHODS = [SolveMethod.DUAL_SIMPLEX, SolveMethod.PRIMAL_SIMPLEX, SolveMethod.BARRIER_NO_CROSS]
+
+
+def _mutate_free(model, seed):
+    r = np.random.default_rng(seed)
+    n = model.num_cols
+    model.col_lower = np.where(r.uniform(size=n) < 0.2, -INF, model.col_lower)
+    model.col_upper = np.where(r.uniform(size=n) < 0.15, INF, model.col_upper)
+    return model
+
+
+CASES = []
+for seed in (2, 10, 11):  # seeds that historically caught bugs
+    CASES.append(("free-vars", seed))
+for seed in (0, 3):
+    CASES.append(("tall", seed))
+    CASES.append(("tight", seed))
+
+
+def _build(kind, seed):
+    if kind == "free-vars":
+        m = _mutate_free(random_lp(14, 22, seed=100 + seed, density=0.25), seed)
+        if seed % 2:
+            m.set_maximize()
+        return m
+    if kind == "tall":
+        return random_lp(20, 9, seed=seed, density=0.4)
+    # "tight": likely infeasible
+    m = random_lp(12, 10, seed=seed, density=0.5)
+    r = np.random.default_rng(7000 + seed)
+    m.row_lower = m.row_lower + r.uniform(0.5, 3.0, 12)
+    m.row_upper = m.row_lower + r.uniform(0.0, 0.01, 12)
+    return m
+
+
+@pytest.mark.parametrize("kind,seed", CASES)
+@pytest.mark.parametrize("method", METHODS)
+def test_fuzz_case(kind, seed, method):
+    model = _build(kind, seed)
+    ref = _linprog(model)
+    sol = model.initial_solve(SolveOptions(method=method))
+    if ref.status == 0:
+        sense = model.optimization_direction
+        ref_obj = -ref.fun if sense < 0 else ref.fun
+        assert sol.status == clp_tpu.ProblemStatus.OPTIMAL, (kind, seed, sol.status)
+        assert abs(sol.objective_value - ref_obj) < 1e-6 * (1 + abs(ref_obj))
+    elif ref.status == 2:
+        assert sol.status == clp_tpu.ProblemStatus.PRIMAL_INFEASIBLE
+    elif ref.status == 3:
+        assert sol.status == clp_tpu.ProblemStatus.DUAL_INFEASIBLE
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_fuzz_qp_kkt(seed):
+    """Random convex QPs: no external oracle, so the KKT conditions are it."""
+    rng = np.random.default_rng(seed)
+    n, m = 7, 4
+    B = rng.standard_normal((n, n))
+    Q = B @ B.T + 0.5 * np.eye(n)
+    model = Model()
+    model.load_problem(
+        sp.csc_matrix(rng.standard_normal((m, n))),
+        col_lower=np.where(rng.uniform(size=n) < 0.3, -INF, -2.0),
+        col_upper=np.full(n, 2.0),
+        objective=rng.standard_normal(n),
+        row_lower=np.full(m, -INF),
+        row_upper=rng.uniform(1.0, 3.0, m),
+    )
+    model.load_quadratic_objective(sp.csc_matrix(Q))
+    sol = model.barrier(crossover=False)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL, seed
+    rep = check_kkt(model)
+    assert rep.ok, (seed, str(rep))
