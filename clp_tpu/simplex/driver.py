@@ -301,6 +301,49 @@ def _demote_fakes_to_free(lp, state: SimplexState) -> SimplexState:
     return dataclasses.replace(state, vstat=vstat)
 
 
+def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
+                 max_seconds: Optional[float], progress=None):
+    """Host-driven chunk loop: wall-clock limits + per-chunk progress.
+
+    Same protocol as the fully-jitted loop (verified-optimality, stall
+    escalation) with the outer iteration on the host.
+    """
+    import time as _time
+
+    from .engine import dual_chunk, primal_chunk
+
+    step = dual_chunk if dual else primal_chunk
+    deadline = None if max_seconds is None else _time.monotonic() + max_seconds
+    stalls = 0
+    while True:
+        iters_before = int(state.iterations)
+        state, verified, obj = step(lp, state, opts)
+        st = int(state.status)
+        if progress is not None:
+            progress(int(state.iterations), float(obj))
+        if bool(verified) or st not in (engine.CONTINUE, engine.OPTIMAL):
+            break
+        if st == engine.OPTIMAL:
+            continue  # claim made inside the chunk; next call verifies it
+        if int(state.iterations) >= opts.max_iterations:
+            state = dataclasses.replace(
+                state, status=jnp.asarray(engine.ITER_LIMIT, jnp.int32)
+            )
+            break
+        stalls = 0 if int(state.iterations) > iters_before else stalls + 1
+        if stalls >= 3:
+            state = dataclasses.replace(
+                state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
+            )
+            break
+        if deadline is not None and _time.monotonic() > deadline:
+            state = dataclasses.replace(
+                state, status=jnp.asarray(engine.ITER_LIMIT, jnp.int32)
+            )
+            break
+    return state
+
+
 def simplex_solve(
     model: Model,
     options: SolveOptions,
@@ -310,6 +353,16 @@ def simplex_solve(
     lp, info = to_standard_form(model)
     m, nt = lp.G.shape
     n = nt - m
+
+    # chunked host loop when wall-clock limits or live progress are wanted
+    use_chunked = options.max_seconds is not None or options.log_level >= 3
+    progress = None
+    if options.log_level >= 3:
+        from ..events import ProgressDisplay
+
+        disp = ProgressDisplay(every=1)
+        phase = "dual" if dual else "primal"
+        progress = lambda it, obj: disp.line(phase, it, obj)  # noqa: E731
 
     max_iter = options.max_iterations or model.maximum_iterations
     max_iter = int(min(max_iter, 50 * (m + n) + 10000))
@@ -331,10 +384,20 @@ def simplex_solve(
     else:
         state = initial_state(lp, opts)
 
+    def dsolve(lp_, state_, opts_):
+        if use_chunked:
+            return _run_chunked(lp_, state_, opts_, True, options.max_seconds, progress)
+        return dual_solve(lp_, state_, opts_)
+
+    def psolve(lp_, state_, opts_):
+        if use_chunked:
+            return _run_chunked(lp_, state_, opts_, False, options.max_seconds, progress)
+        return primal_solve(lp_, state_, opts_)
+
     if dual:
         state = recompute(lp, state, opts.dual_bound)
         state = make_dual_feasible(lp, state, opts)
-        state = dual_solve(lp, state, opts)
+        state = dsolve(lp, state, opts)
         st = int(state.status)
         # fake-bound escalation (resetFakeBounds analogue) — only worthwhile
         # when a fake-bounded variable is actually pressed against its fake
@@ -351,28 +414,28 @@ def simplex_solve(
             state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
             state = recompute(lp, state, opts.dual_bound)
             state = make_dual_feasible(lp, state, opts)
-            state = dual_solve(lp, state, opts)
+            state = dsolve(lp, state, opts)
             st = int(state.status)
         if st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound):
             # finish with primal from this basis using true bounds, with
             # fake-bound nonbasics demoted to FREE at value 0
             state = _demote_fakes_to_free(lp, state)
             state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
-            state = primal_solve(lp, state, opts)
+            state = psolve(lp, state, opts)
             st = int(state.status)
     else:
-        state = primal_solve(lp, state, opts)
+        state = psolve(lp, state, opts)
         st = int(state.status)
 
     # numerical failure: retry once with the other algorithm
     if st in (engine.NUMERICAL, engine.CONTINUE):
         state2 = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
         if dual:
-            state2 = primal_solve(lp, state2, opts)
+            state2 = psolve(lp, state2, opts)
         else:
             state2 = recompute(lp, state2, opts.dual_bound)
             state2 = make_dual_feasible(lp, state2, opts)
-            state2 = dual_solve(lp, state2, opts)
+            state2 = dsolve(lp, state2, opts)
         if int(state2.status) in (engine.OPTIMAL, engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
             state, st = state2, int(state2.status)
 
@@ -389,12 +452,12 @@ def simplex_solve(
         state3 = initial_state(lp, opts) if warm is None else _warm_state(lp, opts, warm, n, m)
         state3 = recompute(lp_pert, state3, opts.dual_bound)
         state3 = make_dual_feasible(lp_pert, state3, opts)
-        state3 = dual_solve(lp_pert, state3, opts)
+        state3 = dsolve(lp_pert, state3, opts)
         if int(state3.status) == engine.OPTIMAL:
             # restore true costs, clean up with the primal from this basis
             state3 = dataclasses.replace(state3, status=jnp.asarray(engine.CONTINUE, jnp.int32))
             state3 = recompute(lp, state3, opts.dual_bound)
-            state3 = primal_solve(lp, state3, opts)
+            state3 = psolve(lp, state3, opts)
             if int(state3.status) in (engine.OPTIMAL, engine.DUAL_INFEASIBLE):
                 state, st = state3, int(state3.status)
 

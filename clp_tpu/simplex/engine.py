@@ -554,6 +554,61 @@ def primal_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> S
     return _run_loop(lp, state, opts, primal_iteration, _verify_primal_claim)
 
 
+def _one_chunk(lp, state, opts, iteration_fn, verify_fn):
+    """Refactorize + verify any OPTIMAL claim + up to `chunk` pivots.
+
+    The host-chunked execution mode: the outer statusOfProblem loop runs in
+    Python (enabling wall-clock limits and per-chunk progress callbacks)
+    while each chunk stays one compiled program. Returns
+    (state, verified, objective) — objective of the current iterate for
+    progress display.
+    """
+    chunk = opts.refactor_frequency
+    claimed_optimal = state.status == OPTIMAL
+    state = recompute(lp, state, opts.dual_bound)
+    verified = claimed_optimal & verify_fn(lp, state, opts) & (state.status != NUMERICAL)
+    state = dataclasses.replace(
+        state,
+        status=jnp.where(
+            state.status == NUMERICAL,
+            NUMERICAL,
+            jnp.where(verified, OPTIMAL, CONTINUE),
+        ).astype(state.status.dtype),
+    )
+
+    def inner_cond(carry):
+        st, k = carry
+        return (
+            (st.status == CONTINUE)
+            & (k < chunk)
+            & ~st.refactor_now
+            & (st.iterations < opts.max_iterations)
+        )
+
+    def inner_body(carry):
+        st, k = carry
+        return iteration_fn(lp, st, opts), k + 1
+
+    def run(st):
+        st, _ = jax.lax.while_loop(inner_cond, inner_body, (st, 0))
+        return st
+
+    state = jax.lax.cond(verified, lambda s: s, run, state)
+    xn = nonbasic_values(lp, state.vstat, opts.dual_bound)
+    obj = jnp.take(lp.c, state.basis) @ state.xb + lp.c @ xn
+    return state, verified, obj
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def dual_chunk(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
+    return _one_chunk(lp, state, opts, dual_iteration, _verify_dual_claim)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def primal_chunk(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
+    return _one_chunk(lp, state, opts, primal_iteration, _verify_primal_claim)
+
+
 def initial_state(lp: StandardLP, opts: SimplexOptions, vstat=None, basis=None) -> SimplexState:
     """All-slack starting basis (or caller-provided warm start arrays)."""
     m, nt = lp.G.shape

@@ -190,3 +190,24 @@ def test_infeasibility_ray_through_presolve():
         assert ray.shape == (model.num_rows,)
         combo = model.matrix.T @ ray
         assert np.all(combo <= 1e-6)
+
+
+def test_chunked_host_loop_matches():
+    """max_seconds triggers the host-chunked loop; same answer, time-limited."""
+    model = random_lp(12, 18, seed=23)
+    ref = _linprog(model)
+    o = _no_presolve(method=SolveMethod.DUAL_SIMPLEX)
+    o.max_seconds = 60.0
+    sol = model.initial_solve(o)
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
+
+
+def test_chunked_time_limit_stops():
+    model = random_lp(40, 60, seed=24)
+    o = _no_presolve(method=SolveMethod.DUAL_SIMPLEX)
+    o.max_seconds = 0.0  # immediate deadline: must stop, not hang
+    from clp_tpu.simplex.driver import simplex_solve
+
+    sol = simplex_solve(model, o, dual=True)
+    assert sol.status in (ProblemStatus.STOPPED, ProblemStatus.OPTIMAL)
