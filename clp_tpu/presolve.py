@@ -59,6 +59,31 @@ class _RedundantRows:
 
 
 @dataclasses.dataclass
+class _DuplicateRows:
+    """Identical rows: bounds intersect onto the kept row; dups drop with
+    zero dual (their bounds were made redundant by the intersection)."""
+
+    idx: np.ndarray  # dropped row indices (pre-transform frame)
+    kept: np.ndarray  # the surviving duplicate for each dropped row
+
+
+@dataclasses.dataclass
+class _DuplicateCols:
+    """Identical equal-cost columns merged: kept gets summed bounds.
+
+    Postsolve splits the merged value back greedily within each original
+    column's bounds (any split is optimal — the columns are identical).
+    """
+
+    drop: np.ndarray  # dropped column indices (pre-transform frame)
+    kept: np.ndarray  # merge target for each dropped column
+    drop_lower: np.ndarray
+    drop_upper: np.ndarray
+    kept_lower: np.ndarray  # kept column's ORIGINAL bounds
+    kept_upper: np.ndarray
+
+
+@dataclasses.dataclass
 class _Doubleton:
     """Equality row a*x_j + b*x_k = rhs: x_j substituted out.
 
@@ -252,6 +277,100 @@ def _redundant_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
     return True
 
 
+def _row_signature(A: sp.csr_matrix):
+    """Hashable signature per row (pattern + values, rounded)."""
+    sigs = []
+    for i in range(A.shape[0]):
+        s, e = A.indptr[i], A.indptr[i + 1]
+        sigs.append((tuple(A.indices[s:e]), tuple(np.round(A.data[s:e], 12))))
+    return sigs
+
+
+def _duplicate_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
+    A = model.matrix.tocsr()
+    m = A.shape[0]
+    if m < 2:
+        return False
+    seen: dict = {}
+    drop, kept = [], []
+    for i, sig in enumerate(_row_signature(A)):
+        if not sig[0]:
+            continue  # empty rows handled elsewhere
+        if sig in seen:
+            k = seen[sig]
+            # intersect bounds onto the kept row
+            model.row_lower = model.row_lower.copy()
+            model.row_upper = model.row_upper.copy()
+            model.row_lower[k] = max(model.row_lower[k], model.row_lower[i])
+            model.row_upper[k] = min(model.row_upper[k], model.row_upper[i])
+            if model.row_lower[k] > model.row_upper[k] + tol * (1 + abs(model.row_lower[k])):
+                return None  # infeasible
+            drop.append(i)
+            kept.append(k)
+        else:
+            seen[sig] = i
+    if not drop:
+        return False
+    tape.append(_DuplicateRows(np.asarray(drop), np.asarray(kept)))
+    keep_rows = np.setdiff1d(np.arange(m), np.asarray(drop))
+    model._A = A[keep_rows, :].tocsc()
+    model.row_lower = model.row_lower[keep_rows]
+    model.row_upper = model.row_upper[keep_rows]
+    if model.row_names is not None:
+        model.row_names = [model.row_names[i] for i in keep_rows]
+    return True
+
+
+def _duplicate_cols(model: Model, tape: list, tol: float) -> bool:
+    A = model.matrix.tocsc()
+    n = A.shape[1]
+    if n < 2 or (model.integer_mask is not None and model.integer_mask.any()):
+        return False
+    seen: dict = {}
+    drop, kept, dl, du, kl, ku = [], [], [], [], [], []
+    c = model.objective
+    for j in range(n):
+        s, e = A.indptr[j], A.indptr[j + 1]
+        if s == e:
+            continue  # empty columns handled elsewhere
+        sig = (tuple(A.indices[s:e]), tuple(np.round(A.data[s:e], 12)),
+               round(float(c[j]), 12))
+        if sig in seen:
+            k = seen[sig]
+            if k in drop:
+                continue
+            if model.col_lower[j] <= -INF or model.col_lower[k] <= -INF:
+                continue
+            drop.append(j)
+            kept.append(k)
+            dl.append(model.col_lower[j])
+            du.append(model.col_upper[j])
+            kl.append(model.col_lower[k])
+            ku.append(model.col_upper[k])
+        else:
+            seen[sig] = j
+    if not drop:
+        return False
+    model.col_lower = model.col_lower.copy()
+    model.col_upper = model.col_upper.copy()
+    for jj, kk in zip(drop, kept):
+        # summed-interval bounds (INF-coded: saturate)
+        lo = model.col_lower[kk]
+        lo2 = model.col_lower[jj]
+        model.col_lower[kk] = -INF if (lo <= -INF or lo2 <= -INF) else lo + lo2
+        up = model.col_upper[kk]
+        up2 = model.col_upper[jj]
+        model.col_upper[kk] = INF if (up >= INF or up2 >= INF) else up + up2
+    tape.append(
+        _DuplicateCols(
+            np.asarray(drop), np.asarray(kept),
+            np.asarray(dl), np.asarray(du), np.asarray(kl), np.asarray(ku),
+        )
+    )
+    model.delete_columns(drop)
+    return True
+
+
 def _doubleton_rows(model: Model, tape: list, tol: float, limit: int = 200) -> Optional[bool]:
     """Substitute out one variable per 2-entry EQUALITY row.
 
@@ -392,6 +511,14 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
                 info.status = ProblemStatus.PRIMAL_INFEASIBLE
                 return work, info
             changed |= r
+        if options.duplicate_rows:
+            r = _duplicate_rows(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.PRIMAL_INFEASIBLE
+                return work, info
+            changed |= r
+        if options.duplicate_cols:
+            changed |= _duplicate_cols(work, info.tape, tol)
         if not changed:
             break
     # quick infeasibility screens
@@ -448,6 +575,108 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 cs[keep] = cstat
                 cs[rec.idx] = int(VariableStatus.FIXED)
                 cstat = cs
+        elif isinstance(rec, _DuplicateRows):
+            m_before = (0 if y is None else y.size) + rec.idx.size
+            keep = np.setdiff1d(np.arange(m_before), rec.idx)
+            ys = np.zeros(m_before)
+            if y is not None:
+                ys[keep] = y
+            y = ys
+            if rstat is not None:
+                rs = np.full(m_before, int(VariableStatus.BASIC), dtype=rstat.dtype)
+                rs[keep] = rstat
+                rstat = rs
+        elif isinstance(rec, _DuplicateCols):
+            n_before = x.size + rec.drop.size
+            keep = np.setdiff1d(np.arange(n_before), rec.drop)
+            xs = np.empty(n_before)
+            xs[keep] = x
+            djs = None
+            if dj is not None:
+                djs = np.empty(n_before)
+                djs[keep] = dj
+            cs = None
+            if cstat is not None:
+                cs = np.empty(n_before, dtype=cstat.dtype)
+                cs[keep] = cstat
+            # split each merged value greedily from the lower corner
+            # (identical columns and costs: any feasible split is optimal)
+            for t_i in range(rec.drop.size):
+                jj = int(rec.drop[t_i])
+                kk = int(rec.kept[t_i])
+                v = xs[kk]
+                lo_k, up_k = rec.kept_lower[t_i], rec.kept_upper[t_i]
+                lo_j, up_j = rec.drop_lower[t_i], rec.drop_upper[t_i]
+                xk = min(max(v - lo_j, lo_k), up_k if up_k < INF else v - lo_j)
+                xj = v - xk
+                xj = min(max(xj, lo_j), up_j if up_j < INF else xj)
+                xk = v - xj
+                xs[kk] = xk
+                xs[jj] = xj
+                if djs is not None:
+                    djs[jj] = djs[kk]
+                if cs is not None:
+                    tol_j = 1e-7 * (1 + abs(xj))
+                    if abs(xj - lo_j) <= tol_j:
+                        cs[jj] = int(VariableStatus.AT_LOWER)
+                    elif up_j < INF and abs(xj - up_j) <= tol_j:
+                        cs[jj] = int(VariableStatus.AT_UPPER)
+                    else:
+                        cs[jj] = int(VariableStatus.BASIC)
+            x = xs
+            dj = djs
+            cstat = cs
+        elif isinstance(rec, _DuplicateRows):
+            m_before = (0 if y is None else y.size) + rec.idx.size
+            keep = np.setdiff1d(np.arange(m_before), rec.idx)
+            ys = np.zeros(m_before)
+            if y is not None:
+                ys[keep] = y
+            y = ys
+            if rstat is not None:
+                rs = np.full(m_before, int(VariableStatus.BASIC), dtype=rstat.dtype)
+                rs[keep] = rstat
+                rstat = rs
+        elif isinstance(rec, _DuplicateCols):
+            n_before = x.size + rec.drop.size
+            keep = np.setdiff1d(np.arange(n_before), rec.drop)
+            xs = np.empty(n_before)
+            xs[keep] = x
+            djs = None
+            if dj is not None:
+                djs = np.empty(n_before)
+                djs[keep] = dj
+            cs = None
+            if cstat is not None:
+                cs = np.empty(n_before, dtype=cstat.dtype)
+                cs[keep] = cstat
+            # split each merged value greedily from the lower corner
+            # (identical columns and costs: any feasible split is optimal)
+            for t_i in range(rec.drop.size):
+                jj = int(rec.drop[t_i])
+                kk = int(rec.kept[t_i])
+                v = xs[kk]
+                lo_k, up_k = rec.kept_lower[t_i], rec.kept_upper[t_i]
+                lo_j, up_j = rec.drop_lower[t_i], rec.drop_upper[t_i]
+                xk = min(max(v - lo_j, lo_k), up_k if up_k < INF else v - lo_j)
+                xj = v - xk
+                xj = min(max(xj, lo_j), up_j if up_j < INF else xj)
+                xk = v - xj
+                xs[kk] = xk
+                xs[jj] = xj
+                if djs is not None:
+                    djs[jj] = djs[kk]
+                if cs is not None:
+                    tol_j = 1e-7 * (1 + abs(xj))
+                    if abs(xj - lo_j) <= tol_j:
+                        cs[jj] = int(VariableStatus.AT_LOWER)
+                    elif up_j < INF and abs(xj - up_j) <= tol_j:
+                        cs[jj] = int(VariableStatus.AT_UPPER)
+                    else:
+                        cs[jj] = int(VariableStatus.BASIC)
+            x = xs
+            dj = djs
+            cstat = cs
         elif isinstance(rec, _Doubleton):
             # current frame: col j and row i are absent
             j, k_pre, i = rec.col_out, rec.col_keep, rec.row
@@ -549,8 +778,13 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 rr = np.zeros(m_before)
                 rr[keep] = ray
                 ray = rr
+            elif isinstance(rec, _DuplicateRows):
+                m_before = ray.size + rec.idx.size
+                keep = np.setdiff1d(np.arange(m_before), rec.idx)
+                rr = np.zeros(m_before)
+                rr[keep] = ray
+                ray = rr
             elif isinstance(rec, _Doubleton):
-                m_before = ray.size + 1
                 keep = np.setdiff1d(np.arange(m_before), [rec.row])
                 rr = np.zeros(m_before)
                 rr[keep] = ray

@@ -128,3 +128,40 @@ def test_doubleton_shrinks():
     red, info = presolve(base, PresolveOptions())
     assert red.num_cols <= base.num_cols - 1
     assert red.num_rows <= base.num_rows - 1
+
+
+def test_duplicate_rows_and_cols():
+    """Duplicate rows intersect; duplicate equal-cost columns merge."""
+    base = random_lp(7, 9, seed=21)
+    # duplicate row 0 with looser bounds; then duplicate col 1 exactly
+    base.add_rows(base.matrix[0:1, :], lower=[base.row_lower[0] - 1.0],
+                  upper=[base.row_upper[0] + 1.0])
+    base.add_columns(base.matrix[:, 1], lower=[base.col_lower[1]],
+                     upper=[base.col_upper[1]], objective=[base.objective[1]])
+    m_on = base.copy()
+    m_off = base.copy()
+    o_on = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o_off.presolve.enabled = False
+    s_on = m_on.initial_solve(o_on)
+    s_off = m_off.initial_solve(o_off)
+    assert s_on.status == s_off.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-6 * (
+        1 + abs(s_off.objective_value)
+    )
+    rep = check_kkt(m_on)
+    assert rep.ok, str(rep)
+    # shapes restored
+    assert s_on.primal.shape == (base.num_cols,)
+    assert s_on.duals.shape == (base.num_rows,)
+
+
+def test_duplicate_col_shrinks():
+    from clp_tpu.presolve import presolve
+    from clp_tpu.options import PresolveOptions
+
+    base = random_lp(6, 8, seed=22)
+    base.add_columns(base.matrix[:, 0], lower=[base.col_lower[0]],
+                     upper=[base.col_upper[0]], objective=[base.objective[0]])
+    red, info = presolve(base, PresolveOptions())
+    assert red.num_cols <= base.num_cols - 1
