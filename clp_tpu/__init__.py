@@ -30,12 +30,12 @@ _jax.config.update("jax_enable_x64", True)
 # env vars can act; CLPTPU_PLATFORM=cpu forces a backend from user code
 if _os.environ.get("CLPTPU_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["CLPTPU_PLATFORM"])
-# persistent compilation cache: remote TPU compiles cost minutes per shape;
-# caching amortizes them across processes/sessions
+# persistent compilation cache: opt-in only (CLPTPU_COMPILE_CACHE=<dir>).
+# Measured through this environment's TPU tunnel it does not help (AOT
+# compiles happen server-side), and cross-machine CPU AOT artifacts trigger
+# machine-feature mismatch warnings.
 try:
-    _cache_dir = _os.environ.get(
-        "CLPTPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/clp_tpu_jax")
-    )
+    _cache_dir = _os.environ.get("CLPTPU_COMPILE_CACHE")
     if _cache_dir and _cache_dir != "off":
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

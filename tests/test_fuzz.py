@@ -86,3 +86,27 @@ def test_fuzz_qp_kkt(seed):
     assert sol.status == clp_tpu.ProblemStatus.OPTIMAL, seed
     rep = check_kkt(model)
     assert rep.ok, (seed, str(rep))
+
+
+@pytest.mark.parametrize("seed", [0, 6, 11])
+def test_fuzz_extreme_scaling(seed):
+    """10-decade coefficient ranges; acceptance by strict-KKT or objective
+    match (HiGHS tolerates small relative row violations we don't)."""
+    r = np.random.default_rng(3000 + seed)
+    m0 = random_lp(10, 15, seed=seed, density=0.3)
+    D = sp.diags(10.0 ** r.uniform(-5, 5, 10))
+    C = sp.diags(10.0 ** r.uniform(-4, 4, 15))
+    m0._A = (D @ m0.matrix @ C).tocsc()
+    m0.row_lower = np.where(m0.row_lower > -INF, m0.row_lower * D.diagonal(), m0.row_lower)
+    m0.row_upper = np.where(m0.row_upper < INF, m0.row_upper * D.diagonal(), m0.row_upper)
+    m0.col_lower = np.where(m0.col_lower > -INF, m0.col_lower / C.diagonal(), m0.col_lower)
+    m0.col_upper = np.where(m0.col_upper < INF, m0.col_upper / C.diagonal(), m0.col_upper)
+    m0.objective = m0.objective * C.diagonal()
+    ref = _linprog(m0)
+    for method in (SolveMethod.DUAL_SIMPLEX, SolveMethod.BARRIER_NO_CROSS):
+        mm = m0.copy()
+        sol = mm.initial_solve(SolveOptions(method=method))
+        if ref.status == 0:
+            assert sol.status == clp_tpu.ProblemStatus.OPTIMAL, (seed, method)
+            obj_match = abs(sol.objective_value - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+            assert obj_match or check_kkt(mm).ok, (seed, method, sol.objective_value, ref.fun)
