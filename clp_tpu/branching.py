@@ -201,7 +201,8 @@ def strong_branch(
         method=SolveMethod.DUAL_SIMPLEX, max_iterations=max_iterations
     )
     opts.presolve.enabled = False
-    sols = solve_batch_dual_simplex(branch_models, opts)
+    # all branches warm-start from the parent relaxation's basis
+    sols = solve_batch_dual_simplex(branch_models, opts, warm=model.solution)
     return [
         BranchResult(j, d, s.status, s.objective_value, s.iterations)
         for (j, d), s in zip(descr, sols)

@@ -38,12 +38,16 @@ def stack_models(models: Sequence[Model]) -> tuple[StandardLP, list]:
             )
         lps.append(lp)
         infos.append(info)
+    has_q = [lp.Q is not None for lp in lps]
+    if any(has_q) and not all(has_q):
+        raise ValueError("mixed LP/QP batches are not supported")
     batched = StandardLP(
         G=jnp.stack([lp.G for lp in lps]),
         b=jnp.stack([lp.b for lp in lps]),
         c=jnp.stack([lp.c for lp in lps]),
         l=jnp.stack([lp.l for lp in lps]),
         u=jnp.stack([lp.u for lp in lps]),
+        Q=jnp.stack([lp.Q for lp in lps]) if all(has_q) else None,
     )
     return batched, infos
 
@@ -81,6 +85,7 @@ def solve_batch_dual_simplex(
     models: Sequence[Model],
     options: Optional[SolveOptions] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    warm: Optional[Solution] = None,
 ) -> list[Solution]:
     """Batched dual simplex: vmap the whole pivot loop over instances.
 
@@ -102,17 +107,40 @@ def solve_batch_dual_simplex(
         sh = scenario_sharding(mesh, options.mesh_axis)
         batched = jax.tree.map(lambda a: jax.device_put(a, sh), batched)
 
-    @partial(jax.jit, static_argnames=("o",))
-    def run(lp, o):
-        def one(lp1):
-            st = engine.initial_state(lp1, o)
-            st = engine.recompute(lp1, st, o.dual_bound)
-            st = engine.make_dual_feasible(lp1, st, o)
-            return engine.dual_solve(lp1, st, o)
+    if warm is not None and warm.column_status is not None:
+        # shared warm basis (e.g. strong branching from one parent): build
+        # each instance's warm state on the host, stack, and solve batched
+        from ..simplex.driver import _warm_state
 
-        return jax.vmap(one)(lp)
+        per = []
+        for i in range(len(models)):
+            lp_i = jax.tree.map(lambda a: a[i], batched)
+            m_i, nt_i = lp_i.G.shape
+            per.append(_warm_state(lp_i, opts, warm, nt_i - m_i, m_i))
+        init_states = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
 
-    states = run(batched, opts)
+        @partial(jax.jit, static_argnames=("o",))
+        def run_warm(lp, st0, o):
+            def one(lp1, st1):
+                st1 = engine.recompute(lp1, st1, o.dual_bound)
+                st1 = engine.make_dual_feasible(lp1, st1, o)
+                return engine.dual_solve(lp1, st1, o)
+
+            return jax.vmap(one)(lp, st0)
+
+        states = run_warm(batched, init_states, opts)
+    else:
+        @partial(jax.jit, static_argnames=("o",))
+        def run(lp, o):
+            def one(lp1):
+                st = engine.initial_state(lp1, o)
+                st = engine.recompute(lp1, st, o.dual_bound)
+                st = engine.make_dual_feasible(lp1, st, o)
+                return engine.dual_solve(lp1, st, o)
+
+            return jax.vmap(one)(lp)
+
+        states = run(batched, opts)
     out = []
     for i, mod in enumerate(models):
         st_i = jax.tree.map(lambda a: a[i], states)

@@ -65,3 +65,34 @@ def test_batch_dual_simplex():
         ref = _linprog(m)
         assert abs(s.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
         assert check_kkt(m).ok
+
+
+def test_batch_qp():
+    """Batched QP solves (same Q across scenarios with perturbed rhs)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n, mrows = 6, 3
+    Q = sp.csc_matrix(np.diag(rng.uniform(1.0, 2.0, n)))
+    base = Model()
+    base.load_problem(
+        sp.csc_matrix(rng.uniform(0, 1, (mrows, n))),
+        col_lower=np.zeros(n),
+        col_upper=np.full(n, 2.0),
+        objective=rng.uniform(-2, -1, n),
+        row_lower=np.full(mrows, -clp_tpu.INF),
+        row_upper=rng.uniform(2.0, 4.0, mrows),
+    )
+    base.load_quadratic_objective(Q)
+    models = []
+    for k in range(3):
+        m = base.copy()
+        m.row_upper = m.row_upper + 0.05 * k
+        models.append(m)
+    sols = solve_batch(models)
+    for m, s in zip(models, sols):
+        assert s.status == ProblemStatus.OPTIMAL
+        assert check_kkt(m).ok
+    # objectives should improve monotonically as rows loosen
+    objs = [s.objective_value for s in sols]
+    assert objs[0] >= objs[1] >= objs[2]
