@@ -304,6 +304,51 @@ class Model:
     def unbounded_ray(self) -> Optional[np.ndarray]:
         return self.solution.unbounded_ray
 
+    def generate_python(self, filename: str) -> int:
+        """Emit a runnable Python script that rebuilds this model
+        (reference: generateCpp, ClpModel.hpp:1164)."""
+        import scipy.sparse as _sp
+
+        A = self.matrix.tocoo()
+        lines = [
+            "import numpy as np",
+            "import scipy.sparse as sp",
+            "from clp_tpu import Model",
+            "",
+            f"rows = {A.row.tolist()}",
+            f"cols = {A.col.tolist()}",
+            f"vals = {A.data.tolist()}",
+            f"A = sp.coo_matrix((vals, (rows, cols)), shape=({self.num_rows}, {self.num_cols})).tocsc()",
+            "model = Model()",
+            "model.load_problem(",
+            "    A,",
+            f"    col_lower={self.col_lower.tolist()},",
+            f"    col_upper={self.col_upper.tolist()},",
+            f"    objective={self.objective.tolist()},",
+            f"    row_lower={self.row_lower.tolist()},",
+            f"    row_upper={self.row_upper.tolist()},",
+            ")",
+            f"model.objective_offset = {self.objective_offset!r}",
+            f"model.optimization_direction = {self.optimization_direction!r}",
+            f"model.primal_tolerance = {self.primal_tolerance!r}",
+            f"model.dual_tolerance = {self.dual_tolerance!r}",
+        ]
+        if self.integer_mask is not None and self.integer_mask.any():
+            idx = [int(j) for j in self.integer_mask.nonzero()[0]]
+            lines.append(f"for j in {idx}: model.set_integer(j)")
+        lines += [
+            "",
+            "if __name__ == '__main__':",
+            "    sol = model.initial_solve()",
+            "    print(sol.status.name, sol.objective_value)",
+        ]
+        try:
+            with open(filename, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            return 0
+        except OSError:
+            return -1
+
     # --- whole-model checkpoint (reference: saveModel/restoreModel,
     #     ClpSimplex.hpp:805-808) ---
     def save_model(self, filename: str) -> int:

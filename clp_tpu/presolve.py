@@ -6,8 +6,9 @@ host model with a tape of transform records; `postsolve` replays the tape in
 reverse to recover the full primal/dual solution (and basis statuses).
 
 Transform order per pass (mirroring the reference's loop):
-    fixed columns -> empty rows/cols -> singleton rows (bound tightening)
-    -> forcing rows -> (more transforms land in later rounds)
+    empty columns -> fixed columns -> empty rows -> singleton rows (bound
+    tightening) -> redundant rows -> doubleton-equality substitution ->
+    duplicate rows -> duplicate columns
 
 Statuses: infeasibility detected during presolve reports
 PRIMAL_INFEASIBLE with secondary INFEAS_OR_UNBOUNDED_IN_PRESOLVE

@@ -134,3 +134,25 @@ def test_save_restore_model(tmp_path, afiro_path):
     assert m2.solution.status == m1.solution.status
     assert m2.solution.objective_value == m1.solution.objective_value
     np.testing.assert_array_equal(m2.solution.primal, m1.solution.primal)
+
+
+def test_generate_python(tmp_path, afiro_path):
+    """generateCpp-equivalent: emitted script rebuilds and solves the model."""
+    import subprocess, sys, os
+
+    from clp_tpu import Model
+
+    m1 = Model()
+    m1.read_mps(afiro_path)
+    ref = m1.dual()
+    script = str(tmp_path / "rebuild.py")
+    assert m1.generate_python(script) == 0
+    env = dict(os.environ)
+    env["CLPTPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, script], capture_output=True, text=True,
+                       timeout=300, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert "OPTIMAL" in r.stdout
+    got = float(r.stdout.split()[-1])
+    assert abs(got - ref.objective_value) < 1e-7 * (1 + abs(ref.objective_value))
