@@ -120,3 +120,20 @@ def test_edge_bounded_variant_solves(tmp_path):
     assert abs(sol.objective_value - (-ref.fun + m.objective_offset)) < 1e-6 * (
         1 + abs(ref.fun)
     )
+
+
+def test_crlf_and_tabs(tmp_path):
+    """CRLF line endings and tab separators parse identically on both paths."""
+    text = ("NAME\tT1\r\nROWS\r\n N  OBJ\r\n L  R1\r\nCOLUMNS\r\n"
+            "    X1\tOBJ\t2.0\tR1\t1.0\r\n    X2  OBJ  3.0   R1   1.0\r\n"
+            "RHS\r\n    RHS  R1  4.0\r\nENDATA\r\n")
+    p = tmp_path / "crlf.mps"
+    p.write_text(text)
+    mp = read_mps(str(p), use_native=False)
+    assert (mp.num_rows, mp.num_cols) == (1, 2)
+    assert mp.objective.tolist() == [2.0, 3.0]
+    if available():
+        mn = read_mps_native(str(p))
+        assert mn is not None
+        assert mn.objective.tolist() == [2.0, 3.0]
+        assert mn.row_upper.tolist() == [4.0]
