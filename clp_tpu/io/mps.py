@@ -147,15 +147,17 @@ def read_mps(filename: str, into=None, keep_names: bool = True,
             if section == "ROWS":
                 rtype = fields[0].upper()
                 rname = fields[1]
-                if rtype == "N":
-                    if obj_row is None:
-                        obj_row = rname
-                    else:
-                        free_rows.add(rname)
-                elif rtype in ("L", "G", "E"):
+                if rtype == "N" and obj_row is None:
+                    obj_row = rname
+                elif rtype in ("N", "L", "G", "E"):
+                    # extra N rows are kept as free constraint rows with
+                    # infinite bounds (CoinMpsIO semantics) so row counts,
+                    # names, duals and activities match the reference
                     row_index[rname] = len(row_names)
                     row_names.append(rname)
                     row_types.append(rtype)
+                    if rtype == "N":
+                        free_rows.add(rname)
                 else:
                     raise ValueError(f"bad row type {rtype!r}")
                 continue
@@ -181,8 +183,6 @@ def read_mps(filename: str, into=None, keep_names: bool = True,
                     rname, val = fields[k], float(fields[k + 1])
                     if rname == obj_row:
                         obj_coeffs[j] = obj_coeffs.get(j, 0.0) + val
-                    elif rname in free_rows:
-                        pass  # ignore extra free rows
                     else:
                         i = row_index[rname]
                         ai.append(i)
@@ -199,7 +199,7 @@ def read_mps(filename: str, into=None, keep_names: bool = True,
                     if rname == obj_row:
                         obj_offset = -val
                     elif rname in free_rows:
-                        pass
+                        pass  # RHS on a free row has no effect
                     else:
                         rhs[row_index[rname]] = val
                     k += 2
@@ -240,6 +240,9 @@ def read_mps(filename: str, into=None, keep_names: bool = True,
     row_upper = np.empty(m)
     for i, rt in enumerate(row_types):
         b = rhs.get(i, 0.0)
+        if rt == "N":  # extra free row: never binds
+            row_lower[i], row_upper[i] = -INF, INF
+            continue
         if rt == "L":
             row_lower[i], row_upper[i] = -INF, b
         elif rt == "G":

@@ -61,11 +61,17 @@ class _RedundantRows:
 
 @dataclasses.dataclass
 class _DuplicateRows:
-    """Identical rows: bounds intersect onto the kept row; dups drop with
-    zero dual (their bounds were made redundant by the intersection)."""
+    """Identical rows: bounds intersect onto the kept row; postsolve moves
+    the dual to whichever row's ORIGINAL bound is actually binding
+    (reference: CoinPresolve dupN_action attribution)."""
 
     idx: np.ndarray  # dropped row indices (pre-transform frame)
     kept: np.ndarray  # the surviving duplicate for each dropped row
+    drop_lower: np.ndarray  # dropped rows' own bounds (pre-transform)
+    drop_upper: np.ndarray
+    kept_lower: np.ndarray  # kept rows' bounds BEFORE intersection
+    kept_upper: np.ndarray
+    rows: object = None  # sparse A[kept, :] in the pre-frame (columns match)
 
 
 @dataclasses.dataclass
@@ -258,8 +264,16 @@ def _redundant_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
         min_act = pos @ cl + neg @ cu
     max_act = np.where(np.isnan(max_act), np.inf, max_act)
     min_act = np.where(np.isnan(min_act), -np.inf, min_act)
-    rl, ru = model.row_lower, model.row_upper
-    feas_tol = tol * (1.0 + np.maximum(np.abs(rl), np.abs(ru)))
+    # map the +-1e30 coding to true infinities; the tolerance scale must
+    # only see FINITE bound magnitudes (a 1e30-coded bound would otherwise
+    # blow feas_tol up to ~1e23 and mark infeasible rows redundant)
+    rl = np.where(model.row_lower <= -INF, -np.inf, model.row_lower)
+    ru = np.where(model.row_upper >= INF, np.inf, model.row_upper)
+    fin_mag = np.maximum(
+        np.where(np.isfinite(rl), np.abs(rl), 0.0),
+        np.where(np.isfinite(ru), np.abs(ru), 0.0),
+    )
+    feas_tol = tol * (1.0 + fin_mag)
     if np.any(min_act > ru + feas_tol) or np.any(max_act < rl - feas_tol):
         return None  # infeasible
     redundant = (min_act >= rl - feas_tol) & (max_act <= ru + feas_tol) & (
@@ -294,11 +308,19 @@ def _duplicate_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
         return False
     seen: dict = {}
     drop, kept = [], []
+    drop_lo, drop_up, kept_lo, kept_up = [], [], [], []
+    orig_lo = np.asarray(model.row_lower).copy()
+    orig_up = np.asarray(model.row_upper).copy()
     for i, sig in enumerate(_row_signature(A)):
         if not sig[0]:
             continue  # empty rows handled elsewhere
         if sig in seen:
             k = seen[sig]
+            # record pre-intersection bounds for dual attribution at postsolve
+            drop_lo.append(orig_lo[i])
+            drop_up.append(orig_up[i])
+            kept_lo.append(orig_lo[k])
+            kept_up.append(orig_up[k])
             # intersect bounds onto the kept row
             model.row_lower = model.row_lower.copy()
             model.row_upper = model.row_upper.copy()
@@ -312,7 +334,12 @@ def _duplicate_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
             seen[sig] = i
     if not drop:
         return False
-    tape.append(_DuplicateRows(np.asarray(drop), np.asarray(kept)))
+    tape.append(_DuplicateRows(
+        np.asarray(drop), np.asarray(kept),
+        np.asarray(drop_lo), np.asarray(drop_up),
+        np.asarray(kept_lo), np.asarray(kept_up),
+        rows=A[np.asarray(kept), :].copy(),
+    ))
     keep_rows = np.setdiff1d(np.arange(m), np.asarray(drop))
     model._A = A[keep_rows, :].tocsc()
     model.row_lower = model.row_lower[keep_rows]
@@ -582,61 +609,37 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
             ys = np.zeros(m_before)
             if y is not None:
                 ys[keep] = y
-            y = ys
             if rstat is not None:
                 rs = np.full(m_before, int(VariableStatus.BASIC), dtype=rstat.dtype)
                 rs[keep] = rstat
-                rstat = rs
-        elif isinstance(rec, _DuplicateCols):
-            n_before = x.size + rec.drop.size
-            keep = np.setdiff1d(np.arange(n_before), rec.drop)
-            xs = np.empty(n_before)
-            xs[keep] = x
-            djs = None
-            if dj is not None:
-                djs = np.empty(n_before)
-                djs[keep] = dj
-            cs = None
-            if cstat is not None:
-                cs = np.empty(n_before, dtype=cstat.dtype)
-                cs[keep] = cstat
-            # split each merged value greedily from the lower corner
-            # (identical columns and costs: any feasible split is optimal)
-            for t_i in range(rec.drop.size):
-                jj = int(rec.drop[t_i])
+            else:
+                rs = None
+            # dual attribution: presolve intersected bounds onto the kept
+            # row, so a binding bound may belong to a DROPPED duplicate.
+            # Move the dual to the row whose own original bound is binding
+            # (CoinPresolve dupN_action semantics).
+            sense = model.optimization_direction or 1.0
+            for t_i in range(rec.idx.size):
                 kk = int(rec.kept[t_i])
-                v = xs[kk]
-                lo_k, up_k = rec.kept_lower[t_i], rec.kept_upper[t_i]
-                lo_j, up_j = rec.drop_lower[t_i], rec.drop_upper[t_i]
-                xk = min(max(v - lo_j, lo_k), up_k if up_k < INF else v - lo_j)
-                xj = v - xk
-                xj = min(max(xj, lo_j), up_j if up_j < INF else xj)
-                xk = v - xj
-                xs[kk] = xk
-                xs[jj] = xj
-                if djs is not None:
-                    djs[jj] = djs[kk]
-                if cs is not None:
-                    tol_j = 1e-7 * (1 + abs(xj))
-                    if abs(xj - lo_j) <= tol_j:
-                        cs[jj] = int(VariableStatus.AT_LOWER)
-                    elif up_j < INF and abs(xj - up_j) <= tol_j:
-                        cs[jj] = int(VariableStatus.AT_UPPER)
-                    else:
-                        cs[jj] = int(VariableStatus.BASIC)
-            x = xs
-            dj = djs
-            cstat = cs
-        elif isinstance(rec, _DuplicateRows):
-            m_before = (0 if y is None else y.size) + rec.idx.size
-            keep = np.setdiff1d(np.arange(m_before), rec.idx)
-            ys = np.zeros(m_before)
-            if y is not None:
-                ys[keep] = y
+                ii = int(rec.idx[t_i])
+                yk = ys[kk]
+                if abs(yk) <= 1e-11 or rec.rows is None:
+                    continue
+                act = float((rec.rows[t_i] @ x)[0])
+                at_lower = yk * sense > 0  # min: y>0 <=> lower bound active
+                own_bnd = rec.kept_lower[t_i] if at_lower else rec.kept_upper[t_i]
+                dup_bnd = rec.drop_lower[t_i] if at_lower else rec.drop_upper[t_i]
+                tol_b = 1e-7 * (1.0 + abs(act))
+                if abs(act - own_bnd) <= tol_b:
+                    continue  # kept row's own bound is binding: dual stays
+                if abs(act - dup_bnd) <= tol_b:
+                    ys[ii] = yk
+                    ys[kk] = 0.0
+                    if rs is not None:
+                        rs[ii] = rs[kk]
+                        rs[kk] = int(VariableStatus.BASIC)
             y = ys
-            if rstat is not None:
-                rs = np.full(m_before, int(VariableStatus.BASIC), dtype=rstat.dtype)
-                rs[keep] = rstat
+            if rs is not None:
                 rstat = rs
         elif isinstance(rec, _DuplicateCols):
             n_before = x.size + rec.drop.size
@@ -786,6 +789,7 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 rr[keep] = ray
                 ray = rr
             elif isinstance(rec, _Doubleton):
+                m_before = ray.size + 1
                 keep = np.setdiff1d(np.arange(m_before), [rec.row])
                 rr = np.zeros(m_before)
                 rr[keep] = ray

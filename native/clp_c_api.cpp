@@ -61,6 +61,17 @@ PyObject *np_array_1d(const double *data, long long n) {
   return lst;
 }
 
+PyObject *np_array_1d_or(const double *data, long long n, double dflt) {
+  // Like np_array_1d but accepts NULL rim pointers with a fill default
+  // (reference: Clp_loadProblem accepts NULL collb/colub/obj/rowlb/rowub,
+  // Clp_C_Interface.cpp loadProblem defaults).
+  if (data) return np_array_1d(data, n);
+  PyObject *lst = PyList_New(n);
+  for (long long i = 0; i < n; ++i)
+    PyList_SET_ITEM(lst, i, PyFloat_FromDouble(dflt));
+  return lst;
+}
+
 int copy_out(PyObject *seq_obj, double *out, int len) {
   if (!seq_obj || seq_obj == Py_None) return -1;
   PyObject *fast = PySequence_Fast(seq_obj, "expected a sequence");
@@ -183,11 +194,13 @@ int ClpTpu_loadProblem(ClpTpuModel *model, int numcols, int numrows,
     report_if_error();
     return 1;
   }
-  PyObject *cl = np_array_1d(collb, numcols);
-  PyObject *cu = np_array_1d(colub, numcols);
-  PyObject *ob = np_array_1d(obj, numcols);
-  PyObject *rl = np_array_1d(rowlb, numrows);
-  PyObject *ru = np_array_1d(rowub, numrows);
+  // NULL rim pointers take the reference's defaults (Clp_loadProblem):
+  // collb=0, colub=+inf, obj=0, rowlb=-inf, rowub=+inf
+  PyObject *cl = np_array_1d_or(collb, numcols, 0.0);
+  PyObject *cu = np_array_1d_or(colub, numcols, 1e30);
+  PyObject *ob = np_array_1d_or(obj, numcols, 0.0);
+  PyObject *rl = np_array_1d_or(rowlb, numrows, -1e30);
+  PyObject *ru = np_array_1d_or(rowub, numrows, 1e30);
   PyObject *r = PyObject_CallMethod(h->model, "load_problem", "OOOOOO", A, cl,
                                     cu, ob, rl, ru);
   Py_DECREF(A);

@@ -44,7 +44,7 @@ struct Parser {
   std::vector<uint8_t> is_integer;
   double obj_offset = 0.0;
   bool maximize = false;
-  std::unordered_map<std::string, char> free_rows;  // extra N rows: ignored
+  std::unordered_map<std::string, char> free_rows;  // extra N rows (free)
 };
 
 int64_t col_of(Parser& p, const std::string& name) {
@@ -180,12 +180,12 @@ int clptpu_read_mps(const char* path, ClpTpuMps* out) {
         if (nf < 2) { rc = 2; break; }
         char t = std::toupper(static_cast<unsigned char>(fl[0][0]));
         std::string rname(fl[1]);
-        if (t == 'N') {
-          if (p.obj_row.empty())
-            p.obj_row = rname;
-          else
-            p.free_rows.emplace(rname, 'N');
-        } else if (t == 'L' || t == 'G' || t == 'E') {
+        if (t == 'N' && p.obj_row.empty()) {
+          p.obj_row = rname;
+        } else if (t == 'N' || t == 'L' || t == 'G' || t == 'E') {
+          // extra N rows are kept as free constraint rows with infinite
+          // bounds (CoinMpsIO semantics) so counts/names/duals match
+          if (t == 'N') p.free_rows.emplace(rname, 'N');
           p.row_index.emplace(rname, static_cast<int64_t>(p.row_names.size()));
           p.row_names.push_back(rname);
           p.row_type.push_back(t);
@@ -213,8 +213,6 @@ int clptpu_read_mps(const char* path, ClpTpuMps* out) {
           double v = std::strtod(fl[k + 1], nullptr);
           if (rname == p.obj_row) {
             p.obj[j] += v;
-          } else if (p.free_rows.count(rname)) {
-            // ignored free row
           } else {
             auto it = p.row_index.find(rname);
             if (it == p.row_index.end()) { rc = 2; break; }
@@ -341,12 +339,13 @@ int clptpu_read_mps(const char* path, ClpTpuMps* out) {
     double b = p.rhs[i];
     double lo, up;
     switch (p.row_type[i]) {
+      case 'N': lo = -kInf; up = kInf; break;  // free row: never binds
       case 'L': lo = -kInf; up = b; break;
       case 'G': lo = b; up = kInf; break;
       default:  lo = b; up = b; break;  // E
     }
     double r = p.range[i];
-    if (!std::isnan(r)) {
+    if (p.row_type[i] != 'N' && !std::isnan(r)) {
       if (p.row_type[i] == 'L') lo = b - std::fabs(r);
       else if (p.row_type[i] == 'G') up = b + std::fabs(r);
       else if (r >= 0) up = b + r;

@@ -47,6 +47,24 @@ int main(void) {
     fprintf(stderr, "WRONG ANSWER\n");
     return 1;
   }
+
+  /* NULL rim pointers must take Clp defaults (collb=0, colub=+inf, obj=0,
+   * rowlb=-inf, rowub=+inf) instead of segfaulting. */
+  ClpTpuModel *m2 = ClpTpu_newModel();
+  if (!m2) return 2;
+  if (ClpTpu_loadProblem(m2, 2, 2, start, index, value, NULL, NULL, NULL,
+                         NULL, rowub) != 0) {
+    fprintf(stderr, "NULL-rim loadProblem failed\n");
+    return 2;
+  }
+  int st2 = ClpTpu_dual(m2); /* zero objective: any feasible point, obj 0 */
+  double ov2 = ClpTpu_objectiveValue(m2);
+  ClpTpu_deleteModel(m2);
+  if (st2 != 0 || fabs(ov2) > 1e-9) {
+    fprintf(stderr, "NULL-rim WRONG ANSWER status=%d obj=%g\n", st2, ov2);
+    return 1;
+  }
+
   printf("C API test OK\n");
   return 0;
 }

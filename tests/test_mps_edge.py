@@ -49,12 +49,18 @@ def _write(tmp_path, text):
 def test_edge_semantics(tmp_path):
     path = _write(tmp_path, EDGE)
     m = read_mps(path, use_native=False)
-    assert m.num_rows == 3  # FREEROW (extra N row) ignored
+    # FREEROW (extra N row) kept as a free constraint row (CoinMpsIO semantics)
+    assert m.num_rows == 4
     assert m.num_cols == 3
     assert m.optimization_direction == -1.0  # OBJSENSE MAX
     # RHS on the objective row: offset = -(-3.5) = 3.5
     assert abs(m.objective_offset - 3.5) < 1e-12
-    names = dict(zip(m.row_names, range(3)))
+    names = dict(zip(m.row_names, range(m.num_rows)))
+    # FREEROW: infinite bounds, coefficient preserved
+    i = names["FREEROW"]
+    assert m.row_lower[i] <= -INF and m.row_upper[i] >= INF
+    cj0 = dict(zip(m.col_names, range(3)))
+    assert m.matrix[i, cj0["X1"]] == 9.9
     # LIM1 (L, rhs 4, range 2): [2, 4]
     i = names["LIM1"]
     assert m.row_lower[i] == 2.0 and m.row_upper[i] == 4.0
@@ -137,3 +143,22 @@ def test_crlf_and_tabs(tmp_path):
         assert mn is not None
         assert mn.objective.tolist() == [2.0, 3.0]
         assert mn.row_upper.tolist() == [4.0]
+
+
+def test_free_row_roundtrip(tmp_path):
+    """write_mps emits free rows as N rows; read_mps must keep them so the
+    round-trip is lossless (ADVICE round-1 medium finding)."""
+    from clp_tpu.io.mps import write_mps
+
+    path = _write(tmp_path, EDGE)
+    m1 = read_mps(path, use_native=False)
+    out = str(tmp_path / "rt.mps")
+    write_mps(m1, out)
+    m2 = read_mps(out, use_native=False)
+    assert m2.num_rows == m1.num_rows
+    assert m2.row_names == m1.row_names
+    np.testing.assert_allclose(
+        np.asarray(m2.matrix.todense()), np.asarray(m1.matrix.todense())
+    )
+    np.testing.assert_allclose(m2.row_lower, m1.row_lower)
+    np.testing.assert_allclose(m2.row_upper, m1.row_upper)

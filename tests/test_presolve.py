@@ -165,3 +165,51 @@ def test_duplicate_col_shrinks():
                      upper=[base.col_upper[0]], objective=[base.objective[0]])
     red, info = presolve(base, PresolveOptions())
     assert red.num_cols <= base.num_cols - 1
+
+
+def test_duplicate_row_dual_attribution():
+    """When the binding bound came from a DROPPED duplicate, the dual must
+    land on that row, not the kept one (CoinPresolve dupN_action semantics;
+    ADVICE round-1 medium finding)."""
+    model = Model()
+    A = sp.csc_matrix(np.array([[1.0, 1.0], [1.0, 1.0]]))
+    model.load_problem(
+        A,
+        col_lower=[0.0, 0.0],
+        col_upper=[4.0, 4.0],
+        objective=[-1.0, -1.0],  # maximize x + y
+        row_lower=[-INF, -INF],
+        row_upper=[10.0, 5.0],  # row 1 (the duplicate) carries the tight bound
+    )
+    sol = model.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - (-5.0)) < 1e-7
+    # the tight row is row 1: dual lives there, row 0 inactive with zero dual
+    assert abs(sol.duals[0]) < 1e-9
+    assert abs(sol.duals[1] + 1.0) < 1e-7
+    rep = check_kkt(model)
+    assert rep.ok, str(rep)
+
+
+def test_infeasible_ray_postsolve_with_doubleton():
+    """Farkas-ray extension through a tape containing a doubleton record
+    must not crash (ADVICE round-1 high finding: stale/undefined m_before)."""
+    model = Model()
+    # x + y = 4 is a doubleton equality (x gets substituted out);
+    # the rest is infeasible: y + z >= 10 with y <= 2, z <= 3.
+    A = sp.csc_matrix(np.array([
+        [1.0, 1.0, 0.0],   # x + y = 4
+        [0.0, 1.0, 1.0],   # y + z >= 10
+    ]))
+    model.load_problem(
+        A,
+        col_lower=[0.0, 0.0, 0.0],
+        col_upper=[10.0, 2.0, 3.0],
+        objective=[1.0, 1.0, 1.0],
+        row_lower=[4.0, 10.0],
+        row_upper=[4.0, INF],
+    )
+    sol = model.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
+    if sol.infeasibility_ray is not None:
+        assert sol.infeasibility_ray.shape == (model.num_rows,)
