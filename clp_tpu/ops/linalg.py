@@ -110,14 +110,111 @@ def gauss_jordan_inverse(B: jnp.ndarray) -> jnp.ndarray:
     return aug[:, m:]
 
 
-def lu_refactor(B: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def blocked_lu(A: jnp.ndarray, block: int = 128):
+    """Right-looking blocked LU with partial pivoting, pure jnp.
+
+    LAPACK getrf structure mapped to TPU constraints (static shapes, no f64
+    LuDecomposition kernel on the device): the inner panel loop does b
+    sequential steps of O(m*b) work each (vs the old Gauss-Jordan's m steps
+    of O(m^2)), and everything outside the panel is b-wide TRSM + one
+    (m,b)x(b,m) MXU matmul per panel — the CoinAbc family's blocked design
+    (CoinAbcBaseFactorization.hpp:418-554) re-expressed as dense tiles.
+
+    Returns (LU, perm) where LU packs unit-lower L below the diagonal and U
+    on/above it, and perm is the row permutation such that A[perm] = L @ U.
+    """
+    m = A.shape[-1]
+    b = min(block, m)
+    nb = -(-m // b)  # ceil
+    mpad = nb * b
+    if mpad != m:
+        # pad with identity so every panel has static width b
+        Ap = jnp.zeros((mpad, mpad), A.dtype)
+        Ap = Ap.at[:m, :m].set(A)
+        Ap = Ap.at[jnp.arange(m, mpad), jnp.arange(m, mpad)].set(1.0)
+        A = Ap
+    M = A.shape[-1]
+    rows = jnp.arange(M)
+    perm = rows
+
+    def panel_step(j, carry):
+        A, perm, pb = carry
+        r = pb + j
+        col = A[:, pb + j]
+        # partial pivot among rows >= r
+        cand = jnp.where(rows >= r, jnp.abs(col), -jnp.inf)
+        p = jnp.argmax(cand)
+        # swap rows r and p (full width) + perm entries
+        rowr = jax.lax.dynamic_slice(A, (r, 0), (1, M))
+        rowp = jax.lax.dynamic_slice(A, (p, 0), (1, M))
+        A = jax.lax.dynamic_update_slice(A, rowr, (p, 0))
+        A = jax.lax.dynamic_update_slice(A, rowp, (r, 0))
+        pr, pp = perm[r], perm[p]
+        perm = perm.at[r].set(pp).at[p].set(pr)
+        piv = A[r, pb + j]
+        # multipliers below the diagonal, stored in place
+        colv = A[:, pb + j]
+        l = jnp.where(rows > r, colv / piv, colv)
+        A = A.at[:, pb + j].set(l)
+        # eliminate within the remaining panel columns only
+        panel = jax.lax.dynamic_slice(A, (0, pb), (M, b))
+        prow = jax.lax.dynamic_slice(A, (r, pb), (1, b))
+        cmask = (jnp.arange(b) > j).astype(A.dtype)
+        lmask = jnp.where(rows > r, l, 0.0)
+        panel = panel - jnp.outer(lmask, prow[0] * cmask)
+        A = jax.lax.dynamic_update_slice(A, panel, (0, pb))
+        return A, perm, pb
+
+    def block_step(k, carry):
+        A, perm = carry
+        pb = k * b
+        A, perm, _ = jax.lax.fori_loop(0, b, panel_step, (A, perm, pb))
+        # TRSM: U12 = L11^{-1} @ A[pb:pb+b, pb+b:]  (unit-lower L11)
+        L11 = jax.lax.dynamic_slice(A, (pb, pb), (b, b))
+        L11 = jnp.tril(L11, -1) + jnp.eye(b, dtype=A.dtype)
+        rowblk = jax.lax.dynamic_slice(A, (pb, 0), (b, M))
+        right = (jnp.arange(M) >= pb + b).astype(A.dtype)
+        solved = jax.scipy.linalg.solve_triangular(
+            L11, rowblk * right, lower=True, unit_diagonal=True
+        )
+        rowblk = rowblk * (1.0 - right) + solved * right
+        A = jax.lax.dynamic_update_slice(A, rowblk, (pb, 0))
+        # trailing update: A22 -= L21 @ U12 (masked full-shape MXU matmul)
+        colblk = jax.lax.dynamic_slice(A, (0, pb), (M, b))
+        below = (rows >= pb + b).astype(A.dtype)
+        L21 = colblk * below[:, None]
+        U12 = rowblk * right
+        A = A - (L21 @ U12) * below[:, None] * right[None, :]
+        return A, perm
+
+    A, perm = jax.lax.fori_loop(0, nb, block_step, (A, perm))
+    return A[:m, :m], perm[:m] if mpad == m else perm[:m]
+
+
+def blocked_inverse(B: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """Explicit inverse via blocked LU + two triangular solves.
+
+    B^{-1} = U^{-1} L^{-1} P: both solves are XLA TriangularSolve (blocked
+    internally, f64-capable on TPU), so only the b-wide panel loop is
+    sequential.
+    """
+    m = B.shape[-1]
+    LU, perm = blocked_lu(B, block)
+    L = jnp.tril(LU, -1) + jnp.eye(m, dtype=B.dtype)
+    U = jnp.triu(LU)
+    Pm = jnp.zeros((m, m), B.dtype).at[jnp.arange(m), perm].set(1.0)
+    Y = jax.scipy.linalg.solve_triangular(L, Pm, lower=True, unit_diagonal=True)
+    return jax.scipy.linalg.solve_triangular(U, Y, lower=False)
+
+
+def lu_refactor(B: jnp.ndarray, block: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dense factorization of a basis matrix, returning (Binv, ok_flag).
 
     The simplex engine maintains an explicit inverse updated by rank-1
     product-form transforms each pivot; this is the periodic from-scratch
     refactorization (reference cadence: ClpFactorization::timeToRefactorize,
     ClpFactorization.cpp:1524). On CPU, XLA's f64 LU is used; on TPU
-    backends (no f64 LuDecomposition kernel) the Gauss-Jordan path runs.
+    backends (no f64 LuDecomposition kernel) the blocked-panel LU runs.
     """
     if jax.devices()[0].platform == "cpu":
         lu, piv = jax.scipy.linalg.lu_factor(B)
@@ -125,6 +222,6 @@ def lu_refactor(B: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         eye = jnp.eye(n, dtype=B.dtype)
         Binv = jax.scipy.linalg.lu_solve((lu, piv), eye)
     else:
-        Binv = gauss_jordan_inverse(B)
+        Binv = blocked_inverse(B, block)
     ok = jnp.all(jnp.isfinite(Binv))
     return Binv, ok
