@@ -7,10 +7,16 @@ computes alpha = rho' G and immediately feeds the Harris pass-1 ratio scan
 HBM and emits both the tableau row and the relaxed ratios — bandwidth is
 the binding resource for this step on TPU.
 
-The kernel tiles over column blocks: each program computes
-    alpha_tile   = rho @ G[:, tile]          (MXU)
+The kernel is gridded over column tiles: program i streams G[:, tile_i]
+HBM->VMEM (the pallas pipeline double-buffers automatically) and computes
+    alpha_tile   = rho @ G[:, tile]                (MXU)
     ratio_tile   = (dj + sgn*rel) / (sigma*alpha)  masked by eligibility
 Global argmin/argmax reductions stay outside (they're O(nt) on the VPU).
+
+Precision: Mosaic has no f64, so pricing runs in f32 on the MXU with
+HIGHEST precision; the engine re-verifies the chosen pivot against the f64
+FTRAN value, so reduced pricing precision costs at most an extra pivot,
+never correctness (see SimplexOptions.use_pallas_price in simplex/engine).
 
 Falls back to plain jnp on CPU (pallas interpret mode is used in tests).
 """
@@ -26,41 +32,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_price_kernel(block_n: int, n_tiles: int):
-    """Gridless kernel: the Mosaic toolchain in this environment cannot
-    legalize grid kernels (func.return legalization failure), so the tile
-    loop lives inside one program as a fori_loop over pl.ds slices.
-    Stacked output: row 0 alpha, row 1 relaxed ratio."""
-
-    def kernel(scal_ref, rho_ref, g_ref, dj_ref, elig_ref, sgn_ref, out_ref):
-        sigma = scal_ref[0, 0]
-        rel = scal_ref[0, 1]
-        ptol = scal_ref[0, 2]
-        rho = rho_ref[:]
-
-        # statically unrolled tile loop: this Mosaic build rejects both grid
-        # kernels and fori_loop-indexed dynamic slices, but compiles static
-        # slices fine (n_tiles is trace-time constant)
-        for i in range(n_tiles):
-            sl = pl.ds(i * block_n, block_n)
-            g = g_ref[:, sl]
-            # alpha_tile = rho @ G_tile — (1, m) x (m, T) on the MXU.
-            # HIGHEST precision: the MXU's default single-pass bf16 rounding
-            # (~1e-2 relative) is too coarse for ratio-test eligibility.
-            alpha = jnp.dot(
-                rho, g, preferred_element_type=g.dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            out_ref[0:1, sl] = alpha
-            a = sigma * alpha
-            sgn = sgn_ref[0:1, sl]
-            elig = (elig_ref[0:1, sl] != 0) & (jnp.abs(a) > ptol) & (sgn * a > 0)
-            safe_a = jnp.where(elig, a, 1.0)
-            out_ref[1:2, sl] = jnp.where(
-                elig, (dj_ref[0:1, sl] + sgn * rel) / safe_a, jnp.inf
-            )
-
-    return kernel
+def _price_kernel(scal_ref, rho_ref, g_ref, dj_ref, elig_ref, sgn_ref, out_ref):
+    """One program per column tile; all tensor refs are VMEM tiles."""
+    sigma = scal_ref[0, 0]
+    rel = scal_ref[0, 1]
+    ptol = scal_ref[0, 2]
+    # alpha_tile = rho @ G_tile — (1, m) x (m, T) on the MXU.
+    # HIGHEST precision: the MXU's default single-pass bf16 rounding
+    # (~1e-2 relative) is too coarse for ratio-test eligibility.
+    alpha = jnp.dot(
+        rho_ref[...],
+        g_ref[...],
+        preferred_element_type=g_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[0:1, :] = alpha
+    a = sigma * alpha
+    sgn = sgn_ref[...]
+    elig = (elig_ref[...] != 0) & (jnp.abs(a) > ptol) & (sgn * a > 0)
+    safe_a = jnp.where(elig, a, 1.0)
+    out_ref[1:2, :] = jnp.where(elig, (dj_ref[...] + sgn * rel) / safe_a, jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
@@ -68,22 +59,23 @@ def price_and_ratios(rho, G, dj, elig_mask, sgn, sigma, rel, ptol,
                      block_n: int = 512, interpret: bool = False):
     """Fused alpha = rho'G and Harris pass-1 relaxed ratios.
 
+    G may be f32 (preferred: pass a loop-invariant f32 copy so the cast is
+    not re-done per pivot) or f64 (cast here). rho/dj/sgn/sigma/rel are cast
+    to G's compute dtype.
+
     elig_mask: int8/bool — candidate nonbasic in the right direction class
     sgn: +1.0 for at-lower candidates, -1.0 for at-upper.
-    Returns (alpha[nt], relaxed_ratio[nt]).
+    Returns (alpha[nt], relaxed_ratio[nt]) in f64 (or G's dtype if f32 in).
     """
     m, nt = G.shape
-    out_dtype = G.dtype
+    out_dtype = jnp.result_type(rho.dtype, G.dtype)
     if G.dtype == jnp.float64:
-        # Mosaic has no f64: pricing runs in f32 (the engine re-verifies the
-        # chosen pivot against the f64 FTRAN, so reduced pricing precision
-        # costs at most an extra pivot, never correctness)
+        # Mosaic has no f64: pricing runs in f32
         G = G.astype(jnp.float32)
-        rho = rho.astype(jnp.float32)
-        dj = dj.astype(jnp.float32)
-        sgn = sgn.astype(jnp.float32)
-        sigma = sigma.astype(jnp.float32)
-        rel = rel.astype(jnp.float32)
+    cdt = G.dtype
+    rho = rho.astype(cdt)
+    dj = dj.astype(cdt)
+    sgn = sgn.astype(cdt)
     if nt % block_n:
         pad = block_n - nt % block_n
         G = jnp.pad(G, ((0, 0), (0, pad)))
@@ -91,28 +83,38 @@ def price_and_ratios(rho, G, dj, elig_mask, sgn, sigma, rel, ptol,
         elig_mask = jnp.pad(elig_mask.astype(jnp.int32), (0, pad))
         sgn = jnp.pad(sgn, (0, pad), constant_values=1.0)
     else:
-        pad = 0
         elig_mask = elig_mask.astype(jnp.int32)
     ntp = G.shape[1]
-    scal = jnp.stack([sigma, rel, jnp.asarray(ptol, G.dtype)]).reshape(1, 3)
+    scal = jnp.stack(
+        [jnp.asarray(sigma, cdt), jnp.asarray(rel, cdt), jnp.asarray(ptol, cdt)]
+    ).reshape(1, 3)
     rho2 = rho.reshape(1, m)
     dj2 = dj.reshape(1, ntp)
     elig2 = elig_mask.reshape(1, ntp)
     sgn2 = sgn.reshape(1, ntp)
 
     n_tiles = ntp // block_n
+    # index maps must return int32: under jax_enable_x64 the default i64
+    # block indices hit a Mosaic legalization failure (func.return on i64)
+    def _fixed(i):
+        return (jnp.int32(0), jnp.int32(0))
+
+    def _tile(i):
+        return (jnp.int32(0), jnp.asarray(i, jnp.int32))
+
     out = pl.pallas_call(
-        _make_price_kernel(block_n, n_tiles),
+        _price_kernel,
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 3), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), _fixed, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m), _fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, block_n), _tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), _tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), _tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), _tile, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, ntp), G.dtype),
+        out_specs=pl.BlockSpec((2, block_n), _tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, ntp), cdt),
         interpret=interpret,
     )(scal, rho2, G, dj2, elig2, sgn2)
     alpha = out[0, :nt].astype(out_dtype)

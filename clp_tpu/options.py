@@ -54,6 +54,10 @@ class SolveOptions:
     crossover: bool = True
     # numerics
     dtype: str = "float64"
+    # fused Pallas PRICE kernel for the dual simplex (f32 MXU pricing,
+    # f64 pivot verification). "auto" = on when running on real TPU
+    # hardware, off elsewhere; True/False force it.
+    use_pallas_price: object = "auto"
     # batching / sharding (TPU-native, no reference analogue)
     mesh_axis: str = "scenario"
     devices: Optional[object] = None  # explicit jax devices / Mesh

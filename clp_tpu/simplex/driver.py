@@ -367,6 +367,15 @@ def simplex_solve(
     max_iter = options.max_iterations or model.maximum_iterations
     max_iter = int(min(max_iter, 50 * (m + n) + 10000))
 
+    if options.use_pallas_price == "auto":
+        import jax as _jax
+
+        # pay off threshold: kernel dispatch overhead beats the f64 PRICE
+        # only at real scale on real hardware
+        use_pallas = _jax.default_backend() == "tpu" and m * nt >= 512 * 1024
+    else:
+        use_pallas = bool(options.use_pallas_price)
+
     def make_opts(dual_bound: float) -> SimplexOptions:
         return SimplexOptions(
             primal_tolerance=model.primal_tolerance,
@@ -376,6 +385,7 @@ def simplex_solve(
             max_iterations=max_iter,
             dual_pivot="dantzig" if options.dual_pivot == "dantzig" else "steepest",
             primal_pivot="dantzig" if options.primal_pivot == "dantzig" else "devex",
+            use_pallas_price=use_pallas,
         )
 
     opts = make_opts(DUAL_BOUND_DEFAULT)

@@ -60,6 +60,12 @@ class SimplexOptions:
     # ClpPrimalColumnSteepest etc. — here a static branch in the kernel)
     dual_pivot: str = "steepest"  # "steepest" | "dantzig"
     primal_pivot: str = "devex"  # "devex" | "dantzig"
+    # fused Pallas PRICE kernel (f32 MXU pricing + f64 pivot verification;
+    # reference hot path: ClpPackedMatrix::transposeTimesByRow,
+    # ClpPackedMatrix.cpp:706-1307). Off by default: it pays off on TPU at
+    # netlib scale; the CPU/test path uses the plain f64 contraction.
+    use_pallas_price: bool = False
+    price_block_n: int = 512
 
 
 @jax.tree_util.register_dataclass
@@ -124,8 +130,18 @@ def _basic_bounds(lp: StandardLP, basis):
 # --------------------------------------------------------------------------
 
 
-def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
-    """One dual pivot: price row -> BTRAN -> ratio test -> FTRAN -> update."""
+def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
+                   G32=None):
+    """One dual pivot: price row -> BTRAN -> ratio test -> FTRAN -> update.
+
+    When opts.use_pallas_price, PRICE + the Harris pass-1 scan run fused in
+    f32 on the MXU (ops/pallas_price.py) against a loop-invariant f32 copy
+    of G (`G32`); the chosen pivot is verified against the f64 FTRAN value
+    so pricing precision never affects correctness — only, at worst, the
+    pivot choice (an extra iteration). This is the TPU-native counterpart
+    of the reference's ABOCA_LITE data-parallel PRICE
+    (ClpPackedMatrix.cpp:337-406).
+    """
     G = lp.G
     m, nt = G.shape
     ptol = opts.primal_tolerance
@@ -148,25 +164,50 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     any_infeas = jnp.any(cand)
     sigma = jnp.where(above[r] > below[r], 1.0, -1.0)  # +1: leaves at upper
 
-    # --- BTRAN row + PRICE ---
+    # --- BTRAN row + PRICE (+ fused Harris pass 1 when on the MXU) ---
     rho = state.binv[r, :]
-    alpha = rho @ G  # tableau row r over all variables
-
     at_lo = state.vstat == AT_LOWER
     at_up = state.vstat == AT_UPPER
-    a = sigma * alpha
-    elig = (at_lo & (a > opts.pivot_tolerance)) | (at_up & (a < -opts.pivot_tolerance))
     # fixed variables (l == u) can never usefully enter
     fixed = jnp.take(lp.l, jnp.arange(nt)) == jnp.take(lp.u, jnp.arange(nt))
-    elig = elig & ~fixed
-
-    # --- Harris two-pass dual ratio test (dualColumn0 equivalent) ---
     sgn = jnp.where(at_lo, 1.0, -1.0)
     rel = opts.harris_tolerance_frac * dtol
+
+    if opts.use_pallas_price:
+        from ..ops.pallas_price import price_and_ratios
+
+        cand_dir = (at_lo | at_up) & ~fixed
+        alpha, theta_relaxed = price_and_ratios(
+            rho, lp.G if G32 is None else G32, state.dj, cand_dir, sgn,
+            sigma, rel, opts.pivot_tolerance,
+            block_n=opts.price_block_n,
+            interpret=jax.default_backend() != "tpu",
+        )
+        alpha = alpha.astype(G.dtype)
+        a = sigma * alpha
+        elig = (at_lo & (a > opts.pivot_tolerance)) | (
+            at_up & (a < -opts.pivot_tolerance)
+        )
+        elig = elig & ~fixed
+        theta_relaxed = jnp.where(elig, theta_relaxed.astype(G.dtype), jnp.inf)
+    else:
+        alpha = rho @ G  # tableau row r over all variables
+        a = sigma * alpha
+        elig = (at_lo & (a > opts.pivot_tolerance)) | (
+            at_up & (a < -opts.pivot_tolerance)
+        )
+        elig = elig & ~fixed
+        safe_a0 = jnp.where(elig, a, 1.0)
+        theta_relaxed = jnp.where(elig, (state.dj + sgn * rel) / safe_a0, jnp.inf)
+
+    # --- Harris two-pass dual ratio test (dualColumn0 equivalent) ---
     safe_a = jnp.where(elig, a, 1.0)
-    theta_relaxed = jnp.where(elig, (state.dj + sgn * rel) / safe_a, jnp.inf)
     theta_max = jnp.min(theta_relaxed, initial=jnp.inf)
     theta_true = jnp.where(elig, state.dj / safe_a, jnp.inf)
+    # in exact arithmetic min(theta_true) <= theta_max always; under f32
+    # pricing the relaxed minimum can undershoot and empty the window, so
+    # clamp to keep the true-min column inside (exact-mode no-op)
+    theta_max = jnp.maximum(theta_max, jnp.min(theta_true, initial=jnp.inf))
     in_window = elig & (theta_true <= theta_max)
     pivot_mag = jnp.where(in_window, jnp.abs(a), -jnp.inf)
     q = jnp.argmax(pivot_mag)
@@ -176,8 +217,11 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     abar = state.binv @ G[:, q]
     alpha_rq = alpha[q]
     abar_r = abar[r]
-    # accuracy cross-check (reference: dual checks alpha vs ftran value)
-    acc_bad = jnp.abs(alpha_rq - abar_r) > 1e-8 * (1.0 + jnp.abs(abar_r))
+    # accuracy cross-check (reference: dual checks alpha vs ftran value).
+    # f32 pricing widens the acceptable discrepancy; the f64 abar_r is the
+    # value actually used for the pivot either way.
+    acc_tol = 2e-4 if opts.use_pallas_price else 1e-8
+    acc_bad = jnp.abs(alpha_rq - abar_r) > acc_tol * (1.0 + jnp.abs(abar_r))
     piv_small = jnp.abs(abar_r) < opts.pivot_tolerance
 
     # --- bound flips (ClpSimplexDual flipBounds :6345): candidates whose
@@ -193,7 +237,13 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     flip = elig & both_fin & (theta_true < theta_q - 1e-12) & (idx != q)
     width = lp.u - lp.l
     flip_delta = jnp.where(flip, jnp.where(at_lo, width, -width), 0.0)
-    flow = state.binv @ (G @ flip_delta)  # effect of all flips on x_B
+    # effect of all flips on x_B; most pivots flip nothing, so skip the
+    # two large matvecs then (under vmap this lowers to a select — no loss)
+    flow = jax.lax.cond(
+        jnp.any(flip),
+        lambda: state.binv @ (G @ flip_delta),
+        lambda: jnp.zeros_like(state.xb),
+    )
 
     # --- primal step: leaving variable lands on its violated bound,
     # after accounting for the flip flow ---
@@ -203,7 +253,9 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     xq_new = xq_old + delta_q
 
     # --- dual step + dj update ---
-    theta_d = state.dj[q] / alpha_rq
+    # the f64 FTRAN value abar_r is the authoritative pivot element
+    # (alpha[q] may be f32-precision when Pallas pricing is on)
+    theta_d = state.dj[q] / abar_r
     dj_new = state.dj - theta_d * alpha
     dj_new = dj_new.at[q].set(0.0)
     p_leave = state.basis[r]
@@ -212,10 +264,10 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     # --- DSE weight update (Forrest-Goldfarb) ---
     tau = state.binv @ rho
     wr = jnp.maximum(state.weights[r], 1e-50)
-    ratio = abar / alpha_rq
+    ratio = abar / abar_r
     w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr
     w_new = jnp.maximum(w_new, 1e-8)
-    w_new = w_new.at[r].set(jnp.maximum(wr / (alpha_rq * alpha_rq), 1e-8))
+    w_new = w_new.at[r].set(jnp.maximum(wr / (abar_r * abar_r), 1e-8))
 
     # --- basis inverse product-form update ---
     factor = abar / abar_r
@@ -544,9 +596,17 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
     return state
 
 
+def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
+    """Dual iteration closure; hoists the f32 G copy out of the pivot loop."""
+    if opts.use_pallas_price:
+        G32 = lp.G.astype(jnp.float32)
+        return partial(dual_iteration, G32=G32)
+    return dual_iteration
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def dual_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
-    return _run_loop(lp, state, opts, dual_iteration, _verify_dual_claim)
+    return _run_loop(lp, state, opts, _dual_iteration_fn(lp, opts), _verify_dual_claim)
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -601,7 +661,7 @@ def _one_chunk(lp, state, opts, iteration_fn, verify_fn):
 
 @partial(jax.jit, static_argnames=("opts",))
 def dual_chunk(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
-    return _one_chunk(lp, state, opts, dual_iteration, _verify_dual_claim)
+    return _one_chunk(lp, state, opts, _dual_iteration_fn(lp, opts), _verify_dual_claim)
 
 
 @partial(jax.jit, static_argnames=("opts",))

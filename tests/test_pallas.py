@@ -33,3 +33,34 @@ def test_price_kernel_matches_reference():
     np.testing.assert_allclose(
         r_ker_np[both_finite], r_ref_np[both_finite], rtol=2e-4, atol=2e-4
     )
+
+
+def test_dual_engine_with_pallas_price_matches_plain():
+    """Full dual-simplex solve with the fused PRICE kernel (interpret mode)."""
+    from clp_tpu.forms import to_standard_form
+    from clp_tpu.simplex import engine
+    from clp_tpu.utils.generators import random_lp
+
+    model = random_lp(10, 16, seed=3)
+    lp, _ = to_standard_form(model)
+    base = engine.SimplexOptions(max_iterations=500)
+    pal = engine.SimplexOptions(max_iterations=500, use_pallas_price=True,
+                                price_block_n=128)
+
+    def solve(opts):
+        st = engine.initial_state(lp, opts)
+        st = engine.recompute(lp, st, opts.dual_bound)
+        st = engine.make_dual_feasible(lp, st, opts)
+        return engine.dual_solve(lp, st, opts)
+
+    s0 = solve(base)
+    s1 = solve(pal)
+    assert int(s0.status) == engine.OPTIMAL
+    assert int(s1.status) == engine.OPTIMAL
+    import jax.numpy as jnp
+
+    def obj(st):
+        xn = engine.nonbasic_values(lp, st.vstat, 1e10)
+        return float(jnp.take(lp.c, st.basis) @ st.xb + lp.c @ xn)
+
+    assert abs(obj(s0) - obj(s1)) <= 1e-7 * (1 + abs(obj(s0)))
