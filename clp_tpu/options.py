@@ -23,6 +23,7 @@ class PresolveOptions:
     singleton_rows: bool = True
     singleton_cols: bool = True
     doubleton: bool = True
+    tripleton: bool = True
     forcing: bool = True
     fixed_variables: bool = True
     empty_rows_cols: bool = True

@@ -34,6 +34,62 @@ class _FixedCols:
     values: np.ndarray
     costs: np.ndarray
     cols: object  # sparse matrix slice A[:, idx] in the pre-transform frame
+    qcols: object = None  # Q[:, idx] (pre-frame) when the objective is QP
+
+
+@dataclasses.dataclass
+class _ForcingRow:
+    """Row whose implied activity range touches a bound: every variable in
+    the row is forced to its extreme bound (reference: CoinPresolve
+    forcing_constraint_action, invoked from ClpPresolve.cpp:966-1443).
+
+    This record only fixes bounds; the fixed-column and empty-row transforms
+    do the removals. Postsolve (processed after those reinsertions, i.e. in
+    this record's own frame) repairs the duals: picks y_i so every forced
+    column's reduced cost has the sign its bound requires.
+    """
+
+    row: int
+    cols: np.ndarray  # columns in the row (this frame)
+    coefs: np.ndarray
+    at_lower: np.ndarray  # bool: fixed at its lower bound
+    row_at_lower: bool  # activity forced to row_lower (else row_upper)
+    costs: np.ndarray  # c[cols] in this frame
+    cols_matrix: object  # A[:, cols] in this frame (for dj reconstruction)
+    old_lower: np.ndarray  # column bounds before fixing
+    old_upper: np.ndarray
+
+
+@dataclasses.dataclass
+class _FreeSingleton:
+    """Implied-free singleton column on an equality row: x_j and the row are
+    removed; costs of the row's other columns absorb c_j (reference:
+    CoinPresolve slack_doubleton / free column singleton).
+    """
+
+    row: int  # row index in the pre-transform frame
+    col: int  # column index in the pre-transform frame
+    a: float  # A[row, col]
+    rhs: float
+    c_out: float
+    row_full: object  # sparse 1 x n row (pre-frame, INCLUDING col)
+
+
+@dataclasses.dataclass
+class _Tripleton:
+    """Equality row with 3 entries: an implied-free variable substituted out
+    (reference: CoinPresolve tripleton_action). Like _Doubleton but with two
+    surviving columns and no bound folding (implied-free makes it safe).
+    """
+
+    row: int
+    col_out: int
+    col_keep: np.ndarray  # two surviving columns (pre-frame indices)
+    a: float  # coefficient of col_out in the row
+    b_keep: np.ndarray  # coefficients of the survivors
+    rhs: float
+    c_out: float
+    col_j: object  # sparse column A[:, col_out] (pre-frame, row removed)
 
 
 @dataclasses.dataclass
@@ -127,9 +183,19 @@ def _remove_fixed_columns(model: Model, tape: list, tol: float) -> bool:
     A = model.matrix
     cols = A[:, fixed]
     contrib = cols @ vals
-    tape.append(_FixedCols(fixed, vals, model.objective[fixed].copy(), cols))
+    Q = model.quadratic_objective
+    qcols = None if Q is None else sp.csc_matrix(Q)[:, fixed].copy()
+    tape.append(_FixedCols(fixed, vals, model.objective[fixed].copy(), cols,
+                           qcols=qcols))
     model.objective_offset += float(model.objective[fixed] @ vals)
     keep = np.setdiff1d(np.arange(model.num_cols), fixed)
+    if Q is not None:
+        # min c'x + .5 x'Qx with x_f = v: kept gradient gains Q_kf v,
+        # offset gains .5 v'Q_ff v
+        Qc = sp.csc_matrix(Q)
+        model.objective = model.objective + np.asarray(qcols @ vals).ravel()
+        model.objective_offset += 0.5 * float(vals @ (qcols[fixed, :] @ vals))
+        model.quadratic_objective = Qc[keep, :][:, keep].tocsc()
     model._A = A[:, keep].tocsc()
     model.col_lower = model.col_lower[keep]
     model.col_upper = model.col_upper[keep]
@@ -290,6 +356,235 @@ def _redundant_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
     if model.row_names is not None:
         model.row_names = [model.row_names[i] for i in keep]
     return True
+
+
+def _forcing_rows(model: Model, tape: list, tol: float) -> bool:
+    """Fix every variable of a row whose activity range touches a row bound.
+
+    max_act == row_lower  => activity must sit at its maximum: every column
+    in the row goes to its max-contributing bound (cu if a>0 else cl).
+    min_act == row_upper  => symmetric. The row then empties out via the
+    fixed-column + empty-row transforms; the tape record repairs duals.
+    Reference: CoinPresolve forcing_constraint_action.
+    """
+    A = model.matrix.tocsr()
+    m, n = A.shape
+    if m == 0:
+        return False
+    pos = A.maximum(0)
+    neg = A.minimum(0)
+    cl = np.where(model.col_lower <= -INF, -np.inf, model.col_lower)
+    cu = np.where(model.col_upper >= INF, np.inf, model.col_upper)
+    with np.errstate(invalid="ignore"):
+        max_act = pos @ cu + neg @ cl
+        min_act = pos @ cl + neg @ cu
+    max_act = np.where(np.isnan(max_act), np.inf, max_act)
+    min_act = np.where(np.isnan(min_act), -np.inf, min_act)
+    rl = np.where(model.row_lower <= -INF, -np.inf, model.row_lower)
+    ru = np.where(model.row_upper >= INF, np.inf, model.row_upper)
+    counts = np.diff(A.indptr)
+    feas = tol * (1.0 + np.where(np.isfinite(rl), np.abs(rl), 0.0)
+                  + np.where(np.isfinite(ru), np.abs(ru), 0.0))
+    force_lo = np.isfinite(rl) & np.isfinite(max_act) & (max_act <= rl + feas) & (counts > 1)
+    force_up = np.isfinite(ru) & np.isfinite(min_act) & (min_act >= ru - feas) & (counts > 1)
+    idx = np.flatnonzero(force_lo | force_up)
+    if idx.size == 0:
+        return False
+    model.col_lower = model.col_lower.copy()
+    model.col_upper = model.col_upper.copy()
+    done_cols: set = set()
+    changed = False
+    for i in idx:
+        s, e = A.indptr[i], A.indptr[i + 1]
+        cols = A.indices[s:e].astype(np.int64)
+        if any(int(j) in done_cols for j in cols):
+            continue  # one forcing decision per column per pass
+        coefs = A.data[s:e].astype(np.float64)
+        at_lo_row = bool(force_lo[i])
+        # activity at max: a>0 -> upper, a<0 -> lower; at min: flipped
+        to_upper = (coefs > 0) == at_lo_row
+        tgt = np.where(to_upper, model.col_upper[cols], model.col_lower[cols])
+        if np.any(np.abs(tgt) >= INF):
+            continue  # would fix at infinity — numerical guard
+        tape.append(_ForcingRow(
+            row=int(i), cols=cols, coefs=coefs,
+            at_lower=~to_upper, row_at_lower=at_lo_row,
+            costs=model.objective[cols].copy(),
+            cols_matrix=model.matrix[:, cols].copy(),
+            old_lower=model.col_lower[cols].copy(),
+            old_upper=model.col_upper[cols].copy(),
+        ))
+        model.col_lower[cols] = tgt
+        model.col_upper[cols] = tgt
+        done_cols.update(int(j) for j in cols)
+        changed = True
+    return changed
+
+
+def _implied_range(row_cols, row_coefs, skip_pos, rhs_lo, rhs_ru, cl, cu):
+    """Implied value range for the variable at position skip_pos of a row."""
+    a = row_coefs[skip_pos]
+    rest_lo = rest_up = 0.0
+    for t in range(row_cols.size):
+        if t == skip_pos:
+            continue
+        ak = row_coefs[t]
+        k = row_cols[t]
+        lo_k = cl[k] if cl[k] > -INF else -np.inf
+        up_k = cu[k] if cu[k] < INF else np.inf
+        if ak > 0:
+            rest_lo += ak * lo_k
+            rest_up += ak * up_k
+        else:
+            rest_lo += ak * up_k
+            rest_up += ak * lo_k
+    # a * x + rest in [rhs_lo, rhs_ru]
+    with np.errstate(invalid="ignore"):
+        c1 = (rhs_lo - rest_up) / a
+        c2 = (rhs_ru - rest_lo) / a
+    lo, up = (c1, c2) if a > 0 else (c2, c1)
+    if np.isnan(lo):
+        lo = -np.inf
+    if np.isnan(up):
+        up = np.inf
+    return lo, up
+
+
+def _free_col_singletons(model: Model, tape: list, tol: float) -> bool:
+    """Remove implied-free singleton columns on equality rows.
+
+    x_j appears only in equality row i: substitute x_j = (b - rest)/a.
+    No fill anywhere — the row is dropped and c_j folds into the row's other
+    columns. Reference: CoinPresolve free/implied-free column singletons.
+    """
+    Ac = model.matrix.tocsc()
+    colcounts = np.diff(Ac.indptr)
+    singles = np.flatnonzero(colcounts == 1)
+    if singles.size == 0:
+        return False
+    Ar = model.matrix.tocsr()
+    used_rows: set = set()
+    changed = False
+    # collect removals first (all records share one pre-frame only if rows
+    # and cols are disjoint — enforce via used sets, then apply one by one)
+    for j in singles:
+        p = Ac.indptr[j]
+        i = int(Ac.indices[p])
+        a = float(Ac.data[p])
+        if i in used_rows or abs(a) < 1e-11:
+            continue
+        if abs(model.row_upper[i] - model.row_lower[i]) > tol * (1 + abs(model.row_lower[i])):
+            continue  # only equality rows
+        if model.row_lower[i] <= -INF or model.row_upper[i] >= INF:
+            continue
+        b = float(model.row_lower[i])
+        s, e = Ar.indptr[i], Ar.indptr[i + 1]
+        row_cols = Ar.indices[s:e].astype(np.int64)
+        row_coefs = Ar.data[s:e].astype(np.float64)
+        pos_j = int(np.flatnonzero(row_cols == j)[0])
+        lo_i, up_i = _implied_range(row_cols, row_coefs, pos_j, b, b,
+                                    model.col_lower, model.col_upper)
+        l_j, u_j = model.col_lower[j], model.col_upper[j]
+        free = l_j <= -INF and u_j >= INF
+        implied_free = (lo_i >= (l_j if l_j > -INF else -np.inf) - tol * (1 + abs(lo_i))
+                        and up_i <= (u_j if u_j < INF else np.inf) + tol * (1 + abs(up_i)))
+        if not (free or implied_free):
+            continue
+        c_j = float(model.objective[j])
+        tape.append(_FreeSingleton(
+            row=i, col=int(j), a=a, rhs=b, c_out=c_j,
+            row_full=Ar[i, :].copy(),
+        ))
+        # fold objective: c_k -= (c_j/a) * a_ik for the row's other columns
+        if c_j != 0.0:
+            model.objective = model.objective.copy()
+            for t in range(row_cols.size):
+                if row_cols[t] != j:
+                    model.objective[row_cols[t]] -= (c_j / a) * row_coefs[t]
+            model.objective_offset += c_j * b / a
+        model.delete_columns([int(j)])
+        model.delete_rows([i])
+        return True  # frames shift: one elimination per call, loop re-enters
+    return changed
+
+
+def _tripleton_rows(model: Model, tape: list, tol: float, limit: int = 50) -> Optional[bool]:
+    """Substitute an implied-free variable out of 3-entry equality rows.
+
+    Reference: CoinPresolve tripleton_action. Bound folding is impossible
+    with two survivors, so the eliminated variable must be implied free.
+    """
+    changed = False
+    for _ in range(limit):
+        Ar = model.matrix.tocsr()
+        counts = np.diff(Ar.indptr)
+        eq = (model.row_lower == model.row_upper) & (counts == 3) & (
+            model.row_lower > -INF
+        )
+        rows = np.flatnonzero(eq)
+        hit = False
+        for i in rows:
+            i = int(i)
+            s, e = Ar.indptr[i], Ar.indptr[i + 1]
+            row_cols = Ar.indices[s:e].astype(np.int64)
+            row_coefs = Ar.data[s:e].astype(np.float64)
+            b = float(model.row_lower[i])
+            # pick the implied-free candidate with the largest |coef|
+            order = np.argsort(-np.abs(row_coefs))
+            pick = -1
+            for t in order:
+                if abs(row_coefs[t]) < 1e-7:
+                    break
+                lo_i, up_i = _implied_range(row_cols, row_coefs, int(t), b, b,
+                                            model.col_lower, model.col_upper)
+                l_j = model.col_lower[row_cols[t]]
+                u_j = model.col_upper[row_cols[t]]
+                ok_lo = l_j <= -INF or lo_i >= l_j - tol * (1 + abs(lo_i))
+                ok_up = u_j >= INF or up_i <= u_j + tol * (1 + abs(up_i))
+                if ok_lo and ok_up:
+                    pick = int(t)
+                    break
+            if pick < 0:
+                continue
+            j = int(row_cols[pick])
+            a = float(row_coefs[pick])
+            keep_pos = [t for t in range(3) if t != pick]
+            kcols = row_cols[keep_pos]
+            kcoefs = row_coefs[keep_pos]
+
+            A = model.matrix.tocsc()
+            col_j = A[:, j].copy()
+            keep_rows = np.setdiff1d(np.arange(model.num_rows), [i])
+            tape.append(_Tripleton(
+                row=i, col_out=j, col_keep=kcols.copy(), a=a,
+                b_keep=kcoefs.copy(), rhs=b,
+                c_out=float(model.objective[j]),
+                col_j=col_j[keep_rows],
+            ))
+            # substitute x_j = (b - sum_k kcoef*x_k)/a into every other row
+            shift = np.asarray((col_j * (b / a)).todense()).ravel()
+            colj = np.asarray(col_j.todense()).ravel()
+            Anew = A.tolil()
+            for kk, bk in zip(kcols, kcoefs):
+                colk = np.asarray(A[:, int(kk)].todense()).ravel()
+                newk = colk - colj * (bk / a)
+                for r in np.flatnonzero(colj):
+                    Anew[int(r), int(kk)] = newk[int(r)]
+            model._A = Anew.tocsc()
+            model.objective = model.objective.copy()
+            for kk, bk in zip(kcols, kcoefs):
+                model.objective[int(kk)] -= model.objective[j] * (bk / a)
+            model.objective_offset += model.objective[j] * (b / a)
+            model.row_lower = np.where(model.row_lower > -INF, model.row_lower - shift, model.row_lower)
+            model.row_upper = np.where(model.row_upper < INF, model.row_upper - shift, model.row_upper)
+            model.delete_columns([j])
+            model.delete_rows([i])
+            changed = True
+            hit = True
+            break
+        if not hit:
+            return changed
+    return changed
 
 
 def _row_signature(A: sp.csr_matrix):
@@ -533,8 +828,22 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
                 info.status = ProblemStatus.PRIMAL_INFEASIBLE
                 return work, info
             changed |= r
-        if options.doubleton:
+        is_qp = work.quadratic_objective is not None
+        if options.forcing and not is_qp:
+            changed |= _forcing_rows(work, info.tape, tol)
+        if options.singleton_cols and not is_qp:
+            for _k in range(200):
+                if not _free_col_singletons(work, info.tape, tol):
+                    break
+                changed = True
+        if options.doubleton and not is_qp:
             r = _doubleton_rows(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.PRIMAL_INFEASIBLE
+                return work, info
+            changed |= r
+        if options.tripleton and not is_qp:
+            r = _tripleton_rows(work, info.tape, tol)
             if r is None:
                 info.status = ProblemStatus.PRIMAL_INFEASIBLE
                 return work, info
@@ -545,7 +854,7 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
                 info.status = ProblemStatus.PRIMAL_INFEASIBLE
                 return work, info
             changed |= r
-        if options.duplicate_cols:
+        if options.duplicate_cols and not is_qp:
             changed |= _duplicate_cols(work, info.tape, tol)
         if not changed:
             break
@@ -597,6 +906,9 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 # reduced cost of a re-inserted fixed column in this frame
                 yv = y if y is not None else np.zeros(rec.cols.shape[0])
                 djs[rec.idx] = rec.costs - np.asarray(rec.cols.T @ yv).ravel()
+                if rec.qcols is not None:
+                    # QP gradient: c + Qx (x in this frame, post-reinsertion)
+                    djs[rec.idx] += np.asarray(rec.qcols.T @ xs).ravel()
                 dj = djs
             if cstat is not None:
                 cs = np.empty(n_before, dtype=cstat.dtype)
@@ -714,6 +1026,110 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 rs[keepr] = rstat
                 rs[i] = int(VariableStatus.FIXED)
                 rstat = rs
+        elif isinstance(rec, _ForcingRow):
+            # frame: row + columns all present (later removals already
+            # unwound). Repair the forcing row's dual so each fixed column's
+            # reduced cost has the sign its bound requires.
+            i = rec.row
+            sense = model.optimization_direction or 1.0
+            if y is None:
+                y = np.zeros(rec.cols_matrix.shape[0])
+            dj_loc = rec.costs - np.asarray(rec.cols_matrix.T @ y).ravel()
+            ylo, yup = -np.inf, np.inf
+            for t in range(rec.cols.size):
+                a = rec.coefs[t]
+                ratio = dj_loc[t] / a
+                # at lower needs sense*dj>=0 after dj -= a*y_i; at upper <=0
+                wants_le = (rec.at_lower[t] == (a * sense > 0))
+                if wants_le:
+                    yup = min(yup, ratio)
+                else:
+                    ylo = max(ylo, ratio)
+            # row-bound dual sign: min problem, active lower => y>=0
+            if rec.row_at_lower:
+                ylo = max(ylo, 0.0) if sense > 0 else ylo
+                yup = min(yup, 0.0) if sense < 0 else yup
+            else:
+                yup = min(yup, 0.0) if sense > 0 else yup
+                ylo = max(ylo, 0.0) if sense < 0 else ylo
+            if ylo > yup:  # numerically empty window: least-violation point
+                ylo = yup = 0.5 * (ylo + yup)
+            yi = min(max(0.0, ylo), yup)
+            y[i] = yi
+            new_dj = dj_loc - rec.coefs * yi
+            if dj is not None:
+                dj[rec.cols] = new_dj
+            if cstat is not None:
+                cstat[rec.cols] = np.where(
+                    rec.at_lower, int(VariableStatus.AT_LOWER),
+                    int(VariableStatus.AT_UPPER),
+                )
+                # the column whose dj was zeroed becomes basic for the row
+                if abs(yi) > 1e-11:
+                    t_star = int(np.argmin(np.abs(new_dj)))
+                    cstat[rec.cols[t_star]] = int(VariableStatus.BASIC)
+                    if rstat is not None:
+                        rstat[i] = int(
+                            VariableStatus.AT_LOWER if rec.row_at_lower
+                            else VariableStatus.AT_UPPER
+                        )
+        elif isinstance(rec, _FreeSingleton):
+            i, j, a = rec.row, rec.col, rec.a
+            n_before = x.size + 1
+            keepc = np.setdiff1d(np.arange(n_before), [j])
+            xs = np.zeros(n_before)
+            xs[keepc] = x
+            rest = float((rec.row_full @ xs)[0])
+            xs[j] = (rec.rhs - rest) / a
+            x = xs
+            m_before = (0 if y is None else y.size) + 1
+            keepr = np.setdiff1d(np.arange(m_before), [i])
+            ys = np.zeros(m_before)
+            if y is not None:
+                ys[keepr] = y
+            ys[i] = rec.c_out / a  # zeroes dj_j (x_j basic on row i)
+            y = ys
+            dj = None
+            if cstat is not None:
+                cs = np.empty(n_before, dtype=cstat.dtype)
+                cs[keepc] = cstat
+                cs[j] = int(VariableStatus.BASIC)
+                cstat = cs
+            if rstat is not None:
+                rs = np.empty(m_before, dtype=rstat.dtype)
+                rs[keepr] = rstat
+                rs[i] = int(VariableStatus.FIXED)
+                rstat = rs
+        elif isinstance(rec, _Tripleton):
+            j, i = rec.col_out, rec.row
+            k_cur = rec.col_keep - (rec.col_keep > j)
+            xk = x[k_cur]
+            xj = (rec.rhs - float(rec.b_keep @ xk)) / rec.a
+            n_before = x.size + 1
+            keepc = np.setdiff1d(np.arange(n_before), [j])
+            xs = np.empty(n_before)
+            xs[keepc] = x
+            xs[j] = xj
+            x = xs
+            m_before = (0 if y is None else y.size) + 1
+            keepr = np.setdiff1d(np.arange(m_before), [i])
+            ys = np.zeros(m_before)
+            if y is not None:
+                ys[keepr] = y
+            colj_dot = float(rec.col_j.T.dot(ys[keepr])[0]) if y is not None else 0.0
+            ys[i] = (rec.c_out - colj_dot) / rec.a
+            y = ys
+            dj = None
+            if cstat is not None:
+                cs = np.empty(n_before, dtype=cstat.dtype)
+                cs[keepc] = cstat
+                cs[j] = int(VariableStatus.BASIC)
+                cstat = cs
+            if rstat is not None:
+                rs = np.empty(m_before, dtype=rstat.dtype)
+                rs[keepr] = rstat
+                rs[i] = int(VariableStatus.FIXED)
+                rstat = rs
         elif isinstance(rec, (_EmptyRows, _RedundantRows)):
             m_after = 0 if y is None else y.size
             m_before = m_after + rec.idx.size
@@ -767,6 +1183,8 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
         y = np.zeros(model.num_rows)
     if dj is None or dj.size != model.num_cols:
         dj = model.objective - A.T @ y
+        if model.quadratic_objective is not None:
+            dj = dj + model.quadratic_objective @ x
     row_act = A @ x
 
     # certificate rays: extend through the tape with zeros for removed rows
@@ -788,7 +1206,7 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
                 rr = np.zeros(m_before)
                 rr[keep] = ray
                 ray = rr
-            elif isinstance(rec, _Doubleton):
+            elif isinstance(rec, (_Doubleton, _Tripleton, _FreeSingleton)):
                 m_before = ray.size + 1
                 keep = np.setdiff1d(np.arange(m_before), [rec.row])
                 rr = np.zeros(m_before)

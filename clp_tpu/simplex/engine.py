@@ -213,8 +213,10 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     q = jnp.argmax(pivot_mag)
     any_elig = jnp.any(elig)
 
-    # --- FTRAN entering column ---
-    abar = state.binv @ G[:, q]
+    # --- FTRAN entering column + DSE tau, fused: one read of binv ---
+    ftran_pair = state.binv @ jnp.stack([G[:, q], rho], axis=1)
+    abar = ftran_pair[:, 0]
+    tau = ftran_pair[:, 1]
     alpha_rq = alpha[q]
     abar_r = abar[r]
     # accuracy cross-check (reference: dual checks alpha vs ftran value).
@@ -262,7 +264,6 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     dj_new = dj_new.at[p_leave].set(-theta_d)
 
     # --- DSE weight update (Forrest-Goldfarb) ---
-    tau = state.binv @ rho
     wr = jnp.maximum(state.weights[r], 1e-50)
     ratio = abar / abar_r
     w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr

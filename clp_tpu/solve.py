@@ -163,15 +163,15 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         return sol
 
     # --- presolve ---
-    # QP: the tape transforms are not yet Q-aware, and the simplex cleanup
-    # would ignore the quadratic term — barrier handles QPs directly
-    # (reference analogy: QP forces the KKT barrier path,
-    # ClpPredictorCorrector.cpp:114-124)
+    # QP: Q-aware transforms only (fixed columns fold Q terms into the rim;
+    # variable-eliminating transforms are gated off inside presolve() —
+    # reference analogy: ClpPresolve handles QP via the same action list
+    # with substitutions disabled)
     is_qp = model.quadratic_objective is not None
     presolved = None
     pinfo = None
     work = model
-    if options.presolve.enabled and not is_qp:
+    if options.presolve.enabled:
         from .presolve import presolve as run_presolve
 
         _fire(model, Event.PRESOLVE_START)
@@ -289,7 +289,7 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         sol = run_postsolve(model, pinfo, sol)
         # cleanup solve on the original model if needed (reference:
         # ClpSolve.cpp cleanup semantics, secondaryStatus 2/3/4)
-        if options.cleanup and sol.status == ProblemStatus.OPTIMAL:
+        if options.cleanup and sol.status == ProblemStatus.OPTIMAL and not is_qp:
             from .validate import check_kkt
 
             rep = check_kkt(model, x=sol.primal, y=sol.duals, tol=1e-6)

@@ -213,3 +213,160 @@ def test_infeasible_ray_postsolve_with_doubleton():
     assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
     if sol.infeasibility_ray is not None:
         assert sol.infeasibility_ray.shape == (model.num_rows,)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 transforms: forcing rows, free column singletons, tripleton,
+# Q-aware fixed columns (reference: ClpPresolve.cpp:966-1443 transform list)
+# ---------------------------------------------------------------------------
+
+
+def _forcing_model():
+    """Row 0 forces both variables: x0 + x1 >= 2 with x in [0,1]^2."""
+    A = sp.csc_matrix(np.array([[1.0, 1.0, 0.0], [1.0, 0.0, 1.0]]))
+    model = Model()
+    model.load_problem(
+        A,
+        col_lower=[0.0, 0.0, 0.0],
+        col_upper=[1.0, 1.0, 5.0],
+        objective=[1.0, 2.0, -1.0],
+        row_lower=[2.0, -INF],
+        row_upper=[INF, 3.0],
+    )
+    return model
+
+
+def test_forcing_row_fixes_and_repairs_duals():
+    from clp_tpu.presolve import presolve, postsolve, _ForcingRow
+    from clp_tpu.options import PresolveOptions
+
+    m = _forcing_model()
+    work, info = presolve(m.copy(), PresolveOptions())
+    assert any(isinstance(r, _ForcingRow) for r in info.tape)
+    s_on = m.copy().initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    opts_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts_off.presolve.enabled = False
+    s_off = m.copy().initial_solve(opts_off)
+    assert s_on.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-7
+    rep = check_kkt(m, x=s_on.primal, y=s_on.duals, tol=1e-6)
+    assert rep.ok, rep
+
+
+def test_free_singleton_column_removed():
+    from clp_tpu.presolve import presolve, postsolve, _FreeSingleton
+    from clp_tpu.options import PresolveOptions
+
+    # x2 appears only in the equality row and is free -> substituted out
+    A = sp.csc_matrix(np.array([[1.0, 2.0, 1.0], [1.0, -1.0, 0.0]]))
+    m = Model()
+    m.load_problem(
+        A,
+        col_lower=[0.0, 0.0, -INF],
+        col_upper=[10.0, 10.0, INF],
+        objective=[1.0, 1.0, 0.5],
+        row_lower=[4.0, -INF],
+        row_upper=[4.0, 2.0],
+    )
+    work, info = presolve(m.copy(), PresolveOptions())
+    assert any(isinstance(r, _FreeSingleton) for r in info.tape)
+    s_on = m.copy().initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    opts_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts_off.presolve.enabled = False
+    s_off = m.copy().initial_solve(opts_off)
+    assert s_on.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-7 * (
+        1 + abs(s_off.objective_value)
+    )
+    rep = check_kkt(m, x=s_on.primal, y=s_on.duals, tol=1e-6)
+    assert rep.ok, rep
+
+
+def test_tripleton_substitution():
+    from clp_tpu.presolve import presolve, _Tripleton
+    from clp_tpu.options import PresolveOptions
+
+    # equality row with 3 entries; x1 is implied free within wide bounds
+    A = sp.csc_matrix(np.array([
+        [1.0, 1.0, 1.0, 0.0],
+        [2.0, 0.0, 1.0, 1.0],
+        [0.0, 3.0, 0.0, 1.0],
+    ]))
+    m = Model()
+    m.load_problem(
+        A,
+        col_lower=[0.0, -100.0, 0.0, 0.0],
+        col_upper=[2.0, 100.0, 2.0, 4.0],
+        objective=[1.0, 0.5, 2.0, 1.0],
+        row_lower=[3.0, 1.0, -INF],
+        row_upper=[3.0, INF, 6.0],
+    )
+    work, info = presolve(m.copy(), PresolveOptions())
+    assert any(isinstance(r, _Tripleton) for r in info.tape)
+    assert work.num_cols < m.num_cols
+    s_on = m.copy().initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    opts_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts_off.presolve.enabled = False
+    s_off = m.copy().initial_solve(opts_off)
+    assert s_on.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-7 * (
+        1 + abs(s_off.objective_value)
+    )
+    rep = check_kkt(m, x=s_on.primal, y=s_on.duals, tol=1e-6)
+    assert rep.ok, rep
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_round2_transforms_random_roundtrip(seed):
+    """Random LPs with planted structure: presolve on == off + KKT clean."""
+    rng = np.random.default_rng(seed)
+    model = random_lp(10, 14, seed=seed)
+    A = model.matrix.tolil()
+    n = model.num_cols
+    # plant a free singleton column in a fresh equality row
+    row = np.zeros((1, n))
+    row[0, rng.integers(n)] = 1.0 + rng.uniform()
+    newcol = np.zeros((model.num_rows + 1, 1))
+    newcol[-1, 0] = 2.0
+    model.add_rows(sp.csc_matrix(row), lower=[1.5], upper=[1.5])
+    model.add_columns(sp.csc_matrix(newcol), lower=[-INF], upper=[INF],
+                      objective=[0.1])
+    s_on = model.copy().initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    opts_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts_off.presolve.enabled = False
+    s_off = model.copy().initial_solve(opts_off)
+    assert s_on.status == s_off.status
+    if s_on.status == ProblemStatus.OPTIMAL:
+        assert abs(s_on.objective_value - s_off.objective_value) < 1e-6 * (
+            1 + abs(s_off.objective_value)
+        )
+        rep = check_kkt(model, x=s_on.primal, y=s_on.duals, tol=1e-6)
+        assert rep.ok, rep
+
+
+def test_qp_presolve_fixed_columns():
+    """QP with a fixed column: presolve folds Q terms; barrier matches."""
+    rng = np.random.default_rng(0)
+    n, mrows = 6, 4
+    A = sp.csc_matrix(rng.standard_normal((mrows, n)))
+    L = rng.standard_normal((n, n)) * 0.3
+    Q = sp.csc_matrix(L @ L.T + np.eye(n))
+    cl = np.full(n, -2.0)
+    cu = np.full(n, 2.0)
+    cl[2] = cu[2] = 0.5  # fixed column interacts with Q
+    m = Model()
+    m.load_problem(A, col_lower=cl, col_upper=cu,
+                   objective=rng.standard_normal(n),
+                   row_lower=np.full(mrows, -3.0), row_upper=np.full(mrows, 3.0))
+    m.quadratic_objective = Q
+    m2 = m.copy()
+    opts_on = SolveOptions(method=SolveMethod.BARRIER_NO_CROSS)
+    opts_off = SolveOptions(method=SolveMethod.BARRIER_NO_CROSS)
+    opts_off.presolve.enabled = False
+    s_on = m.initial_solve(opts_on)
+    s_off = m2.initial_solve(opts_off)
+    assert s_on.status == ProblemStatus.OPTIMAL
+    assert s_off.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-5 * (
+        1 + abs(s_off.objective_value)
+    )
