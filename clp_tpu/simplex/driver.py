@@ -315,12 +315,18 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
     step = dual_chunk if dual else primal_chunk
     deadline = None if max_seconds is None else _time.monotonic() + max_seconds
     stalls = 0
+    # Clp-style anti-cycling progress (ClpSimplexProgress::looping, 5-deep
+    # objective history, ClpSolve.hpp:336-345): a chunk that pivots but
+    # returns to a previously seen objective value is counted as a cycle.
+    obj_history: list[float] = []
+    cycles = 0
     while True:
         iters_before = int(state.iterations)
         state, verified, obj = step(lp, state, opts)
         st = int(state.status)
+        obj_f = float(obj)
         if progress is not None:
-            progress(int(state.iterations), float(obj))
+            progress(int(state.iterations), obj_f)
         if bool(verified) or st not in (engine.CONTINUE, engine.OPTIMAL):
             break
         if st == engine.OPTIMAL:
@@ -330,8 +336,16 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
                 state, status=jnp.asarray(engine.ITER_LIMIT, jnp.int32)
             )
             break
-        stalls = 0 if int(state.iterations) > iters_before else stalls + 1
-        if stalls >= 3:
+        made_pivots = int(state.iterations) > iters_before
+        if made_pivots and any(
+            abs(obj_f - o) <= 1e-12 * (1.0 + abs(o)) for o in obj_history
+        ):
+            cycles += 1
+        else:
+            cycles = 0
+        obj_history = (obj_history + [obj_f])[-5:]
+        stalls = 0 if made_pivots else stalls + 1
+        if stalls >= 3 or cycles >= 3:
             state = dataclasses.replace(
                 state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
             )
