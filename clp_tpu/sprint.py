@@ -21,7 +21,8 @@ from .model import Model, Solution
 from .options import SolveOptions
 
 
-def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100) -> Solution:
+def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100,
+                 mesh=None) -> Solution:
     import time as _time
 
     deadline = (
@@ -31,6 +32,19 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100) -> 
     sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
     A = model.matrix.tocsc()
     c = model.objective * sense
+
+    # column-sharded device repricing over the `block` mesh axis (SURVEY §2:
+    # "column blocks sharded across hosts; dual repricing = all-gather")
+    sharded_cols = None
+    if mesh is None and options.devices is not None:
+        from jax.sharding import Mesh as _Mesh
+
+        if isinstance(options.devices, _Mesh) and "block" in options.devices.axis_names:
+            mesh = options.devices
+    if mesh is not None:
+        from .parallel.block import BlockShardedColumns
+
+        sharded_cols = BlockShardedColumns(A, c, mesh)
 
     target = min(n, max(3 * m, 500))  # working-set size (~3x rows, ref heuristic)
     order = np.argsort(np.abs(c))
@@ -87,7 +101,10 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100) -> 
 
         # full pricing with sub-LP duals
         y = np.asarray(sol.duals) * sense
-        dj = c - A.T @ y
+        if sharded_cols is not None:
+            dj, _, _ = sharded_cols.reprice(y)
+        else:
+            dj = c - A.T @ y
         lo_attr = (~active) & (dj < -model.dual_tolerance)
         up_attr = (
             (~active)
