@@ -79,6 +79,27 @@ class CLI:
         self.options = SolveOptions()
         self.log_level = 1
         self.have_model = False
+        # parameter-system state (see params.py)
+        self.compat_params: dict = {}
+        self.print_mask = ""
+        self.output_format = 2
+        self.errors_allowed = False
+        self.progress_every = 100
+        self.progress_deterministic = False
+        self.message_prefixes = False
+        self.directory = "."
+        self.dir_sample = ""
+        self.dir_netlib = ""
+
+    def _path(self, p: str, data_dir: str = "") -> str:
+        import os
+
+        if os.path.isabs(p) or os.path.exists(p):
+            return p
+        for base in (data_dir, self.directory):
+            if base and os.path.exists(os.path.join(base, p)):
+                return os.path.join(base, p)
+        return p
 
     def log(self, msg, level=1):
         if self.log_level >= level:
@@ -108,17 +129,261 @@ class CLI:
 
     def print_solution(self, out=None, all_rows=False):
         sol = self.model.solution
-        if sol.primal is None:
+        if sol is None or sol.primal is None:
             print("** no solution available")
             return
         f = out or sys.stdout
         cn = self.model.col_names or [f"C{j}" for j in range(self.model.num_cols)]
+        mask = self.print_mask
+        if mask:
+            import fnmatch
         print(f"status {sol.status.name}", file=f)
         print(f"objective {sol.objective_value:.12g}", file=f)
         for j, v in enumerate(sol.primal):
+            if mask and not fnmatch.fnmatch(cn[j], mask):
+                continue
             if all_rows or abs(v) > 1e-8:
                 dj = sol.reduced_costs[j] if sol.reduced_costs is not None else 0.0
-                print(f"{j:7d} {cn[j]:<16} {v:15.8g} {dj:15.8g}", file=f)
+                if self.output_format == 1:
+                    print(f"{cn[j]} {v:.12g}", file=f)
+                else:
+                    print(f"{j:7d} {cn[j]:<16} {v:15.8g} {dj:15.8g}", file=f)
+
+    def write_solution_file(self, path: str, binary: bool = False) -> None:
+        sol = self.model.solution
+        if sol is None or sol.primal is None:
+            print("** no solution available")
+            return
+        if binary:
+            np.savez(
+                path,
+                status=int(sol.status),
+                objective=sol.objective_value,
+                primal=sol.primal,
+                duals=sol.duals,
+                reduced_costs=sol.reduced_costs,
+                row_activity=sol.row_activity,
+            )
+        else:
+            with open(path, "w") as f:
+                self.print_solution(out=f, all_rows=True)
+        self.log(f"Solution written to {path}", 2)
+
+    def read_solution_file(self, path: str) -> int:
+        """Read a text solution file written by -writeSol / -solution."""
+        from .model import Solution
+        from .constants import ProblemStatus as PS
+
+        try:
+            vals = np.zeros(self.model.num_cols)
+            status = PS.UNKNOWN
+            obj = 0.0
+            name_to_j = {
+                n: j for j, n in enumerate(self.model.col_names or [])
+            }
+            with open(path) as f:
+                for line in f:
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    if parts[0] == "status":
+                        status = PS[parts[1]] if parts[1] in PS.__members__ else PS.UNKNOWN
+                    elif parts[0] == "objective":
+                        obj = float(parts[1])
+                    elif len(parts) >= 3 and parts[0].lstrip("-").isdigit():
+                        j = int(parts[0])
+                        if 0 <= j < vals.size:
+                            vals[j] = float(parts[2])
+                    elif len(parts) == 2 and parts[0] in name_to_j:
+                        vals[name_to_j[parts[0]]] = float(parts[1])
+            self.model.solution = Solution(
+                status=status, objective_value=obj, primal=vals,
+                row_activity=self.model.matrix @ vals,
+            )
+            return 0
+        except OSError as e:
+            print(f"** cannot read solution file: {e}")
+            return 1
+
+    def statistics(self) -> None:
+        """Problem-shape dump (reference: BENCHMARK_STATS, ClpSolve.cpp:1085)."""
+        m = self.model
+        if not self.have_model:
+            print("** no model - import a file first")
+            return
+        A = m.matrix
+        nnz = m.num_elements
+        absd = np.abs(A.data) if nnz else np.array([1.0])
+        counts_r = np.diff(A.tocsr().indptr) if m.num_rows else np.array([0])
+        counts_c = np.diff(A.tocsc().indptr) if m.num_cols else np.array([0])
+        eq = int(np.sum(m.row_lower == m.row_upper))
+        pm1 = int(np.sum((np.abs(absd) == 1.0))) if nnz else 0
+        print(f"Statistics for {m.problem_name or 'model'}:")
+        print(f"  {m.num_rows} rows ({eq} equalities), {m.num_cols} columns, {nnz} elements")
+        print(f"  element range [{absd.min():.6g}, {absd.max():.6g}], +-1 elements {pm1}")
+        print(f"  row counts min/median/max {counts_r.min()}/{int(np.median(counts_r))}/{counts_r.max()}")
+        print(f"  column counts min/median/max {counts_c.min()}/{int(np.median(counts_c))}/{counts_c.max()}")
+        fin_cl = np.sum(m.col_lower > -1e29)
+        fin_cu = np.sum(m.col_upper < 1e29)
+        print(f"  finite column bounds: {fin_cl} lower, {fin_cu} upper")
+        st = m.detect_structure() if hasattr(m, "detect_structure") else {}
+        if st:
+            print(f"  structure: {st}")
+
+    def do_parametrics(self, path: str) -> int:
+        """File-driven parametrics (ClpSimplexOther::parametrics(dataFile),
+        ClpSimplexOther.cpp:2797). Format (comma separated, case-insensitive):
+
+            ROWS,startTheta,endTheta[,interval[,detail]]
+            name,lower,upper          <- headings line
+            <rowname>,<dlo>,<dup>     <- per-row bound moves
+            COLUMNS
+            name,lower,upper,objective
+            <colname>,<dlo>,<dup>,<dobj>
+        """
+        if not self.have_model:
+            print("** no model - import a file first")
+            return 1
+        m = self.model
+        try:
+            with open(self._path(path)) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+        except OSError as e:
+            print(f"** cannot open parametrics file: {e}")
+            return 1
+        if not lines or not lines[0].lower().replace(" ", "").startswith("rows,"):
+            print(f"Odd first line on parametrics file {path}")
+            return 1
+        head = lines[0].replace(" ", "").split(",")
+        start_theta = float(head[1]) if len(head) > 1 else 0.0
+        end_theta = float(head[2]) if len(head) > 2 else 1.0
+        if start_theta < 0 or start_theta > end_theta:
+            print(f"Odd first line on parametrics file {path}")
+            return 1
+        rn = {n: i for i, n in enumerate(m.row_names or [])}
+        cn = {n: j for j, n in enumerate(m.col_names or [])}
+        d_rl = np.zeros(m.num_rows)
+        d_ru = np.zeros(m.num_rows)
+        d_cl = np.zeros(m.num_cols)
+        d_cu = np.zeros(m.num_cols)
+        d_obj = np.zeros(m.num_cols)
+        section = "rows"
+        headings: list[str] = []
+        for ln in lines[1:]:
+            parts = [p.strip() for p in ln.split(",")]
+            key = parts[0].lower()
+            if key.startswith("column"):
+                section = "columns"
+                headings = []
+                continue
+            if key in ("name", "number"):
+                headings = [p.lower() for p in parts]
+                continue
+            if not headings:
+                headings = (["name", "lower", "upper"] if section == "rows"
+                            else ["name", "lower", "upper", "objective"])
+            rec = dict(zip(headings, parts))
+            name = rec.get("name") or rec.get("number")
+            try:
+                idx = int(name) if name and name.lstrip("-").isdigit() else (
+                    rn.get(name, -1) if section == "rows" else cn.get(name, -1)
+                )
+            except ValueError:
+                idx = -1
+            if idx < 0:
+                print(f"** unknown {section[:-1]} {name!r} in parametrics file")
+                continue
+            lo = float(rec.get("lower", 0) or 0)
+            up = float(rec.get("upper", 0) or 0)
+            if section == "rows":
+                d_rl[idx] = lo
+                d_ru[idx] = up
+            else:
+                d_cl[idx] = lo
+                d_cu[idx] = up
+                d_obj[idx] = float(rec.get("objective", 0) or 0)
+        from .analysis import parametrics as run_parametrics
+
+        if m.solution is None or m.solution.primal is None:
+            self.do_solve(SolveMethod.DUAL_SIMPLEX)
+        pts = run_parametrics(
+            m, end_theta,
+            dc=d_obj if d_obj.any() else None,
+            d_row_lower=d_rl if d_rl.any() else None,
+            d_row_upper=d_ru if d_ru.any() else None,
+            d_col_lower=d_cl if d_cl.any() else None,
+            d_col_upper=d_cu if d_cu.any() else None,
+        )
+        for theta, obj in pts:
+            if theta >= start_theta - 1e-12:
+                print(f"theta {theta:.6g} objective {obj:.10g}")
+        return 0
+
+    def guess(self) -> None:
+        """Suggest settings from shape (reference: ClpSolver GUESS action)."""
+        m = self.model
+        if not self.have_model:
+            print("** no model - import a file first")
+            return
+        r, c = m.num_rows, m.num_cols
+        if c > 4 * r:
+            print("Many more columns than rows - suggest -sprintSolve or -idiotCrash 50 -primalsimplex")
+        elif r > 4 * c:
+            print("Many more rows than columns - suggest -dualize 1 -dualsimplex")
+        elif m.num_elements > 0.2 * r * c:
+            print("Dense problem - suggest -barrier")
+        else:
+            print("Suggest -dualsimplex (default)")
+
+    def tighten(self) -> None:
+        """Bound tightening from row activity ranges (tightenIntegerBounds
+        analogue, ClpSimplexOther.cpp:2396, applied to all columns)."""
+        m = self.model
+        if not self.have_model:
+            print("** no model - import a file first")
+            return
+        A = m.matrix.tocsr()
+        INFB = 1e29
+        cl = np.where(m.col_lower <= -INFB, -np.inf, m.col_lower)
+        cu = np.where(m.col_upper >= INFB, np.inf, m.col_upper)
+        tightened = 0
+        for i in range(m.num_rows):
+            s, e = A.indptr[i], A.indptr[i + 1]
+            cols = A.indices[s:e]
+            coefs = A.data[s:e]
+            pos = coefs > 0
+            with np.errstate(invalid="ignore"):
+                min_act = np.sum(np.where(pos, coefs * cl[cols], coefs * cu[cols]))
+                max_act = np.sum(np.where(pos, coefs * cu[cols], coefs * cl[cols]))
+            ru = m.row_upper[i] if m.row_upper[i] < INFB else np.inf
+            rl = m.row_lower[i] if m.row_lower[i] > -INFB else -np.inf
+            for t in range(cols.size):
+                j, a = cols[t], coefs[t]
+                rest_min = min_act - (a * (cl[j] if a > 0 else cu[j]))
+                rest_max = max_act - (a * (cu[j] if a > 0 else cl[j]))
+                if np.isfinite(ru) and np.isfinite(rest_min):
+                    lim = (ru - rest_min) / a
+                    if a > 0 and lim < cu[j] - 1e-9:
+                        cu[j] = lim
+                        tightened += 1
+                    elif a < 0 and lim > cl[j] + 1e-9:
+                        cl[j] = lim
+                        tightened += 1
+                if np.isfinite(rl) and np.isfinite(rest_max):
+                    lim = (rl - rest_max) / a
+                    if a > 0 and lim > cl[j] + 1e-9:
+                        cl[j] = lim
+                        tightened += 1
+                    elif a < 0 and lim < cu[j] - 1e-9:
+                        cu[j] = lim
+                        tightened += 1
+        if m.integer_mask is not None:
+            ints = m.integer_mask.astype(bool)
+            cl[ints] = np.ceil(cl[ints] - 1e-9)
+            cu[ints] = np.floor(cu[ints] + 1e-9)
+        m.col_lower = np.where(np.isfinite(cl), cl, -1e30)
+        m.col_upper = np.where(np.isfinite(cu), cu, 1e30)
+        print(f"Tightened {tightened} bounds")
 
     def run_args(self, args: list[str]) -> int:
         try:
@@ -154,7 +419,9 @@ class CLI:
                 self.do_solve(SolveMethod.AUTOMATIC)
             elif al == "import":
                 i += 1
-                rc = self.do_import(args[i])
+                rc = self.do_import(self._path(args[i], self.dir_sample))
+                if rc != 0 and not self.errors_allowed:
+                    return rc
             elif al == "export":
                 i += 1
                 self.model.write_mps(args[i])
@@ -214,13 +481,92 @@ class CLI:
                 i += 1
                 self.log_level = int(args[i])
                 self.options.log_level = self.log_level
+            elif al in ("sprintsolve", "sifting"):
+                self.do_solve(SolveMethod.SPRINT)
+            elif al == "allslack":
+                self.model.solution = None
+                self.log("Basis reset to all-slack")
+            elif al == "reverse":
+                self.model.optimization_direction = -(
+                    self.model.optimization_direction or 1.0
+                )
+                self.log("Objective direction reversed")
+            elif al == "reallyscale":
+                from .scaling import compute_scaling, scale_model_arrays
+                from .constants import ScalingMode as _SM
+
+                mode = self.options.scaling
+                if mode == _SM.OFF:
+                    mode = _SM.EQUILIBRIUM
+                factors = compute_scaling(self.model.matrix.tocsc(), mode)
+                scale_model_arrays(self.model, factors)
+                self.log("Model scaled in place")
+            elif al == "tighten":
+                self.tighten()
+            elif al == "outduprows":
+                from .options import PresolveOptions
+                from .presolve import _duplicate_rows
+
+                nr = self.model.num_rows
+                _duplicate_rows(self.model, [], 1e-10)
+                print(f"Dropped {nr - self.model.num_rows} duplicate rows")
+            elif al == "statistics":
+                self.statistics()
+            elif al == "guess":
+                self.guess()
+            elif al in ("network", "plusminus"):
+                st = self.model.detect_structure() if self.have_model else {}
+                print(f"Structure detection (automatic at solve time): {st}")
+            elif al == "parametrics":
+                i += 1
+                rc = self.do_parametrics(args[i])
+            elif al in ("readmodel", "restoremodel"):
+                i += 1
+                rc = self.model.restore_model(self._path(args[i]))
+                self.have_model = rc == 0 and self.model.num_cols > 0
+            elif al in ("writemodel", "savemodel"):
+                i += 1
+                rc = self.model.save_model(args[i])
+            elif al == "readsol":
+                i += 1
+                rc = self.read_solution_file(self._path(args[i]))
+            elif al == "writesol":
+                i += 1
+                self.write_solution_file(args[i])
+            elif al == "writesolbinary":
+                i += 1
+                self.write_solution_file(args[i], binary=True)
+            elif al in ("genpy", "cppgenerate", "generatepython"):
+                i += 1
+                self.model.generate_python(args[i])
+                self.log(f"Python model script written to {args[i]}")
+            elif al == "environment":
+                import os as _os
+
+                env = _os.environ.get("CLP_ENVIRONMENT", "")
+                if env:
+                    rc = self.run_args(env.split())
+            elif al == "stdin":
+                rc = self.repl()
+            elif al == "printversion":
+                from . import __version__
+
+                print(f"clp_tpu {__version__}")
             elif al == "unittest":
                 rc = self.unit_test()
-            elif al == "netlib":
+            elif al in ("netlib", "netlibd", "netlibdual", "netlibp",
+                        "netlibprimal", "netlibb", "netlibbarrier", "netlibtune"):
                 i += 1
                 from .netlib import run_netlib
 
-                rc = run_netlib(args[i], self.options)
+                method = {
+                    "netlibp": SolveMethod.PRIMAL_SIMPLEX,
+                    "netlibprimal": SolveMethod.PRIMAL_SIMPLEX,
+                    "netlibb": SolveMethod.BARRIER,
+                    "netlibbarrier": SolveMethod.BARRIER,
+                }.get(al, SolveMethod.DUAL_SIMPLEX)
+                self.options.method = method
+                rc = run_netlib(self._path(args[i], self.dir_netlib), self.options)
             elif al == "batch":
                 files = args[i + 1 :]
                 i = len(args)

@@ -19,6 +19,8 @@ class PresolveOptions:
 
     enabled: bool = True
     passes: int = 5  # reference default numberPasses
+    tolerance: float = 1e-10  # presolve feasibility tolerance
+    zero_coefficient_tol: float = 1e-20  # drop matrix entries below this
     dual_fixing: bool = True
     singleton_rows: bool = True
     singleton_cols: bool = True
@@ -47,12 +49,21 @@ class SolveOptions:
     primal_pivot: str = "devex"  # "devex" | "dantzig" | "steepest"
     perturbation: int = 100  # reference semantics: 100 = auto-on-if-slow
     refactor_frequency: int = 100
+    dual_bound: float = 1e10  # fake bound magnitude (dualBound param)
     crash: str = "none"  # "none" | "idiot" | "allslack"
     idiot_passes: int = 0
+    sprint_passes: int = 100
+    slp_passes: int = 0
+    dualize: int = 0  # 1 = solve the dualized model and map back
+    # rim scale factors applied for the solve, unscaled on the way out
+    # (reference: ClpObjScale/ClpRhsScale dblParams, ClpModel.hpp:1124-1161)
+    objective_scale: float = 1.0
+    rhs_scale: float = 1.0
     # barrier knobs
     barrier_max_iterations: int = 200
     barrier_tolerance: float = 1e-8
     crossover: bool = True
+    barrier_regularize: bool = False  # gamma/delta boost (100x regularization)
     # numerics
     dtype: str = "float64"
     # fused Pallas PRICE kernel for the dual simplex (f32 MXU pricing,

@@ -485,10 +485,15 @@ def _free_col_singletons(model: Model, tape: list, tol: float) -> bool:
         lo_i, up_i = _implied_range(row_cols, row_coefs, pos_j, b, b,
                                     model.col_lower, model.col_upper)
         l_j, u_j = model.col_lower[j], model.col_upper[j]
-        free = l_j <= -INF and u_j >= INF
-        implied_free = (lo_i >= (l_j if l_j > -INF else -np.inf) - tol * (1 + abs(lo_i))
-                        and up_i <= (u_j if u_j < INF else np.inf) + tol * (1 + abs(up_i)))
-        if not (free or implied_free):
+        # tolerance scales must stay FINITE: an infinite implied bound would
+        # otherwise make the containment test vacuously true
+        ok_lo = (l_j <= -INF) or (
+            np.isfinite(lo_i) and lo_i >= l_j - tol * (1 + abs(lo_i))
+        )
+        ok_up = (u_j >= INF) or (
+            np.isfinite(up_i) and up_i <= u_j + tol * (1 + abs(up_i))
+        )
+        if not (ok_lo and ok_up):
             continue
         c_j = float(model.objective[j])
         tape.append(_FreeSingleton(
@@ -539,8 +544,12 @@ def _tripleton_rows(model: Model, tape: list, tol: float, limit: int = 50) -> Op
                                             model.col_lower, model.col_upper)
                 l_j = model.col_lower[row_cols[t]]
                 u_j = model.col_upper[row_cols[t]]
-                ok_lo = l_j <= -INF or lo_i >= l_j - tol * (1 + abs(lo_i))
-                ok_up = u_j >= INF or up_i <= u_j + tol * (1 + abs(up_i))
+                ok_lo = l_j <= -INF or (
+                    np.isfinite(lo_i) and lo_i >= l_j - tol * (1 + abs(lo_i))
+                )
+                ok_up = u_j >= INF or (
+                    np.isfinite(up_i) and up_i <= u_j + tol * (1 + abs(up_i))
+                )
                 if ok_lo and ok_up:
                     pick = int(t)
                     break
@@ -793,7 +802,16 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
     """Return (reduced model, tape info). The input model is untouched."""
     info = PresolveInfo(original=model)
     work = model.copy()
-    tol = 1e-10
+    tol = getattr(options, "tolerance", 1e-10)
+    # drop sub-zeroTolerance coefficients (reference: small-element cleanup)
+    ztol = getattr(options, "zero_coefficient_tol", 0.0)
+    if ztol > 0 and work.num_elements:
+        A = work.matrix.tocsc().copy()
+        mask = np.abs(A.data) < ztol
+        if mask.any():
+            A.data[mask] = 0.0
+            A.eliminate_zeros()
+            work._A = A
     # crossed bounds are infeasible, not fixed (check before any transform)
     if np.any(model.col_lower > model.col_upper + 1e-9) or np.any(
         model.row_lower > model.row_upper + 1e-9

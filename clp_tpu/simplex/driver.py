@@ -402,7 +402,7 @@ def simplex_solve(
             use_pallas_price=use_pallas,
         )
 
-    opts = make_opts(DUAL_BOUND_DEFAULT)
+    opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))
     if warm is not None:
         state = _warm_state(lp, opts, warm, n, m)
     else:

@@ -114,9 +114,12 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
     from .interior.mehrotra import IPMOptions, ipm_solve_jit
 
     lp, info = to_ipm_form(model)
+    boost = 100.0 if options.barrier_regularize else 1.0
     opts = IPMOptions(
         tol=options.barrier_tolerance,
         max_iter=options.barrier_max_iterations,
+        reg_primal=1e-9 * boost,
+        reg_dual=1e-10 * boost,
     )
     res = ipm_solve_jit(lp, opts)
     sol = _ipm_to_solution(model, res, info, options)
@@ -159,6 +162,50 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     if model.num_cols == 0 or model.num_rows == 0:
         sol = _empty_solution(model)
         sol.solve_time = time.time() - t0
+        model.solution = sol
+        return sol
+
+    # --- dualize: solve the transposed model and map back (reference:
+    # ClpSimplexOther::dualOfModel/restoreFromDual, ClpSimplexOther.cpp:1681)
+    if options.dualize:
+        import dataclasses as _dc
+
+        from .analysis import dualize as _dualize, restore_from_dual
+
+        dm, mapping = _dualize(model)
+        inner = _dc.replace(options, dualize=0)
+        initial_solve(dm, inner)
+        restore_from_dual(model, dm, mapping)
+        return model.solution
+
+    # --- rim scale factors (objScale / rhsScale dblParams,
+    # ClpModel.hpp:1124-1161): scale in, unscale out ---
+    if options.objective_scale != 1.0 or options.rhs_scale != 1.0:
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        os_, rs_ = float(options.objective_scale), float(options.rhs_scale)
+        work0 = model.copy()
+        work0.objective = work0.objective * os_
+        if rs_ != 1.0:
+            for attr in ("row_lower", "row_upper", "col_lower", "col_upper"):
+                a = getattr(work0, attr)
+                setattr(work0, attr, _np.where(_np.abs(a) < 1e29, a * rs_, a))
+        inner = _dc.replace(options, objective_scale=1.0, rhs_scale=1.0)
+        sol = initial_solve(work0, inner)
+        if sol.primal is not None:
+            sol.primal = sol.primal / rs_
+            sol.row_activity = None if sol.row_activity is None else sol.row_activity / rs_
+            sol.objective_value = float(model.objective @ sol.primal) + model.objective_offset
+            if model.quadratic_objective is not None:
+                sol.objective_value += 0.5 * float(
+                    sol.primal @ (model.quadratic_objective @ sol.primal)
+                )
+        if sol.duals is not None:
+            sol.duals = sol.duals / os_
+        if sol.reduced_costs is not None:
+            sol.reduced_costs = sol.reduced_costs / os_
         model.solution = sol
         return sol
 
@@ -253,7 +300,7 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     elif method == SolveMethod.SPRINT:
         from .sprint import sprint_solve
 
-        sol = sprint_solve(work, options)
+        sol = sprint_solve(work, options, max_passes=options.sprint_passes)
     elif method == SolveMethod.PDLP:
         from .pdlp import pdlp_solve
 
