@@ -200,6 +200,37 @@ class Model:
         if self.row_names is not None:
             self.row_names = [self.row_names[i] for i in keep]
 
+    def resize(self, new_rows: int, new_cols: int) -> None:
+        """Grow/shrink the model (reference: ClpModel::resize)."""
+        m, n = self.num_rows, self.num_cols
+        if new_cols < n:
+            self.delete_columns(list(range(new_cols, n)))
+        elif new_cols > n:
+            self.add_columns(
+                sp.csc_matrix((m, new_cols - n)),
+                lower=np.zeros(new_cols - n),
+                upper=np.full(new_cols - n, INF),
+                objective=np.zeros(new_cols - n),
+            )
+        m = self.num_rows
+        if new_rows < m:
+            self.delete_rows(list(range(new_rows, m)))
+        elif new_rows > m:
+            self.add_rows(
+                sp.csc_matrix((new_rows - m, self.num_cols)),
+                lower=np.full(new_rows - m, -INF),
+                upper=np.full(new_rows - m, INF),
+            )
+
+    def modify_coefficient(self, row: int, col: int, value: float,
+                           keep_zero: bool = False) -> None:
+        """Set one matrix element (reference: ClpModel::modifyCoefficient)."""
+        A = self._A.tolil()
+        A[row, col] = value
+        self._A = A.tocsc()
+        if not keep_zero and value == 0.0:
+            self._A.eliminate_zeros()
+
     # --- objective sense (reference: ClpModel.hpp:285) ---
     def set_maximize(self) -> None:
         self.optimization_direction = -1.0
@@ -303,6 +334,64 @@ class Model:
 
     def unbounded_ray(self) -> Optional[np.ndarray]:
         return self.solution.unbounded_ray
+
+    # --- infeasibility accounting (reference: ClpModel.hpp:1009-1027) ---
+    def _primal_violations(self) -> np.ndarray:
+        sol = self.solution
+        if sol is None or sol.primal is None:
+            return np.zeros(0)
+        x = np.asarray(sol.primal)
+        act = self.matrix @ x if sol.row_activity is None else np.asarray(sol.row_activity)
+        v = np.concatenate([
+            np.maximum(self.col_lower - x, 0.0) + np.maximum(x - self.col_upper, 0.0),
+            np.maximum(self.row_lower - act, 0.0) + np.maximum(act - self.row_upper, 0.0),
+        ])
+        return v[np.isfinite(v)]
+
+    def _dual_violations(self) -> np.ndarray:
+        sol = self.solution
+        if sol is None or sol.primal is None or sol.reduced_costs is None:
+            return np.zeros(0)
+        x = np.asarray(sol.primal)
+        dj = np.asarray(sol.reduced_costs) * (self.optimization_direction or 1.0)
+        tol = self.primal_tolerance
+        at_lo = x <= self.col_lower + tol * (1 + np.abs(self.col_lower))
+        at_up = x >= self.col_upper - tol * (1 + np.abs(self.col_upper))
+        v = np.where(at_lo & ~at_up, np.maximum(-dj, 0.0),
+                     np.where(at_up & ~at_lo, np.maximum(dj, 0.0), np.abs(
+                         np.where(at_lo | at_up, 0.0, dj))))
+        return v
+
+    def sum_primal_infeasibilities(self) -> float:
+        return float(np.sum(self._primal_violations()))
+
+    def number_primal_infeasibilities(self) -> int:
+        return int(np.sum(self._primal_violations() > self.primal_tolerance))
+
+    def sum_dual_infeasibilities(self) -> float:
+        return float(np.sum(self._dual_violations()))
+
+    def number_dual_infeasibilities(self) -> int:
+        return int(np.sum(self._dual_violations() > self.dual_tolerance))
+
+    def primal_feasible(self) -> bool:
+        return self.number_primal_infeasibilities() == 0
+
+    def dual_feasible(self) -> bool:
+        return self.number_dual_infeasibilities() == 0
+
+    def check_solution(self) -> None:
+        """Recompute row activity / objective from the primal values
+        (reference: Clp_checkSolution)."""
+        sol = self.solution
+        if sol is None or sol.primal is None:
+            return
+        sol.row_activity = self.matrix @ np.asarray(sol.primal)
+        sol.objective_value = float(self.objective @ sol.primal) + self.objective_offset
+        if self.quadratic_objective is not None:
+            sol.objective_value += 0.5 * float(
+                sol.primal @ (self.quadratic_objective @ sol.primal)
+            )
 
     def generate_python(self, filename: str) -> int:
         """Emit a runnable Python script that rebuilds this model

@@ -293,6 +293,12 @@ def _fix_empty_columns(model: Model, tape: list, tol: float) -> Optional[bool]:
     counts = np.diff(model.matrix.indptr)
     empty = np.flatnonzero(counts == 0)
     empty = empty[model.col_lower[empty] != model.col_upper[empty]]
+    if model.quadratic_objective is not None and empty.size:
+        # a column with Q terms is not "empty" in effect: its optimum can be
+        # interior (gradient c_j + (Qx)_j), so leave it to the barrier
+        Q = sp.csc_matrix(model.quadratic_objective)
+        qcounts = np.diff(Q.indptr)
+        empty = empty[qcounts[empty] == 0]
     if empty.size == 0:
         return False
     c = model.objective[empty]

@@ -29,16 +29,49 @@ from .options import SolveOptions
 
 
 def _empty_solution(model: Model) -> Solution:
-    """Reference: empty-problem short-circuit (ClpSolve.cpp:877-906)."""
+    """Reference: empty-problem short-circuit (ClpSolve.cpp:877-906).
+
+    With no rows the problem separates per column: minimize each
+    c_j x_j (+ quadratic terms) over [l_j, u_j]. A pure clip-to-bounds of
+    x = 0 would be feasible but NOT optimal.
+    """
     n, m = model.num_cols, model.num_rows
-    x = np.clip(np.zeros(n), model.col_lower, model.col_upper)
+    c = model.objective
+    l, u = model.col_lower, model.col_upper
+    Q = model.quadratic_objective
+    unbounded = False
+    if n == 0:
+        x = np.zeros(0)
+    elif Q is None:
+        x = np.where(c > 0, l, np.where(c < 0, u, np.clip(0.0, l, u)))
+        unbounded = bool(np.any((c > 0) & (l <= -INF)) or np.any((c < 0) & (u >= INF)))
+        x = np.clip(x, np.maximum(l, -INF), np.minimum(u, INF))
+    else:
+        # box QP: projected gradient (convex; small after presolve)
+        Qd = np.asarray(Q.todense()) if hasattr(Q, "todense") else np.asarray(Q)
+        lam = float(np.linalg.norm(Qd, 2)) if n else 1.0
+        step = 1.0 / max(lam, 1e-12)
+        lo = np.maximum(l, -1e18)
+        hi = np.minimum(u, 1e18)
+        x = np.clip(np.zeros(n), lo, hi)
+        for _ in range(2000):
+            g = c + Qd @ x
+            x_new = np.clip(x - step * g, lo, hi)
+            if np.max(np.abs(x_new - x)) < 1e-12 * (1 + np.max(np.abs(x))):
+                x = x_new
+                break
+            x = x_new
+    obj = float(c @ x) + model.objective_offset
+    if Q is not None:
+        obj += 0.5 * float(x @ (Q @ x))
+    dj = c.copy() if Q is None else c + np.asarray(Q @ x).ravel()
     sol = Solution(
-        status=ProblemStatus.OPTIMAL,
-        objective_value=float(model.objective @ x) + model.objective_offset,
+        status=ProblemStatus.DUAL_INFEASIBLE if unbounded else ProblemStatus.OPTIMAL,
+        objective_value=obj,
         primal=x,
         duals=np.zeros(m),
-        reduced_costs=model.objective.copy(),
-        row_activity=np.zeros(m),
+        reduced_costs=dj,
+        row_activity=np.zeros(m) if n == 0 else model.matrix @ x,
     )
     infeas_col = np.any(model.col_lower > model.col_upper + 1e-12)
     infeas_row = np.any(

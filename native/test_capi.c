@@ -65,6 +65,116 @@ int main(void) {
     return 1;
   }
 
-  printf("C API test OK\n");
+  /* --- extended surface: edits, params, status arrays, options object --- */
+  ClpTpuModel *m3 = ClpTpu_newModel();
+  if (ClpTpu_loadProblem(m3, 2, 2, start, index, value, collb, colub, obj,
+                         rowlb, rowub) != 0)
+    return 2;
+  ClpTpu_setObjSense(m3, -1.0);
+  ClpTpu_setPrimalTolerance(m3, 1e-8);
+  if (fabs(ClpTpu_primalTolerance(m3) - 1e-8) > 1e-15) {
+    fprintf(stderr, "tolerance get/set broken\n");
+    return 1;
+  }
+  /* add a column with objective 10 entering both rows: new optimum uses it */
+  long long cst[2] = {0, 2};
+  int crows[2] = {0, 1};
+  double cels[2] = {1.0, 1.0};
+  double clo[1] = {0.0}, cup[1] = {1.0}, cob[1] = {10.0};
+  ClpTpu_addColumns(m3, 1, clo, cup, cob, cst, crows, cels);
+  if (ClpTpu_numberColumns(m3) != 3) {
+    fprintf(stderr, "addColumns failed\n");
+    return 1;
+  }
+  /* matrix query */
+  if (ClpTpu_getNumElements(m3) != 6) {
+    fprintf(stderr, "getNumElements wrong\n");
+    return 1;
+  }
+  const long long *starts = ClpTpu_getVectorStarts(m3);
+  const double *els = ClpTpu_getElements(m3);
+  if (!starts || starts[3] != 6 || !els) {
+    fprintf(stderr, "matrix queries broken\n");
+    return 1;
+  }
+  ClpTpuSolve *opts = ClpTpuSolve_new();
+  ClpTpuSolve_setSolveType(opts, 0, 0); /* dual */
+  ClpTpuSolve_setPresolveType(opts, 0, 0);
+  int st3 = ClpTpu_initialSolveWithOptions(m3, opts);
+  ClpTpuSolve_delete(opts);
+  double ov3 = ClpTpu_getObjValue(m3);
+  if (st3 != 0 || !ClpTpu_isProvenOptimal(m3)) {
+    fprintf(stderr, "solveWithOptions failed st=%d\n", st3);
+    return 1;
+  }
+  /* with the new column: max 2a+3b+10c, c<=1 -> c=1, then a+b<=3, a+3b<=5
+   * -> a=2,b=1 -> 2*2+3*1+10 = 17 */
+  if (fabs(ov3 - 17.0) > 1e-6) {
+    fprintf(stderr, "edited-model objective wrong: %g\n", ov3);
+    return 1;
+  }
+  if (!ClpTpu_statusExists(m3)) {
+    fprintf(stderr, "statusExists false after solve\n");
+    return 1;
+  }
+  unsigned char *sa = ClpTpu_statusArray(m3);
+  if (!sa) {
+    fprintf(stderr, "statusArray NULL\n");
+    return 1;
+  }
+  int cstat = ClpTpu_getColumnStatus(m3, 2); /* c at upper bound = 2 */
+  if (cstat != 2) {
+    fprintf(stderr, "column status wrong: %d\n", cstat);
+    return 1;
+  }
+  if (ClpTpu_numberPrimalInfeasibilities(m3) != 0 ||
+      !ClpTpu_primalFeasible(m3)) {
+    fprintf(stderr, "feasibility accounting wrong\n");
+    return 1;
+  }
+  const double *act = ClpTpu_getRowActivity(m3);
+  if (!act || fabs(act[0] - 4.0) > 1e-6) {
+    fprintf(stderr, "row activity wrong\n");
+    return 1;
+  }
+  ClpTpu_setUserPointer(m3, (void *)0x42);
+  if (ClpTpu_getUserPointer(m3) != (void *)0x42) return 1;
+  char name[64];
+  ClpTpu_setColumnName(m3, 0, "alpha");
+  ClpTpu_columnName(m3, 0, name);
+  if (name[0] != 'a') {
+    fprintf(stderr, "names broken: %s\n", name);
+    return 1;
+  }
+  ClpTpu_deleteModel(m3);
+
+  /* infeasible model: ray must be produced (presolve off via options) */
+  ClpTpuModel *m4 = ClpTpu_newModel();
+  double rl4[1] = {5.0}, ru4[1] = {1e30};
+  long long st4s[3] = {0, 1, 2};
+  int ix4[2] = {0, 0};
+  double vv4[2] = {1.0, 1.0};
+  double cub4[2] = {1.0, 1.0};
+  if (ClpTpu_loadProblem(m4, 2, 1, st4s, ix4, vv4, NULL, cub4, NULL, rl4,
+                         ru4) != 0)
+    return 2;
+  ClpTpuSolve *o4 = ClpTpuSolve_new();
+  ClpTpuSolve_setSolveType(o4, 0, 0);
+  ClpTpuSolve_setPresolveType(o4, 1, 0); /* presolve off */
+  int st4 = ClpTpu_initialSolveWithOptions(m4, o4);
+  ClpTpuSolve_delete(o4);
+  if (st4 != 1 || !ClpTpu_isProvenPrimalInfeasible(m4)) {
+    fprintf(stderr, "infeasible detection failed st=%d\n", st4);
+    return 1;
+  }
+  double *ray = ClpTpu_infeasibilityRay(m4);
+  if (!ray) {
+    fprintf(stderr, "no infeasibility ray\n");
+    return 1;
+  }
+  ClpTpu_freeRay(m4, ray);
+  ClpTpu_deleteModel(m4);
+
+  printf("C API test OK (extended surface)\n");
   return 0;
 }
