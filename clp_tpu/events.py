@@ -53,38 +53,170 @@ class Message:
     text: str
 
 
-# Numbered catalog in the spirit of ClpMessage.hpp (CLP_* enums)
-CATALOG = {
-    1: Message(1, 1, "Optimal - objective value {obj:.10g}"),
-    2: Message(2, 1, "Primal infeasible - infeasibility {pinf:.6g}"),
-    3: Message(3, 1, "Dual infeasible (unbounded)"),
-    4: Message(4, 1, "Stopped on iterations - objective {obj:.10g}"),
-    5: Message(5, 1, "Stopped due to errors"),
-    6: Message(6, 1, "{rows} rows, {cols} columns and {elems} elements"),
-    14: Message(14, 1, "Presolve: {drows} rows and {dcols} columns dropped"),
-    16: Message(16, 2, "Solve phase {phase}: iteration {it} objective {obj:.8g}"),
-    29: Message(29, 1, "End of solve: status {status} time {time:.3f}s"),
-    40: Message(40, 2, "Barrier iteration {it}: gap {gap:.3e} pinf {pinf:.3e}"),
-}
+# ---------------------------------------------------------------------------
+# Message catalog — name-for-name coverage of the reference's CLP_Message
+# enum (ClpMessage.hpp:16-113). Keyed by the CLP_* name; legacy numeric keys
+# used by early emitters are kept as aliases. Format fields are free-form
+# kwargs; missing fields render as '?'.
+# ---------------------------------------------------------------------------
+
+_CLP_NAMES = [
+    # (name, level, template)
+    ("CLP_SIMPLEX_FINISHED", 1, "Optimal - objective value {obj:.10g}"),
+    ("CLP_SIMPLEX_INFEASIBLE", 1, "Primal infeasible - infeasibility {pinf:.6g}"),
+    ("CLP_SIMPLEX_UNBOUNDED", 1, "Dual infeasible (unbounded)"),
+    ("CLP_SIMPLEX_STOPPED", 1, "Stopped on iterations/time - objective {obj:.10g}"),
+    ("CLP_SIMPLEX_ERROR", 1, "Stopped due to errors"),
+    ("CLP_SIMPLEX_INTERRUPT", 1, "Stopped by event handler"),
+    ("CLP_SIMPLEX_STATUS", 1, "{it} Obj {obj:.8g}{extra}"),
+    ("CLP_DUAL_BOUNDS", 3, "Dual bound {bound:.4g}"),
+    ("CLP_SIMPLEX_ACCURACY", 2, "Primal error {perr:.3e} dual error {derr:.3e}"),
+    ("CLP_SIMPLEX_BADFACTOR", 2, "Factorization accuracy {acc:.3e} - refactorizing"),
+    ("CLP_SIMPLEX_BOUNDTIGHTEN", 2, "Tightened {n} bounds"),
+    ("CLP_SIMPLEX_INFEASIBILITIES", 1, "{n} infeasibilities sum {sum:.6g}"),
+    ("CLP_SIMPLEX_FLAG", 3, "Flagging variable {seq}"),
+    ("CLP_SIMPLEX_GIVINGUP", 1, "Giving up on improving accuracy"),
+    ("CLP_DUAL_CHECKB", 3, "Dual bound check {val:.4g}"),
+    ("CLP_DUAL_ORIGINAL", 2, "Going back to original dual bounds"),
+    ("CLP_SIMPLEX_PERTURB", 2, "Perturbing problem by {pct:.4g}%"),
+    ("CLP_PRIMAL_ORIGINAL", 2, "Going back to original costs"),
+    ("CLP_PRIMAL_WEIGHT", 3, "Infeasibility weight {w:.4g}"),
+    ("CLP_PRIMAL_OPTIMAL", 1, "Primal optimal - objective {obj:.10g}"),
+    ("CLP_SINGULARITIES", 2, "Factorization hit {n} singularities"),
+    ("CLP_MODIFIEDBOUNDS", 2, "{n} variables had bounds modified"),
+    ("CLP_RIMSTATISTICS1", 3, "Objective range {lo:.4g} to {hi:.4g}"),
+    ("CLP_RIMSTATISTICS2", 3, "Bound range {lo:.4g} to {hi:.4g}"),
+    ("CLP_RIMSTATISTICS3", 3, "RHS range {lo:.4g} to {hi:.4g}"),
+    ("CLP_POSSIBLELOOP", 2, "Possible loop: objective repeated at iteration {it}"),
+    ("CLP_SMALLELEMENTS", 1, "Dropped {n} elements smaller than {tol:.3g}"),
+    ("CLP_DUPLICATEELEMENTS", 1, "{n} duplicate elements summed"),
+    ("CLP_SIMPLEX_HOUSE1", 3, "Housekeeping {what}"),
+    ("CLP_SIMPLEX_HOUSE2", 3, "Housekeeping {what}"),
+    ("CLP_SIMPLEX_NONLINEAR", 2, "Nonlinear objective pass {it} value {obj:.8g}"),
+    ("CLP_SIMPLEX_FREEIN", 3, "Free variable {seq} entering"),
+    ("CLP_SIMPLEX_PIVOTROW", 3, "Pivot row {row} alpha {alpha:.4g}"),
+    ("CLP_DUAL_CHECK", 3, "Dual check {val:.4g}"),
+    ("CLP_PRIMAL_DJ", 3, "dj {dj:.4g} for sequence {seq}"),
+    ("CLP_PACKEDSCALE_INITIAL", 3, "Initial scaling: range {lo:.3g}-{hi:.3g}"),
+    ("CLP_PACKEDSCALE_WHILE", 3, "Scaling pass {it}: range {lo:.3g}-{hi:.3g}"),
+    ("CLP_PACKEDSCALE_FINAL", 2, "Final scaling: range {lo:.3g}-{hi:.3g}"),
+    ("CLP_PACKEDSCALE_FORGET", 2, "Scaling abandoned (already well scaled)"),
+    ("CLP_INITIALIZE_STEEP", 3, "Initializing steepest-edge weights"),
+    ("CLP_UNABLE_OPEN", 1, "Unable to open file {file}"),
+    ("CLP_BAD_BOUNDS", 1, "{n} bad bound pairs were found"),
+    ("CLP_BAD_MATRIX", 1, "Matrix has {n} large/bad elements"),
+    ("CLP_LOOP", 1, "Loop detected - applying perturbation"),
+    ("CLP_IMPORT_RESULT", 1, "Model was imported from {file} in {time:.2f} seconds"),
+    ("CLP_IMPORT_ERRORS", 1, "{n} errors importing {file}"),
+    ("CLP_EMPTY_PROBLEM", 1, "Empty problem - {rows} rows, {cols} columns"),
+    ("CLP_CRASH", 2, "Crash basis: {n} variables placed"),
+    ("CLP_END_VALUES_PASS", 2, "End of values pass at iteration {it}"),
+    ("CLP_QUADRATIC_BOTH", 2, "QP {phase}: objective {obj:.8g}"),
+    ("CLP_QUADRATIC_PRIMAL_DETAILS", 3, "QP primal details {what}"),
+    ("CLP_IDIOT_ITERATION", 2, "Idiot pass {it}: objective {obj:.8g} infeas {pinf:.3e}"),
+    ("CLP_INFEASIBLE", 1, "Problem proven infeasible"),
+    ("CLP_MATRIX_CHANGE", 2, "Matrix specialized to {kind}"),
+    ("CLP_TIMING", 1, "{phase} objective {obj:.10g} - {it} iterations time {time:.2f}"),
+    ("CLP_INTERVAL_TIMING", 2, "{phase} took {time:.2f} seconds (total {total:.2f})"),
+    ("CLP_SPRINT", 1, "Sprint pass {it}: {n} columns, objective {obj:.8g}"),
+    ("CLP_BARRIER_ITERATION", 2, "Barrier iteration {it}: gap {gap:.3e} pinf {pinf:.3e} dinf {dinf:.3e}"),
+    ("CLP_BARRIER_OBJECTIVE_GAP", 3, "Objective gap {gap:.3e}"),
+    ("CLP_BARRIER_GONE_INFEASIBLE", 1, "Barrier lost feasibility"),
+    ("CLP_BARRIER_CLOSE_TO_OPTIMAL", 2, "Barrier close to optimal"),
+    ("CLP_BARRIER_COMPLEMENTARITY", 3, "Complementarity {mu:.3e}"),
+    ("CLP_BARRIER_EXIT2", 2, "Barrier exit: {why}"),
+    ("CLP_BARRIER_STOPPING", 1, "Barrier stopping: {why}"),
+    ("CLP_BARRIER_EXIT", 1, "Barrier exit after {it} iterations"),
+    ("CLP_BARRIER_SCALING", 3, "Barrier scaling {what}"),
+    ("CLP_BARRIER_MU", 3, "mu {mu:.3e}"),
+    ("CLP_BARRIER_INFO", 3, "Barrier info {what}"),
+    ("CLP_BARRIER_END", 1, "Barrier done: objective {obj:.10g} ({it} iterations)"),
+    ("CLP_BARRIER_ACCURACY", 2, "Barrier accuracy {acc:.3e}"),
+    ("CLP_BARRIER_SAFE", 3, "Barrier safe mode {what}"),
+    ("CLP_BARRIER_NEGATIVE_GAPS", 2, "{n} negative gaps"),
+    ("CLP_BARRIER_REDUCING", 2, "Reducing {what}"),
+    ("CLP_BARRIER_DIAGONAL", 3, "Diagonal range {lo:.3g}-{hi:.3g}"),
+    ("CLP_BARRIER_SLACKS", 3, "Slack range {lo:.3g}-{hi:.3g}"),
+    ("CLP_BARRIER_DUALINF", 2, "Barrier dual infeasibility {dinf:.3e}"),
+    ("CLP_BARRIER_KILLED", 3, "{n} variables killed"),
+    ("CLP_BARRIER_ABS_DROPPED", 2, "Dropped {n} dependent rows"),
+    ("CLP_BARRIER_ABS_ERROR", 2, "Absolute error {err:.3e}"),
+    ("CLP_BARRIER_FEASIBLE", 2, "Barrier primal feasible"),
+    ("CLP_BARRIER_STEP", 3, "Steps: primal {ap:.3g} dual {ad:.3g}"),
+    ("CLP_BARRIER_KKT", 2, "Using KKT system"),
+    ("CLP_RIM_SCALE", 2, "Rim scaled: objective {os:.3g} rhs {rs:.3g}"),
+    ("CLP_SLP_ITER", 2, "SLP pass {it}: objective {obj:.8g} step {step:.3e}"),
+    ("CLP_COMPLICATED_MODEL", 1, "Model too complicated for {what}"),
+    ("CLP_BAD_STRING_VALUES", 1, "{n} string values could not be processed"),
+    ("CLP_CRUNCH_STATS", 2, "Crunch: {rows} rows, {cols} columns kept"),
+    ("CLP_PARAMETRICS_STATS", 2, "Parametrics: theta {theta:.6g} objective {obj:.10g}"),
+    ("CLP_PARAMETRICS_STATS2", 3, "Parametrics detail theta {theta:.6g}"),
+    ("CLP_FATHOM_STATUS", 2, "Fathom node {node}: {status}"),
+    ("CLP_FATHOM_SOLUTION", 2, "Fathom solution {obj:.10g} at node {node}"),
+    ("CLP_FATHOM_FINISH", 2, "Fathom finished: {n} nodes"),
+    ("CLP_GENERAL", 1, "{text}"),
+    ("CLP_GENERAL2", 2, "{text}"),
+    ("CLP_GENERAL_WARNING", 1, "WARNING: {text}"),
+]
+
+CATALOG: dict = {}
+for _i, (_name, _lvl, _tmpl) in enumerate(_CLP_NAMES):
+    _m = Message(_i, _lvl, _tmpl)
+    CATALOG[_name] = _m
+    CATALOG[_i + 100] = _m  # numeric id = 100 + enum position
+
+# legacy numeric aliases (early emitters)
+CATALOG[1] = CATALOG["CLP_SIMPLEX_FINISHED"]
+CATALOG[2] = CATALOG["CLP_SIMPLEX_INFEASIBLE"]
+CATALOG[3] = CATALOG["CLP_SIMPLEX_UNBOUNDED"]
+CATALOG[4] = CATALOG["CLP_SIMPLEX_STOPPED"]
+CATALOG[5] = CATALOG["CLP_SIMPLEX_ERROR"]
+CATALOG[6] = Message(6, 1, "{rows} rows, {cols} columns and {elems} elements")
+CATALOG[14] = Message(14, 1, "Presolve: {drows} rows and {dcols} columns dropped")
+CATALOG[16] = Message(16, 2, "Solve phase {phase}: iteration {it} objective {obj:.8g}")
+CATALOG[29] = Message(29, 1, "End of solve: status {status} time {time:.3f}s")
+CATALOG[40] = CATALOG["CLP_BARRIER_ITERATION"]
+
+
+import string as _string
+
+
+class _SafeFormatter(_string.Formatter):
+    """Missing fields render '?'; incompatible format specs degrade to str."""
+
+    def get_value(self, key, args, kwargs):
+        if isinstance(key, str):
+            return kwargs.get(key, "?")
+        return "?"
+
+    def format_field(self, value, spec):
+        try:
+            return format(value, spec)
+        except (ValueError, TypeError):
+            return str(value)
+
+
+_FORMATTER = _SafeFormatter()
 
 
 class MessageHandler:
     """Log-level filtered message printing; override `print_message` to
     intercept (the reference's unit test does exactly that,
-    unitTest.cpp:1567)."""
+    unitTest.cpp:1567). Messages are addressed by CLP_* name or number."""
 
     def __init__(self, log_level: int = 1, stream=None):
         self.log_level = log_level
         self.stream = stream or sys.stdout
-        self.messages_seen: list[int] = []
+        self.messages_seen: list = []
 
-    def message(self, number: int, **kw) -> None:
+    def message(self, number, **kw) -> None:
         msg = CATALOG.get(number)
         if msg is None:
             return
         self.messages_seen.append(number)
         if msg.level <= self.log_level:
-            self.print_message(msg, msg.text.format(**kw))
+            text = _FORMATTER.vformat(msg.text, (), kw)
+            self.print_message(msg, text)
 
     def print_message(self, msg: Message, text: str) -> None:
         print(text, file=self.stream)

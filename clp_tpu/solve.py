@@ -389,6 +389,11 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         if "presolve" in timings and presolved is not None:
             mh.message(14, drows=model.num_rows - presolved.num_rows,
                        dcols=model.num_cols - presolved.num_cols)
+        for phase, secs in timings.items():
+            mh.message("CLP_INTERVAL_TIMING", phase=phase, time=secs,
+                       total=sol.solve_time)
+        mh.message("CLP_TIMING", phase=method.name, obj=sol.objective_value,
+                   it=sol.iterations, time=sol.solve_time)
         mh.message(29, status=sol.status.name, time=sol.solve_time)
     model.solution = sol
     _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)

@@ -185,3 +185,30 @@ def test_genpy_action(tmp_path):
     script = tmp_path / "gen.py"
     _solve_cli([str(mps), "-genPy", str(script)])
     assert script.exists() and "load_problem" in script.read_text()
+
+
+def test_message_catalog_parity():
+    """~100-name CLP_Message coverage (ClpMessage.hpp:16-113)."""
+    import io
+
+    from clp_tpu.events import CATALOG, MessageHandler
+
+    names = [k for k in CATALOG if isinstance(k, str) and k.startswith("CLP_")]
+    assert len(names) >= 95, len(names)
+    buf = io.StringIO()
+    mh = MessageHandler(log_level=3, stream=buf)
+    # missing kwargs must render '?' rather than raising
+    mh.message("CLP_TIMING")
+    mh.message("CLP_BARRIER_ITERATION", it=3, gap=1e-9)
+    mh.message("CLP_SPRINT", it=1, n=200, obj=-5.0)
+    out = buf.getvalue()
+    assert "?" in out and "Sprint pass 1" in out
+    assert len(mh.messages_seen) == 3
+
+
+def test_interval_timing_messages(capsys):
+    model = random_lp(5, 8, seed=6)
+    model.initial_solve(SolveOptions(log_level=2))
+    out = capsys.readouterr().out
+    assert "took" in out  # CLP_INTERVAL_TIMING lines
+    assert "iterations time" in out  # CLP_TIMING line
