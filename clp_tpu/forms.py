@@ -81,12 +81,19 @@ def to_standard_form(model, dtype=jnp.float64) -> tuple[StandardLP, FormInfo]:
     l = np.where(l <= -INF, -np.inf, l)
     u = np.where(u >= INF, np.inf, u)
     b = np.zeros(m)
+    Q_dev = None
+    if model.quadratic_objective is not None:
+        nt = n + m
+        Qfull = np.zeros((nt, nt))
+        Qfull[:n, :n] = np.asarray(model.quadratic_objective.todense()) * sense
+        Q_dev = jnp.asarray(Qfull, dtype)
     lp = StandardLP(
         G=jnp.asarray(G, dtype),
         b=jnp.asarray(b, dtype),
         c=jnp.asarray(c, dtype),
         l=jnp.asarray(l, dtype),
         u=jnp.asarray(u, dtype),
+        Q=Q_dev,
     )
     info = FormInfo(n=n, m=m, sense=sense, offset=model.objective_offset)
     return lp, info

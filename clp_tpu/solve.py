@@ -321,6 +321,16 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             # (reference: ClpSolve.cpp:3585-3786 values-pass cleanup);
             # dual finish — the IPM's duals are near-feasible
             sol = _solve_simplex(work, options, dual=True, warm=sol)
+    elif (
+        work.quadratic_objective is not None
+        and method in (SolveMethod.DUAL_SIMPLEX, SolveMethod.PRIMAL_SIMPLEX,
+                       SolveMethod.PRIMAL_IDIOT)
+    ):
+        # QP by simplex: reduced-gradient active-set primal
+        # (ClpSimplexNonlinear::primal analogue)
+        from .simplex.qp import qp_simplex_solve
+
+        sol = qp_simplex_solve(work, options)
     elif method == SolveMethod.DUAL_SIMPLEX:
         sol = _solve_simplex(work, options, dual=True)
     elif method in (SolveMethod.PRIMAL_SIMPLEX, SolveMethod.PRIMAL_IDIOT):

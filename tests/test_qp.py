@@ -5,7 +5,7 @@ import pytest
 import scipy.sparse as sp
 
 import clp_tpu
-from clp_tpu import Model, INF, ProblemStatus, check_kkt
+from clp_tpu import Model, INF, ProblemStatus, SolveMethod, SolveOptions, check_kkt
 
 
 def test_simple_qp():
@@ -108,3 +108,68 @@ def test_qp_mps_roundtrip(tmp_path):
     s1 = model.barrier(crossover=False)
     s2 = m2.barrier(crossover=False)
     assert abs(s1.objective_value - s2.objective_value) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# QP by simplex (reduced-gradient active-set) vs barrier — the reference's
+# QP unit-test pattern (unitTest.cpp:2530-2690: simplex-QP and barrier-QP
+# must agree). Reference algorithm: ClpSimplexNonlinear.cpp:33,:773.
+# ---------------------------------------------------------------------------
+
+
+def _random_qp(seed, n=8, mr=5, box=2.0):
+    rng = np.random.default_rng(seed)
+    A = sp.csc_matrix(rng.standard_normal((mr, n)))
+    L = rng.standard_normal((n, n)) * 0.4
+    Q = sp.csc_matrix(L @ L.T + np.eye(n))
+    m = Model()
+    m.load_problem(A, col_lower=np.full(n, -box), col_upper=np.full(n, box),
+                   objective=rng.standard_normal(n),
+                   row_lower=np.full(mr, -3.0), row_upper=np.full(mr, 3.0))
+    m.quadratic_objective = Q
+    return m
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_qp_simplex_matches_barrier(seed):
+    m = _random_qp(seed)
+    sol = m.copy().initial_solve(SolveOptions(method=SolveMethod.PRIMAL_SIMPLEX))
+    ref = m.copy().initial_solve(SolveOptions(method=SolveMethod.BARRIER_NO_CROSS))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert ref.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.objective_value) < 1e-7 * (
+        1 + abs(ref.objective_value)
+    )
+    rep = check_kkt(m, x=sol.primal, y=sol.duals, tol=1e-6)
+    assert rep.ok, str(rep)
+
+
+def test_qp_simplex_with_presolve_and_maximize():
+    m = _random_qp(7)
+    m.set_maximize()
+    m.quadratic_objective = -m.quadratic_objective  # keep convex in min form
+    sol = m.copy().initial_solve(SolveOptions(method=SolveMethod.PRIMAL_SIMPLEX))
+    ref = m.copy().initial_solve(SolveOptions(method=SolveMethod.BARRIER_NO_CROSS))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.objective_value) < 1e-6 * (
+        1 + abs(ref.objective_value)
+    )
+
+
+def test_qp_simplex_semidefinite():
+    """Singular Q (rank-1): active-set must still terminate optimally."""
+    n = 4
+    q = np.array([1.0, -1.0, 0.5, 0.0])
+    Q = sp.csc_matrix(np.outer(q, q) + 1e-10 * np.eye(n))
+    A = sp.csc_matrix(np.ones((1, n)))
+    m = Model()
+    m.load_problem(A, col_lower=np.zeros(n), col_upper=np.full(n, 2.0),
+                   objective=[-1.0, -0.5, 0.25, -0.1],
+                   row_lower=[-INF], row_upper=[4.0])
+    m.quadratic_objective = Q
+    sol = m.copy().initial_solve(SolveOptions(method=SolveMethod.PRIMAL_SIMPLEX))
+    ref = m.copy().initial_solve(SolveOptions(method=SolveMethod.BARRIER_NO_CROSS))
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.objective_value) < 1e-6 * (
+        1 + abs(ref.objective_value)
+    )

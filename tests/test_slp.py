@@ -73,3 +73,51 @@ def test_slp_jax_autograd():
     s = nonlinear_slp(mod, f, max_passes=60)
     assert s.status == ProblemStatus.OPTIMAL
     np.testing.assert_allclose(s.primal, [1.0, 1.0], atol=5e-3)
+
+
+def test_slp_nonlinear_constraint_circle():
+    """min -x-y s.t. x^2+y^2 <= 1 (plus vacuous linear row): (r2/2, r2/2)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from clp_tpu.slp import Constraint, nonlinear_slp_constrained
+
+    m = Model()
+    m.load_problem(
+        sp.csc_matrix(np.array([[1.0, 1.0]])),
+        col_lower=[-2.0, -2.0],
+        col_upper=[2.0, 2.0],
+        objective=[-1.0, -1.0],
+        row_lower=[-10.0],
+        row_upper=[10.0],
+    )
+    con = Constraint(lambda x: jnp.sum(x * x), lower=-np.inf, upper=1.0)
+    sol = nonlinear_slp_constrained(m, [con], max_passes=100)
+    assert sol.status == ProblemStatus.OPTIMAL
+    r2 = np.sqrt(2) / 2
+    np.testing.assert_allclose(sol.primal, [r2, r2], atol=1e-4)
+    assert abs(sol.objective_value - (-np.sqrt(2))) < 1e-4
+
+
+def test_slp_nonlinear_objective_and_constraint():
+    """min (x-2)^2+(y-2)^2 s.t. x+y<=2 (linear) and xy >= 0.5 (nonlinear)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from clp_tpu.slp import Constraint, nonlinear_slp_constrained
+
+    m = Model()
+    m.load_problem(
+        sp.csc_matrix(np.array([[1.0, 1.0]])),
+        col_lower=[0.0, 0.0],
+        col_upper=[5.0, 5.0],
+        objective=[0.0, 0.0],
+        row_lower=[-INF],
+        row_upper=[2.0],
+    )
+    obj = lambda x: jnp.sum((x - 2.0) ** 2)  # noqa: E731
+    con = Constraint(lambda x: x[0] * x[1], lower=0.5, upper=np.inf)
+    sol = nonlinear_slp_constrained(m, [con], objective=obj, max_passes=150)
+    assert sol.status == ProblemStatus.OPTIMAL
+    # symmetric optimum on x+y=2: x=y=1 (xy=1 >= 0.5 satisfied)
+    np.testing.assert_allclose(sol.primal, [1.0, 1.0], atol=1e-3)
