@@ -401,7 +401,11 @@ class CLI:
         while i < len(args):
             a = args[i]
             al = a.lstrip("-").lower()
-            if not a.startswith("-") and not self.have_model:
+            # bare keywords work in the REPL like the reference CLI: only
+            # treat a dashless token as a filename if it isn't a command
+            if (not a.startswith("-") and not self.have_model
+                    and al not in ("help", "?", "params", "exit", "quit",
+                                   "end", "stop", "unittest")):
                 rc = self.do_import(a)
                 i += 1
                 continue

@@ -88,6 +88,7 @@ class SolveMethod(enum.IntEnum):
     PRIMAL_IDIOT = 5  # primal with idiot crash warm start
     SPRINT = 6  # column-subset sifting
     PDLP = 7  # first-order primal-dual hybrid gradient (TPU-native extra)
+    NETWORK = 8  # spanning-tree-basis network simplex (ClpNetworkBasis)
 
 
 class ScalingMode(enum.IntEnum):

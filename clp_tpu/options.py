@@ -70,6 +70,10 @@ class SolveOptions:
     # f64 pivot verification). "auto" = on when running on real TPU
     # hardware, off elsewhere; True/False force it.
     use_pallas_price: object = "auto"
+    # engine PRICE/FTRAN kernels: "auto" picks the multiply-free +-1 path
+    # (gathers, O(n) PRICE) when the matrix qualifies (ClpPlusMinusOneMatrix
+    # / ClpNetworkMatrix role); "dense" forces the MXU contraction
+    price_mode: str = "auto"  # "auto" | "dense" | "pm1"
     # batching / sharding (TPU-native, no reference analogue)
     mesh_axis: str = "scenario"
     devices: Optional[object] = None  # explicit jax devices / Mesh

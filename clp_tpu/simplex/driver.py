@@ -358,6 +358,24 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
     return state
 
 
+def _pm1_eligible(model: Model) -> bool:
+    """True when every column has at most one +1 and at most one -1 and no
+    other entries — the shape the engines' multiply-free kernels assume
+    (ClpPlusMinusOneMatrix.hpp / ClpNetworkMatrix.hpp:12-16)."""
+    A = model.matrix.tocsc()
+    if A.nnz == 0:
+        return False
+    d = A.data
+    if not np.all(np.abs(d) == 1.0):
+        return False
+    counts = np.diff(A.indptr)
+    if np.any(counts > 2):
+        return False
+    npos = np.asarray((A > 0).sum(axis=0)).ravel()
+    nneg = counts - npos
+    return bool(np.all(npos <= 1) and np.all(nneg <= 1))
+
+
 def simplex_solve(
     model: Model,
     options: SolveOptions,
@@ -390,6 +408,12 @@ def simplex_solve(
     else:
         use_pallas = bool(options.use_pallas_price)
 
+    price_mode = options.price_mode
+    if price_mode == "auto":
+        price_mode = "pm1" if (not use_pallas and _pm1_eligible(model)) else "dense"
+    if price_mode == "pm1":
+        use_pallas = False  # gathers beat the f32 MXU contraction here
+
     def make_opts(dual_bound: float) -> SimplexOptions:
         return SimplexOptions(
             primal_tolerance=model.primal_tolerance,
@@ -400,6 +424,7 @@ def simplex_solve(
             dual_pivot="dantzig" if options.dual_pivot == "dantzig" else "steepest",
             primal_pivot="dantzig" if options.primal_pivot == "dantzig" else "devex",
             use_pallas_price=use_pallas,
+            price_mode=price_mode,
         )
 
     opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))

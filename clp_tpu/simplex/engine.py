@@ -66,6 +66,12 @@ class SimplexOptions:
     # netlib scale; the CPU/test path uses the plain f64 contraction.
     use_pallas_price: bool = False
     price_block_n: int = 512
+    # multiply-free kernels for +-1 matrices with <= 2 entries per column
+    # (networks + their slacks). PRICE becomes two gathers (O(n) vs O(mn))
+    # and the FTRAN column two binv column reads (reference:
+    # ClpPlusMinusOneMatrix.hpp, ClpNetworkMatrix.hpp:12-16). The caller must
+    # have verified the structure (Model.detect_structure / pm1_indexable).
+    price_mode: str = "dense"  # "dense" | "pm1"
 
 
 @jax.tree_util.register_dataclass
@@ -126,12 +132,52 @@ def _basic_bounds(lp: StandardLP, basis):
 
 
 # --------------------------------------------------------------------------
+# +-1 multiply-free kernels (ClpPlusMinusOneMatrix / ClpNetworkMatrix)
+# --------------------------------------------------------------------------
+
+
+def pm1_indices(G):
+    """Per-column (+1-row, -1-row) indices; m encodes "no such entry".
+
+    Valid for matrices whose columns each hold at most one +1 and one -1
+    (networks and their [A | -I] slacks). The caller verifies structure
+    (Model.detect_structure); here we only extract indices.
+    """
+    m = G.shape[0]
+    pos = jnp.where(jnp.any(G > 0.5, axis=0), jnp.argmax(G, axis=0), m)
+    neg = jnp.where(jnp.any(G < -0.5, axis=0), jnp.argmin(G, axis=0), m)
+    return pos.astype(jnp.int32), neg.astype(jnp.int32)
+
+
+def _pm1_price(rho, pm1):
+    """alpha = rho @ G as two gathers — O(n), no multiplies."""
+    pos, neg = pm1
+    rho_pad = jnp.concatenate([rho, jnp.zeros((1,), rho.dtype)])
+    return rho_pad[pos] - rho_pad[neg]
+
+
+def _pm1_ftran_col(binv, q, pm1):
+    """binv @ G[:, q] = binv[:, pos_q] - binv[:, neg_q]."""
+    pos, neg = pm1
+    m = binv.shape[0]
+    binvpad = jnp.concatenate([binv, jnp.zeros((m, 1), binv.dtype)], axis=1)
+    return binvpad[:, pos[q]] - binvpad[:, neg[q]]
+
+
+def _pm1_matvec(delta, pm1, m):
+    """G @ delta as a scatter-add — O(n)."""
+    pos, neg = pm1
+    out = jnp.zeros((m + 1,), delta.dtype).at[pos].add(delta).at[neg].add(-delta)
+    return out[:m]
+
+
+# --------------------------------------------------------------------------
 # Dual simplex
 # --------------------------------------------------------------------------
 
 
 def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
-                   G32=None):
+                   G32=None, pm1=None):
     """One dual pivot: price row -> BTRAN -> ratio test -> FTRAN -> update.
 
     When opts.use_pallas_price, PRICE + the Harris pass-1 scan run fused in
@@ -191,7 +237,10 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         elig = elig & ~fixed
         theta_relaxed = jnp.where(elig, theta_relaxed.astype(G.dtype), jnp.inf)
     else:
-        alpha = rho @ G  # tableau row r over all variables
+        if pm1 is not None:
+            alpha = _pm1_price(rho, pm1)  # gathers, no multiplies
+        else:
+            alpha = rho @ G  # tableau row r over all variables
         a = sigma * alpha
         elig = (at_lo & (a > opts.pivot_tolerance)) | (
             at_up & (a < -opts.pivot_tolerance)
@@ -214,9 +263,13 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     any_elig = jnp.any(elig)
 
     # --- FTRAN entering column + DSE tau, fused: one read of binv ---
-    ftran_pair = state.binv @ jnp.stack([G[:, q], rho], axis=1)
-    abar = ftran_pair[:, 0]
-    tau = ftran_pair[:, 1]
+    if pm1 is not None:
+        abar = _pm1_ftran_col(state.binv, q, pm1)
+        tau = state.binv @ rho
+    else:
+        ftran_pair = state.binv @ jnp.stack([G[:, q], rho], axis=1)
+        abar = ftran_pair[:, 0]
+        tau = ftran_pair[:, 1]
     alpha_rq = alpha[q]
     abar_r = abar[r]
     # accuracy cross-check (reference: dual checks alpha vs ftran value).
@@ -241,11 +294,18 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     flip_delta = jnp.where(flip, jnp.where(at_lo, width, -width), 0.0)
     # effect of all flips on x_B; most pivots flip nothing, so skip the
     # two large matvecs then (under vmap this lowers to a select — no loss)
-    flow = jax.lax.cond(
-        jnp.any(flip),
-        lambda: state.binv @ (G @ flip_delta),
-        lambda: jnp.zeros_like(state.xb),
-    )
+    if pm1 is not None:
+        flow = jax.lax.cond(
+            jnp.any(flip),
+            lambda: state.binv @ _pm1_matvec(flip_delta, pm1, m),
+            lambda: jnp.zeros_like(state.xb),
+        )
+    else:
+        flow = jax.lax.cond(
+            jnp.any(flip),
+            lambda: state.binv @ (G @ flip_delta),
+            lambda: jnp.zeros_like(state.xb),
+        )
 
     # --- primal step: leaving variable lands on its violated bound,
     # after accounting for the flip flow ---
@@ -320,7 +380,8 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 # --------------------------------------------------------------------------
 
 
-def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
+def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
+                     pm1=None):
     """One primal pivot with composite phase-1 handling.
 
     Phase 1 uses the infeasibility-gradient objective (the vectorized
@@ -340,7 +401,7 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
 
     # phase-1 reduced costs: d1_j = -(sig' Binv G)_j
     y1 = sig @ state.binv
-    d1 = -(y1 @ G)
+    d1 = -_pm1_price(y1, pm1) if pm1 is not None else -(y1 @ G)
     dj_used = jnp.where(in_phase1, d1, state.dj)
 
     at_lo = state.vstat == AT_LOWER
@@ -365,7 +426,10 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     direction = jnp.where(at_up[q], -1.0, jnp.where(at_fr[q], -jnp.sign(dj_used[q]), 1.0))
 
     # --- FTRAN ---
-    abar = state.binv @ G[:, q]
+    if pm1 is not None:
+        abar = _pm1_ftran_col(state.binv, q, pm1)
+    else:
+        abar = state.binv @ G[:, q]
     d = direction * abar  # xb changes by -t * d for entering step t >= 0
 
     # --- Harris two-pass primal ratio test (primalRow equivalent) ---
@@ -412,7 +476,7 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
 
     # dual updates need the BTRAN row of the leaving basic (pivot row)
     rho = state.binv[r, :]
-    alpha = rho @ G
+    alpha = _pm1_price(rho, pm1) if pm1 is not None else rho @ G
     alpha_rq = alpha[q]
     abar_r = abar[r]
     acc_bad = jnp.abs(alpha_rq - abar_r) > 1e-8 * (1.0 + jnp.abs(abar_r))
@@ -598,11 +662,21 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
 
 
 def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
-    """Dual iteration closure; hoists the f32 G copy out of the pivot loop."""
+    """Dual iteration closure; hoists loop-invariant matrix forms out of
+    the pivot loop (the f32 G copy for Pallas pricing, or the +-1 index
+    arrays for multiply-free pricing)."""
     if opts.use_pallas_price:
         G32 = lp.G.astype(jnp.float32)
         return partial(dual_iteration, G32=G32)
+    if opts.price_mode == "pm1":
+        return partial(dual_iteration, pm1=pm1_indices(lp.G))
     return dual_iteration
+
+
+def _primal_iteration_fn(lp: StandardLP, opts: SimplexOptions):
+    if opts.price_mode == "pm1":
+        return partial(primal_iteration, pm1=pm1_indices(lp.G))
+    return primal_iteration
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -612,7 +686,7 @@ def dual_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> Sim
 
 @partial(jax.jit, static_argnames=("opts",))
 def primal_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
-    return _run_loop(lp, state, opts, primal_iteration, _verify_primal_claim)
+    return _run_loop(lp, state, opts, _primal_iteration_fn(lp, opts), _verify_primal_claim)
 
 
 def _one_chunk(lp, state, opts, iteration_fn, verify_fn):
@@ -667,7 +741,7 @@ def dual_chunk(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
 
 @partial(jax.jit, static_argnames=("opts",))
 def primal_chunk(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
-    return _one_chunk(lp, state, opts, primal_iteration, _verify_primal_claim)
+    return _one_chunk(lp, state, opts, _primal_iteration_fn(lp, opts), _verify_primal_claim)
 
 
 def initial_state(lp: StandardLP, opts: SimplexOptions, vstat=None, basis=None) -> SimplexState:

@@ -97,6 +97,10 @@ def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
         return SolveMethod.BARRIER_NO_CROSS
     if m == 0 or n == 0:
         return SolveMethod.DUAL_SIMPLEX
+    # pure networks: spanning-tree basis, no factorization at all
+    # (reference: ClpSolve.cpp network shortcut via ClpNetworkMatrix)
+    if model.detect_structure()["network"]:
+        return SolveMethod.NETWORK
     if n > 6 * m and n > 2000:
         return SolveMethod.SPRINT  # wide LPs: column-subset working sets
     return SolveMethod.BARRIER
@@ -285,7 +289,8 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     factors = None
     from .constants import ScalingMode
 
-    if options.scaling != ScalingMode.OFF and work.num_cols and work.num_rows:
+    if (options.scaling != ScalingMode.OFF and work.num_cols and work.num_rows
+            and method != SolveMethod.NETWORK):  # scaling destroys +-1 structure
         from .scaling import compute_scaling, scale_model_arrays
 
         mode = options.scaling
@@ -348,6 +353,14 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         from .pdlp import pdlp_solve
 
         sol = pdlp_solve(work, options)
+    elif method == SolveMethod.NETWORK:
+        from .network import network_form, solve_network
+
+        if network_form(work) is not None:
+            sol = solve_network(work, options)
+        else:
+            # presolve/user edits broke the +-1 structure: general dual path
+            sol = _solve_simplex(work, options, dual=True)
     else:
         raise NotImplementedError(f"method {method}")
 
