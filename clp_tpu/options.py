@@ -45,8 +45,9 @@ class SolveOptions:
     max_iterations: Optional[int] = None
     max_seconds: Optional[float] = None
     # simplex knobs
-    dual_pivot: str = "steepest"  # "steepest" | "dantzig" | "pe-steepest"
-    primal_pivot: str = "devex"  # "devex" | "dantzig" | "steepest"
+    dual_pivot: str = "steepest"  # "steepest" | "dantzig" | "pesteepest"
+    # "devex" | "dantzig" | "steepest"/"exact" | "partial" | "pesteepest"
+    primal_pivot: str = "devex"
     perturbation: int = 100  # reference semantics: 100 = auto-on-if-slow
     refactor_frequency: int = 100
     dual_bound: float = 1e10  # fake bound magnitude (dualBound param)

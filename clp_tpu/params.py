@@ -186,7 +186,7 @@ _reg(Param("crash", "kwd", "off", "initial basis heuristic", lambda cli, v: _set
 _reg(Param("dualPivot", "kwd", "steepest", "dual pricing rule", _set_opts("dual_pivot"),
            ("steepest", "dantzig", "pesteepest")))
 _reg(Param("primalPivot", "kwd", "devex", "primal pricing rule", _set_opts("primal_pivot"),
-           ("devex", "dantzig", "steepest")))
+           ("devex", "dantzig", "steepest", "exact", "partial", "pesteepest")))
 _reg(Param("crossover", "kwd", "on", "barrier crossover on/off",
            lambda cli, v: _set_opts("crossover")(cli, str(v).lower() != "off"), ("on", "off")))
 _reg(Param("direction", "kwd", "minimize", "optimization direction", _direction,

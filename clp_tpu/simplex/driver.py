@@ -358,6 +358,24 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
     return state
 
 
+# CLI spellings (ClpParam dualPivot/primalPivot keywords) -> engine modes
+_DUAL_PIVOT_MAP = {
+    "dantzig": "dantzig",
+    "steepest": "steepest",
+    "pesteepest": "pe",
+    "pe": "pe",
+}
+_PRIMAL_PIVOT_MAP = {
+    "dantzig": "dantzig",
+    "devex": "devex",
+    "steepest": "steepest",
+    "exact": "steepest",
+    "partial": "partial",
+    "pesteepest": "pe",
+    "pe": "pe",
+}
+
+
 def _pm1_eligible(model: Model) -> bool:
     """True when every column has at most one +1 and at most one -1 and no
     other entries — the shape the engines' multiply-free kernels assume
@@ -421,8 +439,8 @@ def simplex_solve(
             dual_bound=dual_bound,
             refactor_frequency=options.refactor_frequency,
             max_iterations=max_iter,
-            dual_pivot="dantzig" if options.dual_pivot == "dantzig" else "steepest",
-            primal_pivot="dantzig" if options.primal_pivot == "dantzig" else "devex",
+            dual_pivot=_DUAL_PIVOT_MAP.get(options.dual_pivot, "steepest"),
+            primal_pivot=_PRIMAL_PIVOT_MAP.get(options.primal_pivot, "devex"),
             use_pallas_price=use_pallas,
             price_mode=price_mode,
         )

@@ -57,9 +57,16 @@ class SimplexOptions:
     # perturbation magnitude applied by the driver (0 = off)
     perturbation: float = 0.0
     # pivot rules (reference: pluggable strategy classes ClpDualRowSteepest /
-    # ClpPrimalColumnSteepest etc. — here a static branch in the kernel)
-    dual_pivot: str = "steepest"  # "steepest" | "dantzig"
-    primal_pivot: str = "devex"  # "devex" | "dantzig"
+    # ClpPrimalColumnSteepest / ClpPESimplex — here a static branch in the
+    # kernel). "pe" = Positive Edge (ClpPESimplex.hpp:45): random-projection
+    # compatibility bias against degenerate pivots, psi = 0.5 selection.
+    # Primal modes mirror ClpPrimalColumnSteepest's mode family: devex,
+    # dantzig, exact steepest edge (Forrest-Goldfarb update), partial
+    # (rotating-window candidate selection with full-pricing fallback).
+    dual_pivot: str = "steepest"  # "steepest" | "dantzig" | "pe"
+    primal_pivot: str = "devex"  # "devex" | "dantzig" | "steepest" | "pe" | "partial"
+    partial_window: int = 0  # 0 = auto (max(64, nt // 8))
+    pe_psi: float = 0.5  # Positive Edge bias threshold
     # fused Pallas PRICE kernel (f32 MXU pricing + f64 pivot verification;
     # reference hot path: ClpPackedMatrix::transposeTimesByRow,
     # ClpPackedMatrix.cpp:706-1307). Off by default: it pays off on TPU at
@@ -199,13 +206,31 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     infeas = jnp.maximum(jnp.maximum(below, above), 0.0)
     cand = infeas > ptol
 
-    # --- row choice: steepest edge (ClpDualRowSteepest) or Dantzig ---
+    # --- row choice: steepest edge (ClpDualRowSteepest), Dantzig, or
+    # Positive Edge biased steepest (ClpPESimplex.hpp:45) ---
     if opts.dual_pivot == "dantzig":
         score = jnp.where(cand, infeas, -jnp.inf)
     else:
         score = jnp.where(
             cand, infeas * infeas / jnp.maximum(state.weights, 1e-50), -jnp.inf
         )
+    if opts.dual_pivot == "pe":
+        # compatible rows: a random combination z of dual-degenerate
+        # nonbasic columns FTRANs to ~0 in row r, so the ratio test there
+        # is unlikely to return a zero-dj entering column (degenerate dual
+        # step). One extra matvec pair per pivot — same price the
+        # reference's PE variants pay.
+        key = jax.random.fold_in(jax.random.PRNGKey(20210), state.iterations)
+        deg = (state.vstat != BASIC) & (jnp.abs(state.dj) <= dtol) & (lp.l != lp.u)
+        z = jnp.where(deg, jax.random.rademacher(key, (nt,), G.dtype), 0.0)
+        gz = _pm1_matvec(z, pm1, m) if pm1 is not None else G @ z
+        v = state.binv @ gz
+        nrm = jnp.sqrt(jnp.maximum(jnp.sum(z * z), 1.0))
+        compat = jnp.abs(v) <= 1e-8 * nrm
+        best_all = jnp.max(score, initial=-jnp.inf)
+        score_c = jnp.where(compat, score, -jnp.inf)
+        best_c = jnp.max(score_c, initial=-jnp.inf)
+        score = jnp.where(best_c >= opts.pe_psi * best_all, score_c, score)
     r = jnp.argmax(score)
     any_infeas = jnp.any(cand)
     sigma = jnp.where(above[r] > below[r], 1.0, -1.0)  # +1: leaves at upper
@@ -413,13 +438,40 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         | (at_fr & (jnp.abs(dj_used) > dtol))
     ) & ~fixed
 
-    # --- column choice: devex (ClpPrimalColumnSteepest modes) or Dantzig ---
+    # --- column choice (ClpPrimalColumnSteepest mode family + PE) ---
     if opts.primal_pivot == "dantzig":
         score = jnp.where(elig, jnp.abs(dj_used), -jnp.inf)
     else:
+        # devex / exact steepest edge share the dj^2/weight form; they
+        # differ in how wcol is maintained after the pivot below
         score = jnp.where(
             elig, dj_used * dj_used / jnp.maximum(state.wcol, 1e-50), -jnp.inf
         )
+    if opts.primal_pivot == "partial":
+        # rotating candidate window (partial pricing). Selection-only on
+        # TPU: the dense dj update is one fused vector op either way, so the
+        # win is the reference-matching pivot trajectory, not FLOPs.
+        W = opts.partial_window if opts.partial_window > 0 else max(64, nt // 8)
+        W = min(W, nt)
+        start = (state.iterations.astype(jnp.int32) * W) % nt
+        in_window = ((jnp.arange(nt) - start) % nt) < W
+        score_w = jnp.where(in_window, score, -jnp.inf)
+        score = jnp.where(jnp.any(score_w > -jnp.inf), score_w, score)
+    elif opts.primal_pivot == "pe":
+        # Positive Edge (ClpPESimplex.hpp:45): a column is compatible when
+        # its FTRAN has ~zero overlap with the degenerate basic rows, so
+        # entering it moves the objective. Random projection test.
+        key = jax.random.fold_in(jax.random.PRNGKey(777), state.iterations)
+        deg_rows = (jnp.abs(below) <= ptol) | (jnp.abs(above) <= ptol)
+        z = jnp.where(deg_rows, jax.random.rademacher(key, (m,), G.dtype), 0.0)
+        w = z @ state.binv
+        wg = _pm1_price(w, pm1) if pm1 is not None else w @ G
+        nrm = jnp.sqrt(jnp.maximum(jnp.sum(z * z), 1.0))
+        compat = jnp.abs(wg) <= 1e-8 * nrm
+        best_all = jnp.max(score, initial=-jnp.inf)
+        score_c = jnp.where(compat, score, -jnp.inf)
+        best_c = jnp.max(score_c, initial=-jnp.inf)
+        score = jnp.where(best_c >= opts.pe_psi * best_all, score_c, score)
     q = jnp.argmax(score)
     any_elig = jnp.any(elig)
 
@@ -488,11 +540,28 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     p_leave = state.basis[r]
     dj_piv = dj_piv.at[p_leave].set(-theta_d)
 
-    # devex weight update (ClpPrimalColumnSteepest mode 3-ish)
     wq = jnp.maximum(state.wcol[q], 1e-50)
-    alpha_sq = alpha * alpha
-    w_piv = jnp.maximum(state.wcol, alpha_sq * (wq / (alpha_rq * alpha_rq)))
-    w_piv = w_piv.at[q].set(jnp.maximum(wq / (alpha_rq * alpha_rq), 1.0))
+    if opts.primal_pivot == "steepest":
+        # exact steepest edge, Forrest-Goldfarb primal update:
+        # gamma_j' = max(gamma_j - 2 eta_j (a_j . w) + eta_j^2 gamma_q,
+        #                1 + eta_j^2),  eta_j = alpha_j / alpha_rq,
+        # w = B^-T abar. Costs one extra BTRAN + PRICE per pivot — the
+        # same trade the reference's exact mode makes.
+        w_se = state.binv.T @ abar
+        ag = _pm1_price(w_se, pm1) if pm1 is not None else w_se @ G
+        eta = alpha / abar_r
+        w_piv = jnp.maximum(
+            state.wcol - 2.0 * eta * ag + eta * eta * wq, 1.0 + eta * eta
+        )
+        w_piv = w_piv.at[p_leave].set(
+            jnp.maximum(wq / (abar_r * abar_r), 1.0 + 1.0 / (abar_r * abar_r))
+        )
+        w_piv = w_piv.at[q].set(1.0)
+    else:
+        # devex reference-framework update (ClpPrimalColumnSteepest mode 3-ish)
+        alpha_sq = alpha * alpha
+        w_piv = jnp.maximum(state.wcol, alpha_sq * (wq / (alpha_rq * alpha_rq)))
+        w_piv = w_piv.at[q].set(jnp.maximum(wq / (alpha_rq * alpha_rq), 1.0))
 
     factor = abar / abar_r
     factor = factor.at[r].set(1.0 - 1.0 / abar_r)
