@@ -141,17 +141,99 @@ def solve_batch_dual_simplex(
             return jax.vmap(one)(lp)
 
         states = run(batched, opts)
+
+    # --- batched hard-case handling (no per-instance serialization):
+    # 1) fake-bound escalation reruns, 2) demote-to-free + primal finish —
+    # both still one vmapped program over the whole batch; only numerical
+    # leftovers fall back to the single-instance driver (driver.py:469-505
+    # is the per-instance original of this policy).
+    import dataclasses as _dc
+
+    def _flags(states_):
+        stat_ = np.asarray(states_.status)
+        l_ = np.asarray(batched.l)
+        u_ = np.asarray(batched.u)
+        vs_ = np.asarray(states_.vstat)
+        fake = ((vs_ == engine.AT_LOWER) & ~np.isfinite(l_)) | (
+            (vs_ == engine.AT_UPPER) & ~np.isfinite(u_)
+        )
+        return stat_, fake.any(axis=1)
+
+    stat, fakes = _flags(states)
+    opts_e = opts
+    attempts = 0
+    while attempts < 2 and np.any((stat == engine.OPTIMAL) & fakes):
+        attempts += 1
+        opts_e = _dc.replace(opts_e, dual_bound=opts_e.dual_bound * 100.0)
+        need = jnp.asarray((stat == engine.OPTIMAL) & fakes)
+
+        @partial(jax.jit, static_argnames=("o",))
+        def rerun(lp, st, need_, o):
+            def one(lp1, st1, n1):
+                st1r = _dc.replace(
+                    st1,
+                    status=jnp.where(n1, engine.CONTINUE, st1.status).astype(
+                        st1.status.dtype
+                    ),
+                )
+                st2 = engine.recompute(lp1, st1r, o.dual_bound)
+                st2 = engine.make_dual_feasible(lp1, st2, o)
+                st2 = engine.dual_solve(lp1, st2, o)
+                return jax.tree.map(lambda a, b: jnp.where(n1, b, a), st1, st2)
+
+            return jax.vmap(one)(lp, st, need_)
+
+        states = rerun(batched, states, need, opts_e)
+        stat, fakes = _flags(states)
+
+    # OPTIMAL-on-fake needs the true-bounds primal finish; an infeasibility
+    # claim with fakes active is suspect for the same reason the driver
+    # adjudicates it (a folded free variable only prices one direction)
+    need_pf = ((stat == engine.OPTIMAL) | (stat == engine.PRIMAL_INFEASIBLE)) & fakes
+    if np.any(need_pf):
+        # park fake-bound nonbasics at 0 as FREE and finish with the primal
+        # (resetFakeBounds + primal cleanup, ClpSimplexDual.cpp:8303)
+        need = jnp.asarray(need_pf)
+
+        @partial(jax.jit, static_argnames=("o",))
+        def primal_finish(lp, st, need_, o):
+            def one(lp1, st1, n1):
+                fake = ((st1.vstat == engine.AT_LOWER) & ~jnp.isfinite(lp1.l)) | (
+                    (st1.vstat == engine.AT_UPPER) & ~jnp.isfinite(lp1.u)
+                )
+                st1r = _dc.replace(
+                    st1,
+                    vstat=jnp.where(fake, engine.FREE, st1.vstat).astype(
+                        st1.vstat.dtype
+                    ),
+                    status=jnp.where(n1, engine.CONTINUE, st1.status).astype(
+                        st1.status.dtype
+                    ),
+                )
+                st2 = engine.recompute(lp1, st1r, o.dual_bound)
+                st2 = engine.primal_solve(lp1, st2, o)
+                return jax.tree.map(lambda a, b: jnp.where(n1, b, a), st1, st2)
+
+            return jax.vmap(one)(lp, st, need_)
+
+        states = primal_finish(batched, states, need, opts_e)
+        stat, fakes = _flags(states)
+
     out = []
     for i, mod in enumerate(models):
         st_i = jax.tree.map(lambda a: a[i], states)
         lp_i = jax.tree.map(lambda a: a[i], batched)
         status = int(st_i.status)
-        from ..simplex.driver import _at_fake_bound
-
-        if status == engine.OPTIMAL and not _at_fake_bound(lp_i, st_i, opts.dual_bound):
-            sol = _extract(mod, lp_i, st_i, opts, status)
+        clean = status in (
+            engine.OPTIMAL,
+            engine.PRIMAL_INFEASIBLE,
+            engine.DUAL_INFEASIBLE,
+        ) and not (status == engine.OPTIMAL and fakes[i])
+        if clean:
+            sol = _extract(mod, lp_i, st_i, opts_e, status)
         else:
-            # fall back to the full single-instance driver for the hard cases
+            # numerical leftovers only (perturbation retries etc. need the
+            # per-instance policies)
             sol = simplex_solve(mod, options, dual=True)
         mod.solution = sol
         out.append(sol)

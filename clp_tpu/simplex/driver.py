@@ -320,6 +320,7 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
     # returns to a previously seen objective value is counted as a cycle.
     obj_history: list[float] = []
     cycles = 0
+    pending_claim = None
     while True:
         iters_before = int(state.iterations)
         state, verified, obj = step(lp, state, opts)
@@ -327,8 +328,19 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
         obj_f = float(obj)
         if progress is not None:
             progress(int(state.iterations), obj_f)
-        if bool(verified) or st not in (engine.CONTINUE, engine.OPTIMAL):
+        if bool(verified):
             break
+        if st in (engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
+            # same protocol as the jitted loop: accept an infeasible /
+            # unbounded claim only when the NEXT chunk (which starts on
+            # fresh factors) re-derives it without managing a pivot
+            if pending_claim == st and int(state.iterations) == iters_before:
+                break
+            pending_claim = st
+            continue
+        pending_claim = None
+        if st not in (engine.CONTINUE, engine.OPTIMAL):
+            break  # NUMERICAL / ITER_LIMIT
         if st == engine.OPTIMAL:
             continue  # claim made inside the chunk; next call verifies it
         if int(state.iterations) >= opts.max_iterations:
@@ -486,6 +498,17 @@ def simplex_solve(
         if st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound):
             # finish with primal from this basis using true bounds, with
             # fake-bound nonbasics demoted to FREE at value 0
+            state = _demote_fakes_to_free(lp, state)
+            state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
+            state = psolve(lp, state, opts)
+            st = int(state.status)
+        if st == engine.PRIMAL_INFEASIBLE and _at_fake_bound(lp, state, opts.dual_bound):
+            # an infeasibility claim with fake bounds active is suspect: a
+            # genuinely-free nonbasic folded to a fake bound only prices in
+            # one direction, so "no eligible entering column" proves nothing.
+            # Adjudicate with the primal from true bounds (reference:
+            # changeBounds/resetFakeBounds re-check before declaring
+            # infeasible, ClpSimplexDual.cpp:143-158,8303).
             state = _demote_fakes_to_free(lp, state)
             state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
             state = psolve(lp, state, opts)

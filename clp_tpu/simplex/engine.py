@@ -673,16 +673,29 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
 
     def outer_cond(carry):
         st, stalls, verified = carry
-        running = (st.status == CONTINUE) | ((st.status == OPTIMAL) & ~verified)
+        claim = (
+            (st.status == OPTIMAL)
+            | (st.status == PRIMAL_INFEASIBLE)
+            | (st.status == DUAL_INFEASIBLE)
+        )
+        running = (st.status == CONTINUE) | (claim & ~verified)
         return running & (st.iterations < opts.max_iterations) & (stalls < 3)
 
     def outer_body(carry):
         st, stalls, _ = carry
         iters_before = st.iterations
         claimed_optimal = st.status == OPTIMAL
+        claimed_terminal = (st.status == PRIMAL_INFEASIBLE) | (
+            st.status == DUAL_INFEASIBLE
+        )
+        claimed_status = st.status
         st = recompute(lp, st, opts.dual_bound)
         verified = claimed_optimal & verify_fn(lp, st, opts) & (st.status != NUMERICAL)
-        # re-open the claim if the fresh factorization disproves it
+        # re-open EVERY claim on fresh factors: an optimality claim is
+        # checked directly (verify_fn); an infeasible/unbounded claim from
+        # drifted incremental state is only accepted if the re-run
+        # re-derives it without managing a single pivot (reference:
+        # statusOfProblemInDual re-checks before finishing)
         st = dataclasses.replace(
             st,
             status=jnp.where(
@@ -697,6 +710,12 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
             return s
 
         st = jax.lax.cond(verified, lambda s: s, run_chunk, st)
+        reclaimed = (
+            claimed_terminal
+            & (st.status == claimed_status)
+            & (st.iterations == iters_before)
+        )
+        verified = verified | reclaimed
         # stall: a chunk that made no pivots right after a fresh factorization
         # means a persistent numerical block (tiny pivot) -> escalate
         # (reference analogue: saferTolerances / flagging,
