@@ -118,17 +118,28 @@ def _warm_state(lp, opts: SimplexOptions, warm: Solution, n: int, m: int) -> Sim
         # candidate pool: clearly-interior variables first, then slacks
         pool = order[: min(nt, 4 * m)]
         try:
-            import scipy.linalg as _sla
+            # device-side independent-column selection: row-pivoted LU on
+            # the TRANSPOSED candidate block — partial pivoting permutes
+            # rows of Gp^T (= columns of Gp), and scaling each column by an
+            # interiority weight makes the pivoting follow our preference
+            # except where columns are (near-)dependent. One blocked O(m^3)
+            # MXU factorization (f32: it only *selects*; the basis itself
+            # is refactorized in f64 afterwards) replaces the old host
+            # scipy pivoted QR (round-1 crossover bottleneck at scale).
+            import jax as _jax
 
-            # column-pivoted QR pivots by norm; normalize each column and
-            # weight by interiority rank so the pivoting follows our
-            # preference except where columns are (near-)dependent
-            Gp = G[:, pool]
-            norms = np.linalg.norm(Gp, axis=0)
-            norms = np.where(norms > 1e-12, norms, 1.0)
-            weights = np.exp(-np.arange(pool.size) / max(m, 1))
-            _, _, piv = _sla.qr(Gp / norms * weights, pivoting=True, mode="economic")
-            rank_cols = [int(pool[p]) for p in piv[:m]]
+            Gp = lp.G[:, jnp.asarray(pool)]
+            norms = jnp.linalg.norm(Gp, axis=0)
+            norms = jnp.where(norms > 1e-12, norms, 1.0)
+            weights = jnp.exp(-jnp.arange(pool.size) / max(m, 1))
+            A32 = ((Gp / norms) * weights).T.astype(jnp.float32)
+            lu, _, permutation = _jax.lax.linalg.lu(A32)
+            d = np.abs(np.asarray(jnp.diagonal(lu)))
+            sel = np.asarray(permutation)[:m]
+            dmax = float(d.max(initial=1.0))
+            rank_cols = [
+                int(pool[s]) for s, dv in zip(sel, d) if dv > 1e-6 * dmax
+            ]
         except Exception:
             rank_cols = list(range(n, nt))  # fall back to slack basis
         chosen = set()
