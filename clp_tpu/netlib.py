@@ -113,11 +113,12 @@ GOLDEN = {
 
 
 def run_netlib(data_dir: str, options: SolveOptions | None = None,
-               problems: list[str] | None = None, check_tol_scale: float = 100.0) -> int:
+               problems: list[str] | None = None, check_tol_scale: float = 1.0) -> int:
     """Solve all known problems in data_dir; return number of failures.
 
-    `check_tol_scale` relaxes the golden tolerance (the reference uses exact
-    per-problem tolerances only after extensive per-problem tuning).
+    The default `check_tol_scale=1.0` applies the reference oracle's exact
+    per-problem tolerances (unitTest.cpp:395-1074); pass >1 only to triage
+    with a deliberately looser check.
     """
     options = options or SolveOptions()
     failures = 0
