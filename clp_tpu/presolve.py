@@ -525,20 +525,46 @@ def _tripleton_rows(model: Model, tape: list, tol: float, limit: int = 50) -> Op
     Reference: CoinPresolve tripleton_action. Bound folding is impossible
     with two survivors, so the eliminated variable must be implied free.
     """
+    return _subst_eq_rows(model, tape, tol, nent_lo=3, nent_hi=3, limit=limit)
+
+
+def _implied_free_subst(model: Model, tape: list, tol: float,
+                        limit: int = 50) -> Optional[bool]:
+    """Substitute implied-free variables out of general equality rows.
+
+    The general-row extension of the tripleton transform (reference:
+    CoinPresolve implied_free_action + subst_constraint_action, invoked via
+    ClpPresolve.cpp:966-1443 at substitution level 3). Rows of 4-6 entries
+    qualify; the eliminated column's fill-in is capped by its nnz.
+    """
+    return _subst_eq_rows(model, tape, tol, nent_lo=4, nent_hi=6,
+                          limit=limit, max_col_nnz=5)
+
+
+def _subst_eq_rows(model: Model, tape: list, tol: float, nent_lo: int,
+                   nent_hi: int, limit: int = 50,
+                   max_col_nnz: int = 10 ** 9) -> Optional[bool]:
+    """Eliminate one implied-free variable per qualifying equality row.
+
+    Shared engine for tripleton (3-entry) and implied-free (general) row
+    substitution; the _Tripleton record/postsolve handles any survivor count.
+    """
     changed = False
     for _ in range(limit):
         Ar = model.matrix.tocsr()
         counts = np.diff(Ar.indptr)
-        eq = (model.row_lower == model.row_upper) & (counts == 3) & (
-            model.row_lower > -INF
-        )
+        eq = (model.row_lower == model.row_upper) & (counts >= nent_lo) & (
+            counts <= nent_hi
+        ) & (model.row_lower > -INF)
         rows = np.flatnonzero(eq)
+        colcounts = np.diff(model.matrix.tocsc().indptr)
         hit = False
         for i in rows:
             i = int(i)
             s, e = Ar.indptr[i], Ar.indptr[i + 1]
             row_cols = Ar.indices[s:e].astype(np.int64)
             row_coefs = Ar.data[s:e].astype(np.float64)
+            nent = row_cols.size
             b = float(model.row_lower[i])
             # pick the implied-free candidate with the largest |coef|
             order = np.argsort(-np.abs(row_coefs))
@@ -546,6 +572,8 @@ def _tripleton_rows(model: Model, tape: list, tol: float, limit: int = 50) -> Op
             for t in order:
                 if abs(row_coefs[t]) < 1e-7:
                     break
+                if colcounts[row_cols[t]] - 1 > max_col_nnz:
+                    continue  # fill-in cap (substitution level analogue)
                 lo_i, up_i = _implied_range(row_cols, row_coefs, int(t), b, b,
                                             model.col_lower, model.col_upper)
                 l_j = model.col_lower[row_cols[t]]
@@ -563,7 +591,7 @@ def _tripleton_rows(model: Model, tape: list, tol: float, limit: int = 50) -> Op
                 continue
             j = int(row_cols[pick])
             a = float(row_coefs[pick])
-            keep_pos = [t for t in range(3) if t != pick]
+            keep_pos = [t for t in range(nent) if t != pick]
             kcols = row_cols[keep_pos]
             kcoefs = row_coefs[keep_pos]
 
@@ -659,7 +687,58 @@ def _duplicate_rows(model: Model, tape: list, tol: float) -> Optional[bool]:
     return True
 
 
-def _duplicate_cols(model: Model, tape: list, tol: float) -> bool:
+def _dual_fix_columns(model: Model, tape: list, tol: float) -> Optional[bool]:
+    """Fix monotone (weakly dominated) columns at their cost-preferred bound.
+
+    A column is monotone-down when decreasing it can never violate any row:
+    every a_ij > 0 entry sits in a row with no finite lower bound and every
+    a_ij < 0 entry in a row with no finite upper bound. With c_j >= 0 an
+    optimal solution exists with x_j at its lower bound; symmetric for
+    monotone-up / c_j <= 0. If the preferred bound is infinite the LP is
+    dual infeasible (returns None). Reference: CoinPresolve
+    remove_dual_action's weak-domination fixes (ClpPresolve.cpp:966-1443).
+    """
+    if model.integer_mask is not None and model.integer_mask.any():
+        return False
+    A = model.matrix.tocsc()
+    if A.shape[1] == 0 or A.nnz == 0:
+        return False
+    # dual sign cone per row (min convention, dj = c - A'y, y>0 at lower):
+    # y_hi = +inf iff row_lower finite, else 0; y_lo = -inf iff row_upper
+    # finite, else 0.
+    hi_inf = model.row_lower > -INF
+    lo_inf = model.row_upper < INF
+    B = A.copy()
+    B.data = np.ones_like(B.data)
+    pos = A.maximum(0).astype(bool).astype(np.float64)
+    neg = (-A).maximum(0).astype(bool).astype(np.float64)
+    # sup over the cone of A_j'y is +inf iff the column touches a
+    # (a>0, y_hi=+inf) or (a<0, y_lo=-inf) entry — otherwise it is 0
+    sup_inf = (pos.T @ hi_inf.astype(np.float64)
+               + neg.T @ lo_inf.astype(np.float64)) > 0.5
+    inf_neg = (pos.T @ lo_inf.astype(np.float64)
+               + neg.T @ hi_inf.astype(np.float64)) > 0.5
+    c = model.objective
+    unfixed = model.col_upper - model.col_lower > tol * (1 + np.abs(model.col_lower))
+    down = (~sup_inf) & (c >= 0.0) & unfixed
+    up = (~inf_neg) & (c <= 0.0) & unfixed & ~down
+    if np.any(down & (c > tol) & (model.col_lower <= -INF)):
+        return None  # strictly improving toward -inf: unbounded
+    if np.any(up & (c < -tol) & (model.col_upper >= INF)):
+        return None
+    down &= model.col_lower > -INF
+    up &= model.col_upper < INF
+    if not (down.any() or up.any()):
+        return False
+    model.col_lower = model.col_lower.copy()
+    model.col_upper = model.col_upper.copy()
+    model.col_upper[down] = model.col_lower[down]
+    model.col_lower[up] = model.col_upper[up]
+    return True  # the fixed-column transform removes them next
+
+
+def _duplicate_cols(model: Model, tape: list, tol: float,
+                    dominated: bool = False) -> bool:
     A = model.matrix.tocsc()
     n = A.shape[1]
     if n < 2 or (model.integer_mask is not None and model.integer_mask.any()):
@@ -667,6 +746,34 @@ def _duplicate_cols(model: Model, tape: list, tol: float) -> bool:
     seen: dict = {}
     drop, kept, dl, du, kl, ku = [], [], [], [], [], []
     c = model.objective
+    if dominated:
+        # identical columns with DIFFERENT costs: all mass belongs on the
+        # cheaper one when it has unlimited headroom — fix the costlier at
+        # its lower bound (reference: dupcol_action's dominated case).
+        seen_nc: dict = {}
+        fixed_any = False
+        for j in range(n):
+            s, e = A.indptr[j], A.indptr[j + 1]
+            if s == e:
+                continue
+            sig = (tuple(A.indices[s:e]), tuple(np.round(A.data[s:e], 12)))
+            k = seen_nc.get(sig)
+            if k is None:
+                seen_nc[sig] = j
+                continue
+            cheap, costly = (k, j) if c[k] <= c[j] else (j, k)
+            if (
+                abs(c[cheap] - c[costly]) > tol
+                and model.col_upper[cheap] >= INF
+                and model.col_lower[costly] > -INF
+                and model.col_upper[costly] > model.col_lower[costly]
+            ):
+                model.col_lower = model.col_lower.copy()
+                model.col_upper = model.col_upper.copy()
+                model.col_upper[costly] = model.col_lower[costly]
+                fixed_any = True  # swept by the fixed-column transform
+            seen_nc[sig] = cheap
+        return fixed_any
     for j in range(n):
         s, e = A.indptr[j], A.indptr[j + 1]
         if s == e:
@@ -832,6 +939,12 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
                 info.status = ProblemStatus.DUAL_INFEASIBLE
                 return work, info
             changed |= r
+        if options.dual_fixing and work.quadratic_objective is None:
+            r = _dual_fix_columns(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.DUAL_INFEASIBLE
+                return work, info
+            changed |= r
         if options.fixed_variables:
             changed |= _remove_fixed_columns(work, info.tape, tol)
         if options.empty_rows_cols:
@@ -872,6 +985,12 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
                 info.status = ProblemStatus.PRIMAL_INFEASIBLE
                 return work, info
             changed |= r
+        if options.implied_free and not is_qp:
+            r = _implied_free_subst(work, info.tape, tol)
+            if r is None:
+                info.status = ProblemStatus.PRIMAL_INFEASIBLE
+                return work, info
+            changed |= r
         if options.duplicate_rows:
             r = _duplicate_rows(work, info.tape, tol)
             if r is None:
@@ -880,6 +999,8 @@ def presolve(model: Model, options: PresolveOptions) -> tuple[Model, PresolveInf
             changed |= r
         if options.duplicate_cols and not is_qp:
             changed |= _duplicate_cols(work, info.tape, tol)
+        if options.dominated_cols and not is_qp:
+            changed |= _duplicate_cols(work, info.tape, tol, dominated=True)
         if not changed:
             break
     # quick infeasibility screens

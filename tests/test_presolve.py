@@ -370,3 +370,133 @@ def test_qp_presolve_fixed_columns():
     assert abs(s_on.objective_value - s_off.objective_value) < 1e-5 * (
         1 + abs(s_off.objective_value)
     )
+
+
+def test_dual_fix_monotone_column():
+    """A column whose entries all sit in one-sided rows (monotone) is fixed
+    at its cost-preferred bound by _dual_fix_columns (remove_dual parity)."""
+    from clp_tpu.presolve import presolve
+    from clp_tpu.options import PresolveOptions
+
+    # x0 appears only with a>0 in <=-rows: monotone-down; c0 > 0 -> at lower
+    A = sp.csc_matrix(np.array([
+        [1.0, 2.0, 0.0],
+        [3.0, 0.0, 1.0],
+        [0.0, 1.0, 1.0],
+    ]))
+    m = Model()
+    m.load_problem(
+        A,
+        col_lower=[0.0, 0.0, 0.0],
+        col_upper=[10.0, 10.0, 10.0],
+        objective=[1.0, -1.0, -2.0],
+        row_lower=[-INF, -INF, 1.0],
+        row_upper=[4.0, 6.0, 5.0],
+    )
+    work, info = presolve(m.copy(), PresolveOptions())
+    assert work.num_cols < m.num_cols  # x0 fixed at 0 and removed
+    s_on = m.copy().initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    opts_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts_off.presolve.enabled = False
+    s_off = m.copy().initial_solve(opts_off)
+    assert s_on.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-7 * (
+        1 + abs(s_off.objective_value)
+    )
+    assert abs(s_on.primal[0]) < 1e-9
+    rep = check_kkt(m, x=s_on.primal, y=s_on.duals, tol=1e-6)
+    assert rep.ok, rep
+
+
+def test_dual_fix_detects_unbounded():
+    """Monotone-down column with c>0?? no: c<0 toward +inf = unbounded."""
+    from clp_tpu.presolve import presolve
+    from clp_tpu.options import PresolveOptions
+
+    # x0 monotone-UP (entry a<0 in a <=-row), c0 < 0, upper bound infinite
+    A = sp.csc_matrix(np.array([[-1.0, 1.0]]))
+    m = Model()
+    m.load_problem(
+        A,
+        col_lower=[0.0, 0.0],
+        col_upper=[INF, 1.0],
+        objective=[-1.0, 1.0],
+        row_lower=[-INF],
+        row_upper=[4.0],
+    )
+    work, info = presolve(m.copy(), PresolveOptions())
+    assert info.status == ProblemStatus.DUAL_INFEASIBLE
+
+
+def test_implied_free_general_row_substitution():
+    """A 4-entry equality row with an implied-free variable is substituted
+    out (implied_free_action/subst parity); solutions match presolve-off."""
+    from clp_tpu.presolve import presolve, _Tripleton
+    from clp_tpu.options import PresolveOptions
+
+    A = sp.csc_matrix(np.array([
+        [1.0, 1.0, 1.0, 1.0, 0.0],
+        [2.0, 0.0, 1.0, 0.0, 1.0],
+        [0.0, 3.0, 0.0, 1.0, 1.0],
+        [1.0, 0.0, 0.0, 2.0, 0.0],
+    ]))
+    m = Model()
+    m.load_problem(
+        A,
+        col_lower=[0.0, -1000.0, 0.0, 0.0, 0.0],
+        col_upper=[2.0, 1000.0, 2.0, 4.0, 3.0],
+        objective=[1.0, 0.5, 2.0, 1.0, 0.3],
+        row_lower=[3.0, 1.0, -INF, 0.5],
+        row_upper=[3.0, INF, 6.0, INF],
+    )
+    opts = PresolveOptions(tripleton=False)  # force the general-row path
+    work, info = presolve(m.copy(), opts)
+    assert any(isinstance(r, _Tripleton) and r.col_keep.size >= 3
+               for r in info.tape)
+    s_on = m.copy().initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    opts_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts_off.presolve.enabled = False
+    s_off = m.copy().initial_solve(opts_off)
+    assert s_on.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-7 * (
+        1 + abs(s_off.objective_value)
+    )
+    rep = check_kkt(m, x=s_on.primal, y=s_on.duals, tol=1e-6)
+    assert rep.ok, rep
+
+
+def test_dominated_duplicate_columns():
+    """Identical columns with different costs: the costlier one is fixed at
+    its lower bound when the cheaper has unlimited headroom."""
+    from clp_tpu.presolve import presolve
+    from clp_tpu.options import PresolveOptions
+
+    A = sp.csc_matrix(np.array([
+        [1.0, 1.0, 2.0],
+        [1.0, 1.0, 0.0],
+    ]))
+    m = Model()
+    m.load_problem(
+        A,
+        col_lower=[0.0, 0.0, 0.0],
+        col_upper=[INF, 5.0, 5.0],
+        objective=[1.0, 3.0, 1.0],
+        row_lower=[2.0, 1.0],
+        row_upper=[INF, INF],
+    )
+    opts = PresolveOptions(dominated_cols=True)
+    work, info = presolve(m.copy(), opts)
+    assert work.num_cols < m.num_cols  # x1 (costlier duplicate) removed
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.dominated_cols = True
+    s_on = m.copy().initial_solve(o)
+    opts_off = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts_off.presolve.enabled = False
+    s_off = m.copy().initial_solve(opts_off)
+    assert s_on.status == ProblemStatus.OPTIMAL
+    assert abs(s_on.objective_value - s_off.objective_value) < 1e-7 * (
+        1 + abs(s_off.objective_value)
+    )
+    assert abs(s_on.primal[1]) < 1e-9
+    rep = check_kkt(m, x=s_on.primal, y=s_on.duals, tol=1e-6)
+    assert rep.ok, rep
