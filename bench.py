@@ -39,6 +39,7 @@ def bench_dual_simplex(jax, jnp):
         max_iterations=60000,
         refactor_frequency=100,
         use_pallas_price=on_tpu,
+        inverse_dtype="float32" if on_tpu else "float64",
     )
     state = engine.initial_state(lp, opts)
     state = engine.recompute(lp, state, opts.dual_bound)

@@ -71,6 +71,12 @@ class SolveOptions:
     # f64 pivot verification). "auto" = on when running on real TPU
     # hardware, off elsewhere; True/False force it.
     use_pallas_price: object = "auto"
+    # mixed-precision pivot loop: the basis inverse and all O(m^2)-per-pivot
+    # work against it run in f32, with f64 refactorization/recompute and
+    # claim verification every refactor_frequency pivots. "auto" = f32 on
+    # real TPU hardware at >=512 rows (f64 there is VPU-emulated, ~12x
+    # slower); "float64"/"float32" force it.
+    inverse_dtype: str = "auto"  # "auto" | "float64" | "float32"
     # engine PRICE/FTRAN kernels: "auto" picks the multiply-free +-1 path
     # (gathers, O(n) PRICE) when the matrix qualifies (ClpPlusMinusOneMatrix
     # / ClpNetworkMatrix role); "dense" forces the MXU contraction

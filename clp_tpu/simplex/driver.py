@@ -455,6 +455,18 @@ def simplex_solve(
     if price_mode == "pm1":
         use_pallas = False  # gathers beat the f32 MXU contraction here
 
+    inv_dtype = getattr(options, "inverse_dtype", "auto")
+    if inv_dtype == "auto":
+        import jax as _jax
+
+        # mixed precision pays where f64 is emulated and m^2 work dominates;
+        # only the dual engine has the audited f32 kernels
+        inv_dtype = (
+            "float32"
+            if dual and _jax.default_backend() == "tpu" and m >= 512
+            else "float64"
+        )
+
     def make_opts(dual_bound: float) -> SimplexOptions:
         return SimplexOptions(
             primal_tolerance=model.primal_tolerance,
@@ -466,6 +478,7 @@ def simplex_solve(
             primal_pivot=_PRIMAL_PIVOT_MAP.get(options.primal_pivot, "devex"),
             use_pallas_price=use_pallas,
             price_mode=price_mode,
+            inverse_dtype=inv_dtype,
         )
 
     opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))
@@ -480,6 +493,13 @@ def simplex_solve(
         return dual_solve(lp_, state_, opts_)
 
     def psolve(lp_, state_, opts_):
+        # the primal engine has no mixed-precision kernels: promote the
+        # state's inverse back to f64 before any primal (finish) phase
+        if opts_.inverse_dtype == "float32":
+            opts_ = dataclasses.replace(opts_, inverse_dtype="float64")
+            state_ = dataclasses.replace(
+                state_, binv=state_.binv.astype(lp_.G.dtype)
+            )
         if use_chunked:
             return _run_chunked(lp_, state_, opts_, False, options.max_seconds, progress)
         return primal_solve(lp_, state_, opts_)

@@ -73,6 +73,16 @@ class SimplexOptions:
     # netlib scale; the CPU/test path uses the plain f64 contraction.
     use_pallas_price: bool = False
     price_block_n: int = 512
+    # basis-inverse storage/update dtype for the pivot loop. "float32" turns
+    # on the mixed-precision engine: refactorization, x_B/y/dj recomputation
+    # and claim verification stay f64 (every refactor_frequency pivots), but
+    # the O(m^2)-per-pivot work — FTRAN/BTRAN against binv and the rank-1
+    # product-form update — runs in f32. On TPUs f64 is emulated (~12x
+    # slower), so this is the difference between VPU-emulated and native
+    # arithmetic in the hot loop; the verified-optimality protocol already
+    # re-derives every claim on fresh f64 factors, so drift costs at most
+    # extra pivots, never a wrong answer.
+    inverse_dtype: str = "float64"  # "float64" | "float32"
     # multiply-free kernels for +-1 matrices with <= 2 entries per column
     # (networks + their slacks). PRICE becomes two gathers (O(n) vs O(mn))
     # and the FTRAN column two binv column reads (reference:
@@ -110,7 +120,13 @@ def nonbasic_values(lp: StandardLP, vstat, dual_bound):
 
 
 def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
-    """Refactorize + recompute primals/duals (gutsOfSolution equivalent)."""
+    """Refactorize + recompute primals/duals (gutsOfSolution equivalent).
+
+    Always factors and recomputes x_B/y/dj in the LP's dtype (f64); the
+    inverse is then stored back at `state.binv.dtype`, so a mixed-precision
+    state (f32 binv) re-enters the pivot loop with fresh f32 factors while
+    the solution quantities keep full accuracy.
+    """
     G, b, c = lp.G, lp.b, lp.c
     B = jnp.take(G, state.basis, axis=1)
     binv, ok = lu_refactor(B)
@@ -123,7 +139,7 @@ def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
     status = jnp.where(ok, state.status, NUMERICAL).astype(state.status.dtype)
     return dataclasses.replace(
         state,
-        binv=binv,
+        binv=binv.astype(state.binv.dtype),
         xb=xb,
         y=y,
         dj=dj,
@@ -194,11 +210,16 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     pivot choice (an extra iteration). This is the TPU-native counterpart
     of the reference's ABOCA_LITE data-parallel PRICE
     (ClpPackedMatrix.cpp:337-406).
+
+    When opts.inverse_dtype == "float32", binv arrives in f32 and all
+    O(m^2) work against it (PRICE source row, FTRAN pair, rank-1 update)
+    stays f32; scalars feeding the f64 solution updates are upcast.
     """
     G = lp.G
     m, nt = G.shape
     ptol = opts.primal_tolerance
     dtol = opts.dual_tolerance
+    mixed = opts.inverse_dtype == "float32"
 
     lb, ub = _basic_bounds(lp, state.basis)
     below = lb - state.xb
@@ -224,7 +245,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         deg = (state.vstat != BASIC) & (jnp.abs(state.dj) <= dtol) & (lp.l != lp.u)
         z = jnp.where(deg, jax.random.rademacher(key, (nt,), G.dtype), 0.0)
         gz = _pm1_matvec(z, pm1, m) if pm1 is not None else G @ z
-        v = state.binv @ gz
+        v = (state.binv @ gz.astype(state.binv.dtype)).astype(G.dtype)
         nrm = jnp.sqrt(jnp.maximum(jnp.sum(z * z), 1.0))
         compat = jnp.abs(v) <= 1e-8 * nrm
         best_all = jnp.max(score, initial=-jnp.inf)
@@ -263,9 +284,11 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         theta_relaxed = jnp.where(elig, theta_relaxed.astype(G.dtype), jnp.inf)
     else:
         if pm1 is not None:
-            alpha = _pm1_price(rho, pm1)  # gathers, no multiplies
+            alpha = _pm1_price(rho, pm1).astype(G.dtype)  # gathers only
+        elif G32 is not None and mixed:
+            alpha = (rho @ G32).astype(G.dtype)  # f32 MXU pricing
         else:
-            alpha = rho @ G  # tableau row r over all variables
+            alpha = rho.astype(G.dtype) @ G  # tableau row r, full precision
         a = sigma * alpha
         elig = (at_lo & (a > opts.pivot_tolerance)) | (
             at_up & (a < -opts.pivot_tolerance)
@@ -289,20 +312,26 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     # --- FTRAN entering column + DSE tau, fused: one read of binv ---
     if pm1 is not None:
-        abar = _pm1_ftran_col(state.binv, q, pm1)
-        tau = state.binv @ rho
+        abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
+        tau = (state.binv @ rho).astype(G.dtype)
     else:
-        ftran_pair = state.binv @ jnp.stack([G[:, q], rho], axis=1)
-        abar = ftran_pair[:, 0]
-        tau = ftran_pair[:, 1]
+        Gq = (G32 if (G32 is not None and mixed) else G)[:, q]
+        pair = jnp.stack([Gq.astype(state.binv.dtype),
+                          rho.astype(state.binv.dtype)], axis=1)
+        ftran_pair = state.binv @ pair
+        abar = ftran_pair[:, 0].astype(G.dtype)
+        tau = ftran_pair[:, 1].astype(G.dtype)
     alpha_rq = alpha[q]
     abar_r = abar[r]
     # accuracy cross-check (reference: dual checks alpha vs ftran value).
     # f32 pricing widens the acceptable discrepancy; the f64 abar_r is the
     # value actually used for the pivot either way.
-    acc_tol = 2e-4 if opts.use_pallas_price else 1e-8
+    acc_tol = 2e-4 if (opts.use_pallas_price or mixed) else 1e-8
     acc_bad = jnp.abs(alpha_rq - abar_r) > acc_tol * (1.0 + jnp.abs(abar_r))
-    piv_small = jnp.abs(abar_r) < opts.pivot_tolerance
+    # f32 FTRAN values below ~1e-6 relative are noise: treat them as
+    # too-small pivots (forces a fresh f64 factorization instead)
+    piv_floor = max(opts.pivot_tolerance, 1e-6) if mixed else opts.pivot_tolerance
+    piv_small = jnp.abs(abar_r) < piv_floor
 
     # --- bound flips (ClpSimplexDual flipBounds :6345): candidates whose
     # ratio falls strictly below the chosen pivot's ratio would go dual
@@ -322,13 +351,15 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     if pm1 is not None:
         flow = jax.lax.cond(
             jnp.any(flip),
-            lambda: state.binv @ _pm1_matvec(flip_delta, pm1, m),
+            lambda: (state.binv @ _pm1_matvec(flip_delta, pm1, m).astype(
+                state.binv.dtype)).astype(G.dtype),
             lambda: jnp.zeros_like(state.xb),
         )
     else:
         flow = jax.lax.cond(
             jnp.any(flip),
-            lambda: state.binv @ (G @ flip_delta),
+            lambda: (state.binv @ (G @ flip_delta).astype(
+                state.binv.dtype)).astype(G.dtype),
             lambda: jnp.zeros_like(state.xb),
         )
 
@@ -355,10 +386,12 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     w_new = jnp.maximum(w_new, 1e-8)
     w_new = w_new.at[r].set(jnp.maximum(wr / (abar_r * abar_r), 1e-8))
 
-    # --- basis inverse product-form update ---
+    # --- basis inverse product-form update (binv's own dtype) ---
     factor = abar / abar_r
     factor = factor.at[r].set(1.0 - 1.0 / abar_r)
-    binv_new = state.binv - jnp.outer(factor, state.binv[r, :])
+    binv_new = state.binv - jnp.outer(
+        factor.astype(state.binv.dtype), state.binv[r, :]
+    )
 
     # --- basic solution update ---
     xb_new = state.xb - delta_q * abar - flow
@@ -751,13 +784,13 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
 
 def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
     """Dual iteration closure; hoists loop-invariant matrix forms out of
-    the pivot loop (the f32 G copy for Pallas pricing, or the +-1 index
-    arrays for multiply-free pricing)."""
-    if opts.use_pallas_price:
+    the pivot loop (the f32 G copy for Pallas/mixed-precision pricing, or
+    the +-1 index arrays for multiply-free pricing)."""
+    if opts.price_mode == "pm1" and not opts.use_pallas_price:
+        return partial(dual_iteration, pm1=pm1_indices(lp.G))
+    if opts.use_pallas_price or opts.inverse_dtype == "float32":
         G32 = lp.G.astype(jnp.float32)
         return partial(dual_iteration, G32=G32)
-    if opts.price_mode == "pm1":
-        return partial(dual_iteration, pm1=pm1_indices(lp.G))
     return dual_iteration
 
 
@@ -846,10 +879,11 @@ def initial_state(lp: StandardLP, opts: SimplexOptions, vstat=None, basis=None) 
             lf & ~closer_upper, AT_LOWER, jnp.where(uf, AT_UPPER, FREE)
         )
         vstat = jnp.concatenate([col_stat, jnp.full(m, BASIC)]).astype(jnp.int32)
+    inv_dtype = jnp.float32 if opts.inverse_dtype == "float32" else lp.G.dtype
     return SimplexState(
         basis=jnp.asarray(basis, jnp.int32),
         vstat=jnp.asarray(vstat, jnp.int32),
-        binv=jnp.zeros((m, m), lp.G.dtype),
+        binv=jnp.zeros((m, m), inv_dtype),
         xb=jnp.zeros(m, lp.G.dtype),
         dj=jnp.zeros(nt, lp.G.dtype),
         y=jnp.zeros(m, lp.G.dtype),

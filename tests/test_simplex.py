@@ -211,3 +211,50 @@ def test_chunked_time_limit_stops():
 
     sol = simplex_solve(model, o, dual=True)
     assert sol.status in (ProblemStatus.STOPPED, ProblemStatus.OPTIMAL)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mixed_precision_dual_engine(seed):
+    """f32 basis-inverse pivot loop reaches the same verified optimum as
+    f64 (the f64 refactor/verify protocol guarantees it)."""
+    from clp_tpu.forms import to_standard_form
+    from clp_tpu.simplex import engine
+
+    model = random_lp(60, 100, seed=seed, density=0.2)
+    lp, _ = to_standard_form(model)
+    objs = {}
+    for mode in ("float64", "float32"):
+        opts = engine.SimplexOptions(max_iterations=20000, inverse_dtype=mode)
+        st = engine.initial_state(lp, opts)
+        st = engine.recompute(lp, st, opts.dual_bound)
+        st = engine.make_dual_feasible(lp, st, opts)
+        st = engine.dual_solve(lp, st, opts)
+        assert int(st.status) == engine.OPTIMAL
+        xn = engine.nonbasic_values(lp, st.vstat, opts.dual_bound)
+        objs[mode] = float(
+            np.take(np.asarray(lp.c), np.asarray(st.basis)) @ np.asarray(st.xb)
+            + np.asarray(lp.c) @ np.asarray(xn)
+        )
+    assert abs(objs["float64"] - objs["float32"]) < 1e-8 * (
+        1 + abs(objs["float64"])
+    )
+
+
+def test_mixed_precision_via_solve_options():
+    """SolveOptions.inverse_dtype='float32' drives the driver end-to-end,
+    including the f64 promotion before any primal finish."""
+    model = random_lp(40, 70, seed=3)
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.inverse_dtype = "float32"
+    o.presolve.enabled = False
+    m32 = model.copy()
+    s32 = m32.initial_solve(o)
+    o2 = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o2.presolve.enabled = False
+    s64 = model.copy().initial_solve(o2)
+    assert s32.status == ProblemStatus.OPTIMAL
+    assert abs(s32.objective_value - s64.objective_value) < 1e-8 * (
+        1 + abs(s64.objective_value)
+    )
+    rep = check_kkt(m32)
+    assert rep.ok, rep
