@@ -41,12 +41,19 @@ class IPMOptions:
     reg_dual: float = 1e-10  # relative dual regularization (on M diagonal)
     free_var_cap: float = 1e10  # cap on D entries for free variables
     refine_steps: int = 1  # iterative refinement on each Newton solve
-    # "cholesky" (dense, default) or "cg" — Jacobi-preconditioned conjugate
-    # gradient on the normal equations WITHOUT materializing G D G'. The
-    # matrix-free path is the PDCO capability (reference: ClpPdco + ClpLsqr,
-    # ClpLsqr.cpp:8) rebuilt on jax.scipy CG; use for huge/memory-bound LPs.
+    # "cholesky" (dense, default), "cg", or "lsqr" — the latter two solve
+    # the normal equations WITHOUT materializing G D G'. "cg" is Jacobi-
+    # (or user-) preconditioned conjugate gradient; "lsqr" runs damped
+    # Golub-Kahan bidiagonalization directly on D^{1/2}G', avoiding the
+    # squared conditioning of the normal matrix. Together these are the
+    # PDCO/ClpLsqr capability (reference: ClpPdco + ClpLsqr, ClpLsqr.cpp:8,
+    # ClpPdcoBase.hpp:28-40) rebuilt on jitted JAX kernels.
     linear_solver: str = "cholesky"
     cg_maxiter: int = 200
+    # user preconditioner hook for the cg path (ClpPdcoBase::matPrecon
+    # parity): callable r -> M^{-1} r replacing the Jacobi default. Must be
+    # jit-traceable.
+    precond: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -90,6 +97,68 @@ def _starting_point(lp: StandardLP, hl, hu, opts: IPMOptions):
     w0 = jnp.where(hu, cscale, 0.0)
     y0 = jnp.zeros(m, lp.G.dtype)
     return x0, y0, z0, w0
+
+
+def _lsqr_damped(G, sqd, sqreg, rhs, maxiter: int):
+    """Damped LSQR (Paige-Saunders) for (G D G' + reg) dy = rhs.
+
+    Operates on the stacked operator A v = [sqd * (G'v); sqreg * v] with
+    b = [0; rhs/sqreg] — never materializing G D G'. Golub-Kahan
+    bidiagonalization with early exit, as a lax.while_loop (ClpLsqr.cpp:8
+    rebuilt for jit). All vectors stay in two blocks (nt and m) to avoid a
+    concatenated temporary.
+    """
+
+    def A_fwd(v):  # m -> (nt, m)
+        return sqd * (G.T @ v), sqreg * v
+
+    def A_adj(u1, u2):  # (nt, m) -> m
+        return G @ (sqd * u1) + sqreg * u2
+
+    bnorm = jnp.linalg.norm(rhs) / jnp.maximum(sqreg, 1e-300)
+    # beta1 u1 = b; b's first block is zero
+    beta = bnorm
+    u1 = jnp.zeros(G.shape[1], rhs.dtype)
+    u2 = (rhs / jnp.maximum(sqreg, 1e-300)) / jnp.maximum(beta, 1e-300)
+    v = A_adj(u1, u2)
+    alpha = jnp.linalg.norm(v)
+    v = v / jnp.maximum(alpha, 1e-300)
+    w = v
+    x = jnp.zeros(G.shape[0], rhs.dtype)
+    phibar = beta
+    rhobar = alpha
+
+    def cond(c):
+        x, u1, u2, v, w, alpha, beta, phibar, rhobar, it = c
+        return (it < maxiter) & (jnp.abs(phibar) > 1e-12 * jnp.maximum(bnorm, 1e-300))
+
+    def body(c):
+        x, u1, u2, v, w, alpha, beta, phibar, rhobar, it = c
+        a1, a2 = A_fwd(v)
+        u1n = a1 - alpha * u1
+        u2n = a2 - alpha * u2
+        beta_n = jnp.sqrt(jnp.sum(u1n * u1n) + jnp.sum(u2n * u2n))
+        u1n = u1n / jnp.maximum(beta_n, 1e-300)
+        u2n = u2n / jnp.maximum(beta_n, 1e-300)
+        vn = A_adj(u1n, u2n) - beta_n * v
+        alpha_n = jnp.linalg.norm(vn)
+        vn = vn / jnp.maximum(alpha_n, 1e-300)
+        rho = jnp.sqrt(rhobar * rhobar + beta_n * beta_n)
+        cth = rhobar / jnp.maximum(rho, 1e-300)
+        sth = beta_n / jnp.maximum(rho, 1e-300)
+        theta = sth * alpha_n
+        rhobar_n = -cth * alpha_n
+        phi = cth * phibar
+        phibar_n = sth * phibar
+        xn = x + (phi / jnp.maximum(rho, 1e-300)) * w
+        wn = vn - (theta / jnp.maximum(rho, 1e-300)) * w
+        return xn, u1n, u2n, vn, wn, alpha_n, beta_n, phibar_n, rhobar_n, it + 1
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (x, u1, u2, v, w, alpha, beta, phibar, rhobar, jnp.asarray(0, jnp.int32)),
+    )
+    return out[0]
 
 
 def _max_step(v, dv, mask):
@@ -170,6 +239,8 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
             d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
             reg = opts.reg_dual + 1e-12
             diag_m = (G * G) @ d + reg
+            # matPrecon parity: user hook replaces the Jacobi default
+            M_apply = opts.precond or (lambda r: r / diag_m)
 
             def matvec(v):
                 return G @ (d * (G.T @ v)) + reg * v
@@ -178,11 +249,28 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
                 sol, _ = jax.scipy.sparse.linalg.cg(
                     matvec,
                     rhs,
-                    M=lambda r: r / diag_m,
+                    M=M_apply,
                     tol=1e-12,
                     maxiter=opts.cg_maxiter,
                 )
                 return sol
+
+            def hsolve(r):
+                return d * r if r.ndim == 1 else d[:, None] * r
+
+        elif Q is None and opts.linear_solver == "lsqr":
+            # damped LSQR on A = [D^{1/2} G' ; sqrt(reg) I], b = [0;
+            # rhs/sqrt(reg)]: the normal equations of this least-squares
+            # problem are exactly (G D G' + reg) dy = rhs, but the Krylov
+            # process sees A (condition sqrt(kappa(M))) — ClpLsqr's reason
+            # for existing (ClpLsqr.cpp:8)
+            d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+            reg = opts.reg_dual + 1e-10
+            sqd = jnp.sqrt(d)
+            sqreg = jnp.sqrt(reg)
+
+            def nsolve(rhs):
+                return _lsqr_damped(G, sqd, sqreg, rhs, opts.cg_maxiter)
 
             def hsolve(r):
                 return d * r if r.ndim == 1 else d[:, None] * r

@@ -143,3 +143,41 @@ def test_pdlp_solver():
     assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
     # first-order accuracy target is moderate by design
     assert abs(sol.objective_value - ref.fun) < 1e-2 * (1 + abs(ref.fun))
+
+
+def test_lsqr_kernel_matches_direct():
+    """Damped LSQR solves (G D G' + reg) dy = rhs to machine precision."""
+    import jax.numpy as jnp
+    from clp_tpu.interior.mehrotra import _lsqr_damped
+
+    rng = np.random.default_rng(0)
+    G = jnp.asarray(rng.standard_normal((30, 50)))
+    d = jnp.asarray(rng.uniform(0.5, 2.0, 50))
+    reg = 1e-8
+    rhs = jnp.asarray(rng.standard_normal(30))
+    M = np.asarray(G) * np.asarray(d) @ np.asarray(G).T + reg * np.eye(30)
+    ref = np.linalg.solve(M, np.asarray(rhs))
+    got = np.asarray(
+        _lsqr_damped(G, jnp.sqrt(d), jnp.sqrt(jnp.asarray(reg)), rhs, 500)
+    )
+    assert np.abs(got - ref).max() < 1e-10 * (1 + np.abs(ref).max())
+
+
+@pytest.mark.parametrize("solver", ["lsqr", "cg"])
+def test_ipm_matrix_free_solvers(solver):
+    """LSQR / user-preconditioned CG paths reach the cholesky optimum
+    (ClpPdco + ClpLsqr + matPrecon parity)."""
+    from clp_tpu.forms import to_ipm_form
+    from clp_tpu.interior.mehrotra import IPMOptions, ipm_solve
+
+    m = random_lp(40, 70, seed=0)
+    lp, _ = to_ipm_form(m)
+    ref = ipm_solve(lp, IPMOptions(linear_solver="cholesky"))
+    kw = dict(linear_solver=solver, cg_maxiter=400)
+    if solver == "cg":
+        kw["precond"] = lambda r: r  # identity user preconditioner hook
+    res = ipm_solve(lp, IPMOptions(**kw))
+    assert bool(res.converged)
+    assert abs(float(res.pobj) - float(ref.pobj)) < 1e-6 * (
+        1 + abs(float(ref.pobj))
+    )
