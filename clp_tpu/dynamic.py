@@ -127,7 +127,7 @@ def dynamic_simplex_solve(
     lp = StandardLP(G=G, b=jnp.zeros(m), c=c, l=l, u=u)
 
     opts = engine.SimplexOptions(
-        refactor_frequency=options.refactor_frequency,
+        refactor_frequency=options.refactor_frequency or 100,
         max_iterations=options.max_iterations or 200000,
     )
     state = engine.initial_state(lp, opts)

@@ -207,6 +207,37 @@ def blocked_inverse(B: jnp.ndarray, block: int = 128) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(U, Y, lower=False)
 
 
+def lu_refactor32(B: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 explicit inverse via the backend's NATIVE LuDecomposition.
+
+    XLA implements LuDecomposition on TPU for f32 only — but natively
+    (blocked, compiled), unlike the Python-level blocked panel loop that
+    the f64 path needs. Used by the mixed-precision simplex: the f32
+    inverse drives the pivot loop and preconditions f64
+    iterative-refinement solves at refactorization time (~2.6x faster than
+    the f64 blocked inverse at m=1024 on the bench TPU).
+    """
+    m = B.shape[-1]
+    # power-of-2 row/col equilibration (exact in fp): shrinks the condition
+    # number the f32 factor sees; binv = Dc X Dr undoes it exactly
+    absB = jnp.abs(B)
+    r_max = jnp.max(absB, axis=1, keepdims=True)
+    dr = jnp.exp2(-jnp.round(jnp.log2(jnp.where(r_max > 0, r_max, 1.0))))
+    absB = absB * dr
+    c_max = jnp.max(absB, axis=0, keepdims=True)
+    dc = jnp.exp2(-jnp.round(jnp.log2(jnp.where(c_max > 0, c_max, 1.0))))
+    B32 = (B * dr * dc).astype(jnp.float32)
+    lu, _, perm = jax.lax.linalg.lu(B32)
+    L = jnp.tril(lu, -1) + jnp.eye(m, dtype=jnp.float32)
+    U = jnp.triu(lu)
+    Pm = jnp.zeros((m, m), jnp.float32).at[jnp.arange(m), perm].set(1.0)
+    Y = jax.scipy.linalg.solve_triangular(L, Pm, lower=True, unit_diagonal=True)
+    X = jax.scipy.linalg.solve_triangular(U, Y, lower=False)
+    X = X * dc.reshape(-1, 1).astype(jnp.float32) * dr.reshape(1, -1).astype(jnp.float32)
+    ok = jnp.all(jnp.isfinite(X))
+    return X, ok
+
+
 def lu_refactor(B: jnp.ndarray, block: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dense factorization of a basis matrix, returning (Binv, ok_flag).
 

@@ -49,7 +49,10 @@ class SolveOptions:
     # "devex" | "dantzig" | "steepest"/"exact" | "partial" | "pesteepest"
     primal_pivot: str = "devex"
     perturbation: int = 100  # reference semantics: 100 = auto-on-if-slow
-    refactor_frequency: int = 100
+    # None = auto: 100, raised to 200 in the mixed-precision TPU engine
+    # where refactorization dominates wall clock (cost-model analogue of
+    # ClpFactorization::timeToRefactorize)
+    refactor_frequency: Optional[int] = None
     dual_bound: float = 1e10  # fake bound magnitude (dualBound param)
     crash: str = "none"  # "none" | "idiot" | "allslack"
     idiot_passes: int = 0

@@ -100,7 +100,7 @@ def solve_batch_dual_simplex(
     options = options or SolveOptions()
     batched, infos = stack_models_simplex(models)
     opts = engine.SimplexOptions(
-        refactor_frequency=options.refactor_frequency,
+        refactor_frequency=options.refactor_frequency or 100,
         max_iterations=options.max_iterations or 100000,
     )
     if mesh is not None:

@@ -467,12 +467,19 @@ def simplex_solve(
             else "float64"
         )
 
+    refreq = options.refactor_frequency
+    if refreq is None:
+        # cost-model auto cadence (timeToRefactorize analogue): the mixed
+        # TPU engine's per-pivot cost is tiny next to a refactorization,
+        # so amortize over longer chunks there
+        refreq = 200 if inv_dtype == "float32" else 100
+
     def make_opts(dual_bound: float) -> SimplexOptions:
         return SimplexOptions(
             primal_tolerance=model.primal_tolerance,
             dual_tolerance=model.dual_tolerance,
             dual_bound=dual_bound,
-            refactor_frequency=options.refactor_frequency,
+            refactor_frequency=refreq,
             max_iterations=max_iter,
             dual_pivot=_DUAL_PIVOT_MAP.get(options.dual_pivot, "steepest"),
             primal_pivot=_PRIMAL_PIVOT_MAP.get(options.primal_pivot, "devex"),

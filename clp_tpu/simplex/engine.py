@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..forms import StandardLP
-from ..ops.linalg import lu_refactor
+from ..ops.linalg import lu_refactor, lu_refactor32
 
 # status codes (match ProblemStatus where >= 0)
 CONTINUE = -1
@@ -122,24 +122,56 @@ def nonbasic_values(lp: StandardLP, vstat, dual_bound):
 def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
     """Refactorize + recompute primals/duals (gutsOfSolution equivalent).
 
-    Always factors and recomputes x_B/y/dj in the LP's dtype (f64); the
-    inverse is then stored back at `state.binv.dtype`, so a mixed-precision
-    state (f32 binv) re-enters the pivot loop with fresh f32 factors while
-    the solution quantities keep full accuracy.
+    f64 state: factor and recompute everything in f64 (unchanged).
+    Mixed-precision state (f32 binv): factor with the backend's NATIVE f32
+    LuDecomposition (much faster than the f64 blocked panel loop on TPU)
+    and recover full f64 accuracy for x_B/y/dj by iterative refinement —
+    each step does one f64 residual matvec against B and one f32
+    preconditioner application, converging to ~1e-13 in 3 steps for any
+    basis the f32 factor can represent; a basis it cannot (refinement
+    residual stays large) is flagged NUMERICAL exactly like a singular f64
+    factorization would be.
     """
     G, b, c = lp.G, lp.b, lp.c
     B = jnp.take(G, state.basis, axis=1)
-    binv, ok = lu_refactor(B)
     xn = nonbasic_values(lp, state.vstat, dual_bound)
-    xb = binv @ (b - G @ xn)
+    rhs = b - G @ xn
     cb = jnp.take(c, state.basis)
-    y = cb @ binv
+    if state.binv.dtype != G.dtype:
+        binv32, ok = lu_refactor32(B)
+        HI = jax.lax.Precision.HIGHEST
+
+        def prec(v):  # f32 preconditioner application, f64 in/out
+            return jnp.matmul(
+                binv32, v.astype(binv32.dtype), precision=HI
+            ).astype(G.dtype)
+
+        def prec_t(v):
+            return jnp.matmul(
+                v.astype(binv32.dtype), binv32, precision=HI
+            ).astype(G.dtype)
+
+        xb = prec(rhs)
+        y = prec_t(cb)
+        for _ in range(3):
+            xb = xb + prec(rhs - B @ xb)
+            y = y + prec_t(cb - y @ B)
+        resid = jnp.max(jnp.abs(rhs - B @ xb)) / (
+            1.0 + jnp.max(jnp.abs(rhs), initial=0.0)
+        )
+        ok = ok & jnp.isfinite(resid) & (resid < 1e-9)
+        binv_store = binv32
+    else:
+        binv, ok = lu_refactor(B)
+        xb = binv @ rhs
+        y = cb @ binv
+        binv_store = binv
     dj = c - y @ G
     dj = jnp.where(state.vstat == BASIC, 0.0, dj)
     status = jnp.where(ok, state.status, NUMERICAL).astype(state.status.dtype)
     return dataclasses.replace(
         state,
-        binv=binv.astype(state.binv.dtype),
+        binv=binv_store,
         xb=xb,
         y=y,
         dj=dj,
@@ -245,7 +277,10 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         deg = (state.vstat != BASIC) & (jnp.abs(state.dj) <= dtol) & (lp.l != lp.u)
         z = jnp.where(deg, jax.random.rademacher(key, (nt,), G.dtype), 0.0)
         gz = _pm1_matvec(z, pm1, m) if pm1 is not None else G @ z
-        v = (state.binv @ gz.astype(state.binv.dtype)).astype(G.dtype)
+        v = jnp.matmul(
+            state.binv, gz.astype(state.binv.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(G.dtype)
         nrm = jnp.sqrt(jnp.maximum(jnp.sum(z * z), 1.0))
         compat = jnp.abs(v) <= 1e-8 * nrm
         best_all = jnp.max(score, initial=-jnp.inf)
@@ -286,7 +321,11 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         if pm1 is not None:
             alpha = _pm1_price(rho, pm1).astype(G.dtype)  # gathers only
         elif G32 is not None and mixed:
-            alpha = (rho @ G32).astype(G.dtype)  # f32 MXU pricing
+            # HIGHEST: TPU f32 matmuls default to one bf16 MXU pass
+            # (~1e-3 error) which would trip the accuracy check every pivot
+            alpha = jnp.matmul(
+                rho, G32, precision=jax.lax.Precision.HIGHEST
+            ).astype(G.dtype)
         else:
             alpha = rho.astype(G.dtype) @ G  # tableau row r, full precision
         a = sigma * alpha
@@ -313,12 +352,16 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     # --- FTRAN entering column + DSE tau, fused: one read of binv ---
     if pm1 is not None:
         abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
-        tau = (state.binv @ rho).astype(G.dtype)
+        tau = jnp.matmul(
+            state.binv, rho, precision=jax.lax.Precision.HIGHEST
+        ).astype(G.dtype)
     else:
         Gq = (G32 if (G32 is not None and mixed) else G)[:, q]
         pair = jnp.stack([Gq.astype(state.binv.dtype),
                           rho.astype(state.binv.dtype)], axis=1)
-        ftran_pair = state.binv @ pair
+        ftran_pair = jnp.matmul(
+            state.binv, pair, precision=jax.lax.Precision.HIGHEST
+        )
         abar = ftran_pair[:, 0].astype(G.dtype)
         tau = ftran_pair[:, 1].astype(G.dtype)
     alpha_rq = alpha[q]
@@ -351,15 +394,20 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     if pm1 is not None:
         flow = jax.lax.cond(
             jnp.any(flip),
-            lambda: (state.binv @ _pm1_matvec(flip_delta, pm1, m).astype(
-                state.binv.dtype)).astype(G.dtype),
+            lambda: jnp.matmul(
+                state.binv,
+                _pm1_matvec(flip_delta, pm1, m).astype(state.binv.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(G.dtype),
             lambda: jnp.zeros_like(state.xb),
         )
     else:
         flow = jax.lax.cond(
             jnp.any(flip),
-            lambda: (state.binv @ (G @ flip_delta).astype(
-                state.binv.dtype)).astype(G.dtype),
+            lambda: jnp.matmul(
+                state.binv, (G @ flip_delta).astype(state.binv.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(G.dtype),
             lambda: jnp.zeros_like(state.xb),
         )
 

@@ -453,7 +453,7 @@ def qp_simplex_solve(model, options):
     opts = eng.SimplexOptions(
         primal_tolerance=model.primal_tolerance,
         dual_tolerance=model.dual_tolerance,
-        refactor_frequency=options.refactor_frequency,
+        refactor_frequency=options.refactor_frequency or 100,
         max_iterations=int(min(options.max_iterations or 10**9, 50 * (m + n) + 10000)),
     )
 

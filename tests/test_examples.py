@@ -16,6 +16,14 @@ ALL = [
     "test_qp.py",
     "parametrics_example.py",
     "batched_scenarios.py",
+    "add_rows_columns.py",
+    "network_example.py",
+    "gub_example.py",
+    "make_dual.py",
+    "piecewise_example.py",
+    "event_handler.py",
+    "basis_io.py",
+    "pdco_example.py",
 ]
 
 
