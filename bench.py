@@ -60,6 +60,32 @@ def bench_dual_simplex(jax, jnp):
             break
     t_timed = time.perf_counter() - t0
     total_iters = int(state.iterations)
+
+    # same-LP wall clock on this host's modern CPU simplex (HiGHS dual via
+    # scipy) — the direct apples-to-apples comparison VERDICT asked for
+    highs_wall = None
+    try:
+        from scipy.optimize import linprog
+        from scipy.sparse import csc_matrix
+
+        A = np.asarray(model.matrix.todense())
+        t0 = time.perf_counter()
+        r = linprog(
+            model.objective,
+            A_ub=np.vstack([A, -A]),
+            b_ub=np.concatenate([
+                np.minimum(model.row_upper, 1e30),
+                -np.maximum(model.row_lower, -1e30),
+            ]),
+            bounds=[
+                (None if lo <= -1e29 else lo, None if up >= 1e29 else up)
+                for lo, up in zip(model.col_lower, model.col_upper)
+            ],
+            method="highs-ds",
+        )
+        highs_wall = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pass
     return {
         "iters_per_s": timed_iters / max(t_timed, 1e-9),
         "total_iters": total_iters,
@@ -69,6 +95,8 @@ def bench_dual_simplex(jax, jnp):
         "m": M,
         "n": N,
         "pallas_price": on_tpu,
+        "solve_wall_s_post_compile": round(t_timed, 3),
+        "highs_dual_wall_s_same_lp": highs_wall,
     }
 
 
