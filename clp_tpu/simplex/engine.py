@@ -169,12 +169,24 @@ def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
     dj = c - y @ G
     dj = jnp.where(state.vstat == BASIC, 0.0, dj)
     status = jnp.where(ok, state.status, NUMERICAL).astype(state.status.dtype)
+    # reset DSE weights to exact steepest-edge norms ||e_r'B^-1||^2 on the
+    # fresh factors (ClpDualRowSteepest full-mode reset). The incremental
+    # Forrest-Goldfarb update drifts — harmlessly in f64 over one solve,
+    # but under the f32 pivot loop unbounded drift was observed to starve
+    # the most-infeasible rows of selection and stall convergence.
+    weights = jnp.maximum(
+        jnp.sum(
+            binv_store.astype(G.dtype) * binv_store.astype(G.dtype), axis=1
+        ),
+        1e-8,
+    )
     return dataclasses.replace(
         state,
         binv=binv_store,
         xb=xb,
         y=y,
         dj=dj,
+        weights=weights,
         status=status,
         refactor_now=jnp.asarray(False),
     )
