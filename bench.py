@@ -37,7 +37,7 @@ def bench_dual_simplex(jax, jnp):
     on_tpu = jax.default_backend() == "tpu"
     opts = engine.SimplexOptions(
         max_iterations=60000,
-        refactor_frequency=200 if on_tpu else 100,
+        refactor_frequency=400 if on_tpu else 100,
         use_pallas_price=on_tpu,
         inverse_dtype="float32" if on_tpu else "float64",
     )

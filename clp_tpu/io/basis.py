@@ -89,5 +89,11 @@ def read_basis(model, filename: str) -> int:
                         cstat[j] = int(VariableStatus.BASIC)
     except FileNotFoundError:
         return -1
+    # the MPS basis format has no code for isFixed: restore it for any
+    # nonbasic column with equal bounds (Clp marks those Status::isFixed)
+    fixed = (model.col_lower == model.col_upper) & (
+        cstat != int(VariableStatus.BASIC)
+    )
+    cstat[fixed] = int(VariableStatus.FIXED)
     model.set_basis_status(cstat, rstat)
     return 0

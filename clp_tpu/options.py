@@ -49,7 +49,7 @@ class SolveOptions:
     # "devex" | "dantzig" | "steepest"/"exact" | "partial" | "pesteepest"
     primal_pivot: str = "devex"
     perturbation: int = 100  # reference semantics: 100 = auto-on-if-slow
-    # None = auto: 100, raised to 200 in the mixed-precision TPU engine
+    # None = auto: 100, raised to 400 in the mixed-precision TPU engine
     # where refactorization dominates wall clock (cost-model analogue of
     # ClpFactorization::timeToRefactorize)
     refactor_frequency: Optional[int] = None

@@ -1381,6 +1381,27 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
     obj = float(model.objective @ x) + model.objective_offset
     if model.quadratic_objective is not None:
         obj += 0.5 * float(x @ (model.quadratic_objective @ x))
+    if cstat is not None:
+        # FIXED is reserved for columns whose ORIGINAL bounds coincide
+        # (Clp Status::isFixed). Columns fixed by presolve itself (dual
+        # fixing, forcing rows) on a genuine range revert to the bound
+        # status their value matches.
+        was_fixed = cstat == int(VariableStatus.FIXED)
+        rng = model.col_upper - model.col_lower > 1e-12 * (
+            1.0 + np.abs(model.col_lower)
+        )
+        at_up = was_fixed & rng & (
+            np.abs(x - model.col_upper) <= np.abs(x - model.col_lower)
+        )
+        cstat = np.where(
+            was_fixed & rng,
+            np.where(
+                at_up,
+                int(VariableStatus.AT_UPPER),
+                int(VariableStatus.AT_LOWER),
+            ),
+            cstat,
+        ).astype(cstat.dtype)
     out = Solution(
         status=sol.status,
         secondary_status=sol.secondary_status,
@@ -1396,6 +1417,7 @@ def postsolve(model: Model, info: PresolveInfo, sol: Solution) -> Solution:
         unbounded_ray=sol.unbounded_ray
         if sol.unbounded_ray is not None and sol.unbounded_ray.size == model.num_cols
         else None,
+        timings=dict(sol.timings or {}),
     )
     model.solution = out
     return out

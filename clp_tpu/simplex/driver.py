@@ -206,6 +206,16 @@ def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
         infeas_ray = _farkas_ray(lp, state, sense)
     elif engine_status == engine.DUAL_INFEASIBLE:
         unbounded_ray = _primal_ray(lp, state, n)
+    # factorization statistics (reference: ClpFactorization statistics
+    # mode, ClpFactorization.hpp:486): counts + mean pivots per factor
+    nref = int(getattr(state, "refactors", 0))
+    stats = {
+        "factorizations": nref,
+        "pivots_per_factorization": round(int(state.iterations) / nref, 2)
+        if nref
+        else 0.0,
+        "inverse_dtype": str(state.binv.dtype),
+    }
     return Solution(
         status=status_map[engine_status],
         objective_value=obj,
@@ -218,6 +228,7 @@ def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
         row_status=row_status,
         infeasibility_ray=infeas_ray,
         unbounded_ray=unbounded_ray,
+        timings={"factorization_stats": stats},
     )
 
 
@@ -437,8 +448,15 @@ def simplex_solve(
         phase = "dual" if dual else "primal"
         progress = lambda it, obj: disp.line(phase, it, obj)  # noqa: E731
 
-    max_iter = options.max_iterations or model.maximum_iterations
-    max_iter = int(min(max_iter, 50 * (m + n) + 10000))
+    # a user-set limit (options or model) is respected verbatim; only the
+    # open default gets the shape-scaled safety cap, and generously — a cap
+    # that bites on hard degenerate problems would masquerade as STOPPED
+    max_iter = options.max_iterations or (
+        model.maximum_iterations
+        if model.maximum_iterations != 2 ** 31 - 1
+        else min(model.maximum_iterations, 200 * (m + n) + 10000)
+    )
+    max_iter = int(max_iter)
 
     if options.use_pallas_price == "auto":
         import jax as _jax
@@ -472,7 +490,7 @@ def simplex_solve(
         # cost-model auto cadence (timeToRefactorize analogue): the mixed
         # TPU engine's per-pivot cost is tiny next to a refactorization,
         # so amortize over longer chunks there
-        refreq = 200 if inv_dtype == "float32" else 100
+        refreq = 400 if inv_dtype == "float32" else 100
 
     def make_opts(dual_bound: float) -> SimplexOptions:
         return SimplexOptions(

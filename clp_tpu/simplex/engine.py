@@ -105,6 +105,7 @@ class SimplexState:
     iterations: jnp.ndarray  # int32
     status: jnp.ndarray  # int32, CONTINUE while running
     refactor_now: jnp.ndarray  # bool — accuracy trigger
+    refactors: jnp.ndarray  # int32 — factorization count (statistics mode)
 
 
 def nonbasic_values(lp: StandardLP, vstat, dual_bound):
@@ -189,6 +190,7 @@ def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
         weights=weights,
         status=status,
         refactor_now=jnp.asarray(False),
+        refactors=state.refactors + 1,
     )
 
 
@@ -489,6 +491,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         iterations=state.iterations + do_pivot.astype(state.iterations.dtype),
         status=status,
         refactor_now=refactor_now,
+        refactors=state.refactors,
     )
     return new_state
 
@@ -701,6 +704,7 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         iterations=state.iterations + (do_pivot | do_flip).astype(state.iterations.dtype),
         status=status,
         refactor_now=refactor_now,
+        refactors=state.refactors,
     )
     return new_state
 
@@ -952,6 +956,7 @@ def initial_state(lp: StandardLP, opts: SimplexOptions, vstat=None, basis=None) 
         iterations=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(CONTINUE, jnp.int32),
         refactor_now=jnp.asarray(False),
+        refactors=jnp.asarray(0, jnp.int32),
     )
 
 

@@ -403,6 +403,9 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
 
     timings["postsolve"] = time.time() - t_phase
     sol.solve_time = time.time() - t0
+    # keep engine-attached statistics (factorization counts) alongside the
+    # per-phase wall timings
+    timings.update(sol.timings or {})
     sol.timings = timings
     if options.log_level >= 2:
         from .events import MessageHandler
