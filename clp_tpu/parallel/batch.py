@@ -99,9 +99,21 @@ def solve_batch_dual_simplex(
 
     options = options or SolveOptions()
     batched, infos = stack_models_simplex(models)
+    inv_dtype = getattr(options, "inverse_dtype", "auto")
+    if inv_dtype == "auto":
+        # same policy as the single-instance driver: the mixed f32 pivot
+        # loop pays on TPU at scale (lu vmaps across the batch natively)
+        m0 = models[0].num_rows if models else 0
+        inv_dtype = (
+            "float32"
+            if jax.default_backend() == "tpu" and m0 >= 512
+            else "float64"
+        )
     opts = engine.SimplexOptions(
-        refactor_frequency=options.refactor_frequency or 100,
+        refactor_frequency=options.refactor_frequency
+        or (400 if inv_dtype == "float32" else 100),
         max_iterations=options.max_iterations or 100000,
+        inverse_dtype=inv_dtype,
     )
     if mesh is not None:
         sh = scenario_sharding(mesh, options.mesh_axis)

@@ -258,3 +258,40 @@ def test_mixed_precision_via_solve_options():
     )
     rep = check_kkt(m32)
     assert rep.ok, rep
+
+
+def test_reference_handbuilt_warmstart_lp():
+    """The reference unit test's exact hand-built LP (unitTest.cpp:1413-1480):
+    3 equality rows, 5 columns, warm-started from basis {x0, x1, x4};
+    expected colsol = {20/7, 3, 0, 0, 23/7}."""
+    import scipy.sparse as sp
+    from clp_tpu.constants import VariableStatus
+
+    A = np.zeros((3, 5))
+    A[0, 0], A[2, 0] = 7.0, 2.0
+    A[0, 1], A[1, 1], A[2, 1] = -2.0, 1.0, -2.0
+    A[0, 2] = 1.0
+    A[1, 3] = 1.0
+    A[2, 4] = 1.0
+    model = Model()
+    model.load_problem(
+        sp.csc_matrix(A),
+        col_lower=np.zeros(5),
+        col_upper=np.full(5, 100.0),
+        objective=[-4.0, 1.0, 0.0, 0.0, 0.0],
+        row_lower=[14.0, 3.0, 3.0],
+        row_upper=[14.0, 3.0, 3.0],
+    )
+    cstat = np.array([int(VariableStatus.BASIC), int(VariableStatus.BASIC),
+                      int(VariableStatus.AT_LOWER), int(VariableStatus.AT_LOWER),
+                      int(VariableStatus.BASIC)], dtype=np.int8)
+    rstat = np.full(3, int(VariableStatus.AT_LOWER), dtype=np.int8)
+    model.set_basis_status(cstat, rstat)
+    o = _no_presolve(method=SolveMethod.PRIMAL_SIMPLEX)
+    sol = model.initial_solve(o)
+    assert sol.status == ProblemStatus.OPTIMAL
+    np.testing.assert_allclose(
+        sol.primal, [20.0 / 7.0, 3.0, 0.0, 0.0, 23.0 / 7.0], atol=1e-8
+    )
+    assert abs(sol.objective_value - (-59.0 / 7.0)) < 1e-8
+    assert check_kkt(model).ok
