@@ -54,6 +54,15 @@ class IPMOptions:
     # parity): callable r -> M^{-1} r replacing the Jacobi default. Must be
     # jit-traceable.
     precond: object = None
+    # separable convex objective hooks (ClpPdcoBase::getObj/getGrad/
+    # getHessian parity): phi(x) = sum_j phi_j(x_j) ADDED to c'x. obj_fn
+    # x->scalar, grad_fn x->vector, hess_fn x->diagonal vector (phi_j'').
+    # All three must be jit-traceable; supply together. Convergence then
+    # checks residuals + complementarity (the Fenchel dual gap is not
+    # computed for general phi).
+    obj_fn: object = None
+    grad_fn: object = None
+    hess_fn: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -182,8 +191,11 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
 
     x0, y0, z0, w0 = _starting_point(lp, hl, hu, opts)
 
+    nonlinear = opts.grad_fn is not None  # PDCO separable-objective mode
+
     def grad(x):
-        return c if Q is None else c + Q @ x
+        g0 = c if Q is None else c + Q @ x
+        return g0 + opts.grad_fn(x) if nonlinear else g0
 
     def residuals(x, y, z, w):
         rb = b - G @ x
@@ -201,6 +213,8 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         dinf = jnp.max(jnp.abs(rc), initial=0.0) / cnorm
         quad = 0.0 if Q is None else 0.5 * (x @ (Q @ x))
         pobj = c @ x + quad
+        if nonlinear and opts.obj_fn is not None:
+            pobj = pobj + opts.obj_fn(x)
         dobj = (
             b @ y
             + jnp.sum(jnp.where(hl, l * z, 0.0))
@@ -211,8 +225,20 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         return pinf, dinf, relgap, pobj, dobj
 
     def converged(x, y, z, w):
-        pinf, dinf, relgap, _, _ = metrics(x, y, z, w)
-        return (pinf <= opts.tol) & (dinf <= opts.tol) & (relgap <= opts.tol)
+        pinf, dinf, relgap, pobj, _ = metrics(x, y, z, w)
+        if nonlinear:
+            # the Fenchel dual value is not computed for general phi:
+            # residuals + complementarity replace the gap (PDCO criterion)
+            gg = jnp.where(hl, x - l, 1.0)
+            tt = jnp.where(hu, u - x, 1.0)
+            comp = (
+                jnp.sum(jnp.where(hl, jnp.abs(gg * z), 0.0))
+                + jnp.sum(jnp.where(hu, jnp.abs(tt * w), 0.0))
+            ) / n_active
+            gap_ok = comp <= opts.tol * (1.0 + jnp.abs(pobj))
+        else:
+            gap_ok = relgap <= opts.tol
+        return (pinf <= opts.tol) & (dinf <= opts.tol) & gap_ok
 
     def cond(state):
         x, y, z, w, g, t, it, done = state
@@ -233,6 +259,10 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         # by O(reg) and floors the attainable duality gap just above tol
         reg_p = jnp.minimum(opts.reg_primal, 1e-2 * mu + 1e-14)
         dinv = zg + wt + reg_p * (1.0 + jnp.abs(c))
+        if nonlinear and opts.hess_fn is not None:
+            # separable phi'' joins the diagonal of the Newton system
+            # (getHessian parity): H = diag(phi'') + D^-1
+            dinv = dinv + jnp.maximum(opts.hess_fn(x), 0.0)
 
         if Q is None and opts.linear_solver == "cg":
             # matrix-free normal equations: Mv = G(d*(G'v)) + reg*v
@@ -396,7 +426,7 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     x, y, z, w, g, t, it, done = jax.lax.while_loop(cond, body, init)
 
     pinf, dinf, relgap, pobj, dobj = metrics(x, y, z, w)
-    conv = (pinf <= opts.tol) & (dinf <= opts.tol) & (relgap <= opts.tol)
+    conv = converged(x, y, z, w)
     blowup = jnp.maximum(jnp.max(jnp.abs(z), initial=0.0), jnp.max(jnp.abs(w), initial=0.0))
     return IPMResult(
         x=x,

@@ -181,3 +181,48 @@ def test_ipm_matrix_free_solvers(solver):
     assert abs(float(res.pobj) - float(ref.pobj)) < 1e-6 * (
         1 + abs(float(ref.pobj))
     )
+
+
+def test_pdco_separable_objective_hooks():
+    """obj/grad/hess hooks (ClpPdcoBase::getObj/getGrad/getHessian parity):
+    a separable quadratic through the hooks matches the explicit-Q barrier,
+    and a genuinely nonlinear exp objective converges with clean KKT."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from clp_tpu.forms import to_ipm_form
+    from clp_tpu.interior.mehrotra import IPMOptions, ipm_solve
+
+    m = random_lp(30, 50, seed=1)
+    q = np.abs(np.random.default_rng(0).uniform(0.5, 2.0, m.num_cols))
+    mq = m.copy()
+    mq.quadratic_objective = sp.diags(q).tocsc()
+    lpq, _ = to_ipm_form(mq)
+    ref = ipm_solve(lpq, IPMOptions())
+
+    lp, _ = to_ipm_form(m)
+    nt = lp.G.shape[1]
+    n = m.num_cols
+    qfull = jnp.asarray(np.concatenate([q, np.zeros(nt - n)]))
+    res = ipm_solve(lp, IPMOptions(
+        obj_fn=lambda x: 0.5 * jnp.sum(qfull * x * x),
+        grad_fn=lambda x: qfull * x,
+        hess_fn=lambda x: qfull,
+    ))
+    assert bool(ref.converged) and bool(res.converged)
+    assert abs(float(ref.pobj) - float(res.pobj)) < 1e-8 * (
+        1 + abs(float(ref.pobj))
+    )
+
+    pad = jnp.zeros(nt - n)
+    r3 = ipm_solve(lp, IPMOptions(
+        obj_fn=lambda x: jnp.sum(jnp.exp(0.2 * x[:n])),
+        grad_fn=lambda x: jnp.concatenate([0.2 * jnp.exp(0.2 * x[:n]), pad]),
+        hess_fn=lambda x: jnp.concatenate([0.04 * jnp.exp(0.2 * x[:n]), pad]),
+        max_iter=200,
+    ))
+    assert bool(r3.converged)
+    x = np.asarray(r3.x)
+    gradphi = np.concatenate([0.2 * np.exp(0.2 * x[:n]), np.zeros(nt - n)])
+    rc = (np.asarray(lp.c) + gradphi - np.asarray(lp.G).T @ np.asarray(r3.y)
+          - np.asarray(r3.z) + np.asarray(r3.w))
+    assert np.abs(rc).max() < 1e-6
