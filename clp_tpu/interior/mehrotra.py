@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from ..forms import StandardLP
-from ..ops.linalg import chol_factor_reg, chol_solve
+from ..ops.linalg import (
+    block_tridiag_cholesky,
+    block_tridiag_solve,
+    chol_factor_reg,
+    chol_solve,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +68,13 @@ class IPMOptions:
     obj_fn: object = None
     grad_fn: object = None
     hess_fn: object = None
+    # banded normal equations (the sparse-Cholesky capability,
+    # ClpCholeskyBase.cpp:638 AMD ordering + :1982 numeric): when > 0, the
+    # LP's rows must already be permuted (host-side RCM) so that the
+    # pattern of G G' has bandwidth < band_nb; the Newton solve then runs
+    # block-tridiagonal assembly + Cholesky in O(m*nb*nt) / O(m*nb^2)
+    # instead of O(m^2*nt) / O(m^3). solve.py detects and permutes.
+    band_nb: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -191,6 +203,20 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
 
     x0, y0, z0, w0 = _starting_point(lp, hl, hu, opts)
 
+    if opts.band_nb > 0 and Q is None:
+        # loop-invariant blocked view of G for the banded Newton solve
+        nb_ = opts.band_nb
+        _k = -(-m // nb_)
+        _mpad = _k * nb_
+        Gp = jnp.zeros((_mpad, nt), dtype)
+        Gp = Gp.at[:m, :].set(G)
+        _G_blk = Gp.reshape(_k, nb_, nt)
+        padm = (jnp.arange(_mpad) >= m).astype(dtype).reshape(_k, nb_)
+        _pad_eye = jax.vmap(jnp.diag)(padm)
+    else:
+        _G_blk = _pad_eye = None
+        _mpad = 0
+
     nonlinear = opts.grad_fn is not None  # PDCO separable-objective mode
 
     def grad(x):
@@ -284,6 +310,41 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
                     maxiter=opts.cg_maxiter,
                 )
                 return sol
+
+            def hsolve(r):
+                return d * r if r.ndim == 1 else d[:, None] * r
+
+        elif Q is None and opts.band_nb > 0:
+            # block-tridiagonal normal equations on the (host-permuted)
+            # banded pattern: O(m*nb*nt) assembly via batched einsum +
+            # O(m*nb^2) factorization, refined matrix-free in f64
+            d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+            reg = opts.reg_dual + 1e-12
+            Gd_blk = _G_blk * d  # (k, nb, nt)
+            A_blk = (
+                jnp.einsum("kin,kjn->kij", Gd_blk, _G_blk)
+                + _pad_eye  # identity on padded rows keeps blocks SPD
+                + reg * jnp.eye(opts.band_nb, dtype=G.dtype)
+            )
+            E_blk = jnp.einsum("kin,kjn->kij", Gd_blk[1:], _G_blk[:-1])
+            Lb, Cb, _ = block_tridiag_cholesky(A_blk, E_blk, base_reg=0.0)
+
+            def matvec(v):
+                return G @ (d * (G.T @ v)) + reg * v
+
+            def nsolve(rhs):
+                rp = jnp.zeros(_mpad, rhs.dtype).at[: rhs.size].set(rhs)
+                x = block_tridiag_solve(
+                    Lb, Cb, rp.reshape(-1, opts.band_nb)
+                ).reshape(-1)[: rhs.size]
+                for _ in range(opts.refine_steps + 1):
+                    rp2 = jnp.zeros(_mpad, rhs.dtype).at[: rhs.size].set(
+                        rhs - matvec(x)
+                    )
+                    x = x + block_tridiag_solve(
+                        Lb, Cb, rp2.reshape(-1, opts.band_nb)
+                    ).reshape(-1)[: rhs.size]
+                return x
 
             def hsolve(r):
                 return d * r if r.ndim == 1 else d[:, None] * r

@@ -256,3 +256,101 @@ def lu_refactor(B: jnp.ndarray, block: int = 128) -> tuple[jnp.ndarray, jnp.ndar
         Binv = blocked_inverse(B, block)
     ok = jnp.all(jnp.isfinite(Binv))
     return Binv, ok
+
+
+# --------------------------------------------------------------------------
+# Block-tridiagonal (banded) Cholesky — the TPU answer to sparse Cholesky
+# --------------------------------------------------------------------------
+
+
+def block_tridiag_cholesky(A, E, base_reg: float = 0.0, max_bumps: int = 6):
+    """Cholesky of a block-tridiagonal SPD matrix, k sequential MXU steps.
+
+    A: (k, nb, nb) diagonal blocks; E: (k-1, nb, nb) sub-diagonal blocks
+    (E[i] = M[block i+1, block i]). Returns (L, C, delta): L (k, nb, nb)
+    lower-triangular diagonal factors, C (k-1, nb, nb) sub-diagonal factors
+    with M = LL' in block form, and the diagonal shift used.
+
+    This is the numeric phase of the reference's sparse Cholesky
+    (ClpCholeskyBase.cpp:638 AMD ordering + :1982 numeric) re-expressed for
+    the MXU: a host-side RCM ordering makes the normal matrix banded, and
+    the band factors as k = m/nb dense block steps under lax.scan —
+    O(m*nb^2) work instead of O(m^3), with every step a dense kernel.
+    Regularization escalates like chol_factor_reg (row-dropping replaced by
+    diagonal shifts, fixed shapes).
+    """
+    k, nb, _ = A.shape
+    eye = jnp.eye(nb, dtype=A.dtype)
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1))), 1.0
+    )
+    Epad = jnp.concatenate([jnp.zeros((1, nb, nb), A.dtype), E], axis=0)
+
+    def attempt(delta):
+        def step(carry, inp):
+            prevL = carry  # L_{i-1}
+            A_i, E_i = inp  # E_i = M[i, i-1] (zero block for i = 0)
+            # C_i = E_i L_{i-1}^{-T}
+            C_i = jax.scipy.linalg.solve_triangular(
+                prevL, E_i.T, lower=True
+            ).T
+            S_i = A_i + delta * eye - C_i @ C_i.T
+            L_i = jnp.linalg.cholesky(S_i)
+            L_safe = jnp.where(jnp.isfinite(L_i), L_i, eye)
+            return L_safe, (L_i, C_i)
+
+        _, (L, C) = jax.lax.scan(step, eye, (A, Epad))
+        ok = jnp.all(jnp.isfinite(L))
+        return L, C[1:], ok
+
+    def cond(carry):
+        _, _, ok, bumps, _ = carry
+        return jnp.logical_and(~ok, bumps < max_bumps)
+
+    def body(carry):
+        _, _, _, bumps, delta = carry
+        delta = jnp.maximum(1e-14 * scale, delta * 100.0)
+        L, C, ok = attempt(delta)
+        return L, C, ok, bumps + 1, delta
+
+    delta0 = jnp.asarray(base_reg, A.dtype)
+    L0, C0, ok0 = attempt(delta0)
+    L, C, ok, _, delta = jax.lax.while_loop(
+        cond, body, (L0, C0, ok0, 0, delta0)
+    )
+    return L, C, delta
+
+
+def block_tridiag_solve(L, C, rhs):
+    """Solve (LL') x = rhs for the block-tridiagonal factors above.
+
+    rhs: (k, nb) blocked right-hand side. Forward then backward block
+    substitution, each a lax.scan of dense triangular solves.
+    """
+    k, nb, _ = L.shape
+    Cpad = jnp.concatenate([jnp.zeros((1, nb, nb), L.dtype), C], axis=0)
+
+    def fwd(carry, inp):
+        y_prev = carry
+        L_i, C_i, b_i = inp
+        y_i = jax.scipy.linalg.solve_triangular(
+            L_i, b_i - C_i @ y_prev, lower=True
+        )
+        return y_i, y_i
+
+    _, y = jax.lax.scan(fwd, jnp.zeros(nb, L.dtype), (L, Cpad, rhs))
+
+    Cnext = jnp.concatenate([C, jnp.zeros((1, nb, nb), L.dtype)], axis=0)
+
+    def bwd(carry, inp):
+        x_next = carry
+        L_i, Cn_i, y_i = inp
+        x_i = jax.scipy.linalg.solve_triangular(
+            L_i, y_i - Cn_i.T @ x_next, lower=True, trans=1
+        )
+        return x_i, x_i
+
+    _, xr = jax.lax.scan(
+        bwd, jnp.zeros(nb, L.dtype), (L, Cnext, y), reverse=True
+    )
+    return xr

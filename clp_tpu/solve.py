@@ -147,7 +147,36 @@ def _ipm_to_solution(model: Model, res, info, options: SolveOptions) -> Solution
     )
 
 
+def _rcm_band_plan(G: np.ndarray):
+    """RCM row ordering + bandwidth of pattern(G G') — the symbolic phase
+    of the sparse-Cholesky capability (ClpCholeskyBase.cpp:638 ordering).
+
+    Returns (perm, nb) with nb > 0 only when the banded block-tridiagonal
+    path is worthwhile (band narrow relative to m).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m = G.shape[0]
+    if m < 192:
+        return None, 0
+    Gs = sp.csr_matrix((np.abs(G) > 0).astype(np.int8))
+    S = (Gs @ Gs.T).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(S, symmetric_mode=True))
+    inv = np.empty(m, dtype=np.int64)
+    inv[perm] = np.arange(m)
+    Sp = S.tocoo()
+    band = int(np.max(np.abs(inv[Sp.row] - inv[Sp.col]), initial=0))
+    nb = max(64, band + 1)
+    nb = ((nb + 63) // 64) * 64  # MXU-friendly block size
+    if nb * 3 > m:
+        return None, 0  # too wide: dense is better
+    return perm, nb
+
+
 def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
+    import dataclasses as _dc
+
     from .interior.mehrotra import IPMOptions, ipm_solve_jit
 
     lp, info = to_ipm_form(model)
@@ -158,7 +187,22 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
         reg_primal=1e-9 * boost,
         reg_dual=1e-10 * boost,
     )
+    perm = None
+    if lp.Q is None:
+        perm, nb = _rcm_band_plan(np.asarray(lp.G))
+        if perm is not None:
+            # permute ROWS so the normal matrix is banded; x and columns
+            # are untouched, so only y needs unpermuting afterwards
+            import jax.numpy as jnp
+
+            pj = jnp.asarray(perm)
+            lp = _dc.replace(lp, G=lp.G[pj, :], b=lp.b[pj])
+            opts = _dc.replace(opts, band_nb=nb)
     res = ipm_solve_jit(lp, opts)
+    if perm is not None:
+        y_full = np.empty_like(np.asarray(res.y))
+        y_full[perm] = np.asarray(res.y)
+        res = _dc.replace(res, y=y_full)
     sol = _ipm_to_solution(model, res, info, options)
     return sol
 

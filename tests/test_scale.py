@@ -55,3 +55,64 @@ def test_staircase_tight_tolerance(method):
     rel = abs(sol.objective_value - ref.fun) / (1 + abs(ref.fun))
     assert rel < 1e-8, rel
     assert check_kkt(model).ok
+
+
+def test_banded_normal_equations_barrier():
+    """RCM band plan engages on staircase structure and the block-tridiag
+    Cholesky path matches the dense barrier and the simplex to 1e-9."""
+    from clp_tpu.forms import to_ipm_form
+    from clp_tpu.solve import _rcm_band_plan
+
+    m = staircase_lp(nblocks=12, bm=24, bn=36, seed=3)  # 288 x 432
+    lp, _ = to_ipm_form(m.copy())
+    perm, nb = _rcm_band_plan(np.asarray(lp.G))
+    assert perm is not None and nb >= 64  # plan engages
+
+    o = SolveOptions(method=SolveMethod.BARRIER)
+    o.presolve.enabled = False
+    mb = m.copy()
+    s_band = mb.initial_solve(o)
+    o2 = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o2.presolve.enabled = False
+    s_dual = m.copy().initial_solve(o2)
+    assert s_band.status == ProblemStatus.OPTIMAL
+    assert abs(s_band.objective_value - s_dual.objective_value) < 1e-8 * (
+        1 + abs(s_dual.objective_value)
+    )
+    assert check_kkt(mb).ok
+
+
+def test_band_plan_skips_unstructured():
+    """Dense random LPs must NOT take the banded path (band too wide)."""
+    from clp_tpu.forms import to_ipm_form
+    from clp_tpu.solve import _rcm_band_plan
+    from clp_tpu.utils.generators import random_lp
+
+    m = random_lp(256, 400, seed=0, density=0.3)
+    lp, _ = to_ipm_form(m)
+    perm, nb = _rcm_band_plan(np.asarray(lp.G))
+    assert perm is None and nb == 0
+
+
+def test_block_tridiag_kernels_match_dense():
+    """block_tridiag_cholesky/solve agree with a dense solve to 1e-12."""
+    import jax.numpy as jnp
+    from clp_tpu.ops.linalg import block_tridiag_cholesky, block_tridiag_solve
+
+    rng = np.random.default_rng(0)
+    k, nb = 5, 12
+    m = k * nb
+    R = rng.standard_normal((m, m))
+    M = R @ R.T + 5 * m * np.eye(m)
+    for i in range(k):
+        for j in range(k):
+            if abs(i - j) > 1:
+                M[i*nb:(i+1)*nb, j*nb:(j+1)*nb] = 0.0
+    M = 0.5 * (M + M.T) + 5 * m * np.eye(m)
+    A = np.stack([M[i*nb:(i+1)*nb, i*nb:(i+1)*nb] for i in range(k)])
+    E = np.stack([M[(i+1)*nb:(i+2)*nb, i*nb:(i+1)*nb] for i in range(k-1)])
+    L, C, _ = block_tridiag_cholesky(jnp.asarray(A), jnp.asarray(E))
+    b = rng.standard_normal(m)
+    x = np.asarray(block_tridiag_solve(L, C, jnp.asarray(b.reshape(k, nb)))).ravel()
+    ref = np.linalg.solve(M, b)
+    assert np.abs(x - ref).max() < 1e-12 * (1 + np.abs(ref).max())
