@@ -477,11 +477,10 @@ def simplex_solve(
     if inv_dtype == "auto":
         import jax as _jax
 
-        # mixed precision pays where f64 is emulated and m^2 work dominates;
-        # only the dual engine has the audited f32 kernels
+        # mixed precision pays where f64 is emulated and m^2 work dominates
         inv_dtype = (
             "float32"
-            if dual and _jax.default_backend() == "tpu" and m >= 512
+            if _jax.default_backend() == "tpu" and m >= 512
             else "float64"
         )
 
@@ -518,13 +517,6 @@ def simplex_solve(
         return dual_solve(lp_, state_, opts_)
 
     def psolve(lp_, state_, opts_):
-        # the primal engine has no mixed-precision kernels: promote the
-        # state's inverse back to f64 before any primal (finish) phase
-        if opts_.inverse_dtype == "float32":
-            opts_ = dataclasses.replace(opts_, inverse_dtype="float64")
-            state_ = dataclasses.replace(
-                state_, binv=state_.binv.astype(lp_.G.dtype)
-            )
         if use_chunked:
             return _run_chunked(lp_, state_, opts_, False, options.max_seconds, progress)
         return primal_solve(lp_, state_, opts_)

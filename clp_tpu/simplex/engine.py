@@ -162,11 +162,15 @@ def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
         )
         ok = ok & jnp.isfinite(resid) & (resid < 1e-9)
         binv_store = binv32
+        # devex reference-framework restart (primal weights): bounded drift
+        # under the f32 pivot loop, same lesson as the DSE reset below
+        wcol = jnp.ones_like(state.wcol)
     else:
         binv, ok = lu_refactor(B)
         xb = binv @ rhs
         y = cb @ binv
         binv_store = binv
+        wcol = state.wcol
     dj = c - y @ G
     dj = jnp.where(state.vstat == BASIC, 0.0, dj)
     status = jnp.where(ok, state.status, NUMERICAL).astype(state.status.dtype)
@@ -188,6 +192,7 @@ def recompute(lp: StandardLP, state: SimplexState, dual_bound) -> SimplexState:
         y=y,
         dj=dj,
         weights=weights,
+        wcol=wcol,
         status=status,
         refactor_now=jnp.asarray(False),
         refactors=state.refactors + 1,
@@ -502,17 +507,31 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
 
 def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
-                     pm1=None):
+                     pm1=None, G32=None):
     """One primal pivot with composite phase-1 handling.
 
     Phase 1 uses the infeasibility-gradient objective (the vectorized
     equivalent of ClpNonLinearCost's composite costs, ClpNonLinearCost.hpp:
     8-28): basic variables outside their bounds contribute +-1 costs.
+
+    When opts.inverse_dtype == "float32", binv arrives in f32 and the
+    O(m^2)/O(m*nt) work against it (BTRAN, PRICE, FTRAN, rank-1 update)
+    stays f32 at HIGHEST precision; scalars feeding the f64 solution
+    updates are upcast (same contract as dual_iteration).
     """
     G = lp.G
     m, nt = G.shape
     ptol = opts.primal_tolerance
     dtol = opts.dual_tolerance
+    mixed = opts.inverse_dtype == "float32"
+    HI = jax.lax.Precision.HIGHEST
+    Gp_ = G32 if (G32 is not None and mixed) else G  # PRICE/FTRAN source
+
+    def _bmm(a, b):  # matmul in binv's own dtype at full f32 accuracy
+        return jnp.matmul(
+            a.astype(state.binv.dtype), b.astype(state.binv.dtype),
+            precision=HI,
+        ).astype(G.dtype)
 
     lb, ub = _basic_bounds(lp, state.basis)
     below = lb - state.xb
@@ -521,8 +540,8 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     in_phase1 = jnp.any(sig != 0.0)
 
     # phase-1 reduced costs: d1_j = -(sig' Binv G)_j
-    y1 = sig @ state.binv
-    d1 = -_pm1_price(y1, pm1) if pm1 is not None else -(y1 @ G)
+    y1 = _bmm(sig, state.binv)
+    d1 = -_pm1_price(y1, pm1).astype(G.dtype) if pm1 is not None else -_bmm(y1, Gp_)
     dj_used = jnp.where(in_phase1, d1, state.dj)
 
     at_lo = state.vstat == AT_LOWER
@@ -560,8 +579,8 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         key = jax.random.fold_in(jax.random.PRNGKey(777), state.iterations)
         deg_rows = (jnp.abs(below) <= ptol) | (jnp.abs(above) <= ptol)
         z = jnp.where(deg_rows, jax.random.rademacher(key, (m,), G.dtype), 0.0)
-        w = z @ state.binv
-        wg = _pm1_price(w, pm1) if pm1 is not None else w @ G
+        w = _bmm(z, state.binv)
+        wg = _pm1_price(w, pm1).astype(G.dtype) if pm1 is not None else _bmm(w, Gp_)
         nrm = jnp.sqrt(jnp.maximum(jnp.sum(z * z), 1.0))
         compat = jnp.abs(wg) <= 1e-8 * nrm
         best_all = jnp.max(score, initial=-jnp.inf)
@@ -575,9 +594,9 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     # --- FTRAN ---
     if pm1 is not None:
-        abar = _pm1_ftran_col(state.binv, q, pm1)
+        abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
     else:
-        abar = state.binv @ G[:, q]
+        abar = _bmm(state.binv, Gp_[:, q])
     d = direction * abar  # xb changes by -t * d for entering step t >= 0
 
     # --- Harris two-pass primal ratio test (primalRow equivalent) ---
@@ -624,11 +643,13 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     # dual updates need the BTRAN row of the leaving basic (pivot row)
     rho = state.binv[r, :]
-    alpha = _pm1_price(rho, pm1) if pm1 is not None else rho @ G
+    alpha = _pm1_price(rho, pm1).astype(G.dtype) if pm1 is not None else _bmm(rho, Gp_)
     alpha_rq = alpha[q]
     abar_r = abar[r]
-    acc_bad = jnp.abs(alpha_rq - abar_r) > 1e-8 * (1.0 + jnp.abs(abar_r))
-    piv_small = jnp.abs(abar_r) < opts.pivot_tolerance
+    acc_tol = 2e-4 if mixed else 1e-8
+    acc_bad = jnp.abs(alpha_rq - abar_r) > acc_tol * (1.0 + jnp.abs(abar_r))
+    piv_floor = max(opts.pivot_tolerance, 1e-6) if mixed else opts.pivot_tolerance
+    piv_small = jnp.abs(abar_r) < piv_floor
 
     theta_d = state.dj[q] / alpha_rq
     dj_piv = state.dj - theta_d * alpha
@@ -643,8 +664,8 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         #                1 + eta_j^2),  eta_j = alpha_j / alpha_rq,
         # w = B^-T abar. Costs one extra BTRAN + PRICE per pivot — the
         # same trade the reference's exact mode makes.
-        w_se = state.binv.T @ abar
-        ag = _pm1_price(w_se, pm1) if pm1 is not None else w_se @ G
+        w_se = _bmm(state.binv.T, abar)
+        ag = _pm1_price(w_se, pm1).astype(G.dtype) if pm1 is not None else _bmm(w_se, Gp_)
         eta = alpha / abar_r
         w_piv = jnp.maximum(
             state.wcol - 2.0 * eta * ag + eta * eta * wq, 1.0 + eta * eta
@@ -661,7 +682,9 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     factor = abar / abar_r
     factor = factor.at[r].set(1.0 - 1.0 / abar_r)
-    binv_piv = state.binv - jnp.outer(factor, state.binv[r, :])
+    binv_piv = state.binv - jnp.outer(
+        factor.astype(state.binv.dtype), state.binv[r, :]
+    )
 
     xq_old = jnp.where(
         at_lo[q], lp.l[q], jnp.where(at_up[q], lp.u[q], 0.0)
@@ -861,6 +884,8 @@ def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
 def _primal_iteration_fn(lp: StandardLP, opts: SimplexOptions):
     if opts.price_mode == "pm1":
         return partial(primal_iteration, pm1=pm1_indices(lp.G))
+    if opts.inverse_dtype == "float32":
+        return partial(primal_iteration, G32=lp.G.astype(jnp.float32))
     return primal_iteration
 
 
