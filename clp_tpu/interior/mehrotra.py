@@ -95,13 +95,31 @@ class IPMResult:
     blowup: jnp.ndarray
 
 
-def _starting_point(lp: StandardLP, hl, hu, opts: IPMOptions):
-    """Least-squares start (LIPSOL-flavored), clamped into the bounds."""
+def _starting_point(lp: StandardLP, hl, hu, opts: IPMOptions,
+                    G_blk=None, pad_eye=None):
+    """Least-squares start (LIPSOL-flavored), clamped into the bounds.
+
+    With a banded plan (G_blk/pad_eye from ipm_solve), the G G' solve runs
+    block-tridiagonal instead of dense."""
     G, b = lp.G, lp.b
     m, nt = G.shape
-    M0 = G @ G.T
-    L0, _ = chol_factor_reg(M0, base_reg=1e-12)
-    x_ls = G.T @ chol_solve(L0, b)
+    if G_blk is not None:
+        nb = G_blk.shape[1]
+        mpad = G_blk.shape[0] * nb
+        A0 = (
+            jnp.einsum("kin,kjn->kij", G_blk, G_blk)
+            + pad_eye
+            + 1e-12 * jnp.eye(nb, dtype=G.dtype)
+        )
+        E0 = jnp.einsum("kin,kjn->kij", G_blk[1:], G_blk[:-1])
+        Lb, Cb, _ = block_tridiag_cholesky(A0, E0)
+        bp = jnp.zeros(mpad, b.dtype).at[:m].set(b)
+        yls = block_tridiag_solve(Lb, Cb, bp.reshape(-1, nb)).reshape(-1)[:m]
+        x_ls = G.T @ yls
+    else:
+        M0 = G @ G.T
+        L0, _ = chol_factor_reg(M0, base_reg=1e-12)
+        x_ls = G.T @ chol_solve(L0, b)
 
     both = hl & hu
     width = jnp.where(both, lp.u - lp.l, jnp.inf)
@@ -201,8 +219,6 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     bnorm = 1.0 + jnp.max(jnp.abs(b), initial=0.0)
     cnorm = 1.0 + jnp.max(jnp.abs(c), initial=0.0)
 
-    x0, y0, z0, w0 = _starting_point(lp, hl, hu, opts)
-
     if opts.band_nb > 0 and Q is None:
         # loop-invariant blocked view of G for the banded Newton solve
         nb_ = opts.band_nb
@@ -216,6 +232,8 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     else:
         _G_blk = _pad_eye = None
         _mpad = 0
+
+    x0, y0, z0, w0 = _starting_point(lp, hl, hu, opts, _G_blk, _pad_eye)
 
     nonlinear = opts.grad_fn is not None  # PDCO separable-objective mode
 
