@@ -40,6 +40,7 @@ def bench_dual_simplex(jax, jnp):
         refactor_frequency=400 if on_tpu else 100,
         use_pallas_price=on_tpu,
         inverse_dtype="float32" if on_tpu else "float64",
+        dual_ratio="bfrt",  # long-step bound-flipping ratio test
     )
     state = engine.initial_state(lp, opts)
     state = engine.recompute(lp, state, opts.dual_bound)

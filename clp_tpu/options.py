@@ -84,6 +84,12 @@ class SolveOptions:
     # (gathers, O(n) PRICE) when the matrix qualifies (ClpPlusMinusOneMatrix
     # / ClpNetworkMatrix role); "dense" forces the MXU contraction
     price_mode: str = "auto"  # "auto" | "dense" | "pm1"
+    # dual ratio test: "bfrt" = long-step bound-flipping ratio test (walk
+    # past boxed breakpoints while the leaving row's infeasibility slope
+    # stays positive — far fewer pivots on box-rich LPs), "harris" =
+    # first-breakpoint two-pass test. "auto" = bfrt when a meaningful
+    # fraction of variables (columns + slacks) is boxed.
+    dual_ratio: str = "auto"  # "auto" | "harris" | "bfrt"
     # batching / sharding (TPU-native, no reference analogue)
     mesh_axis: str = "scenario"
     devices: Optional[object] = None  # explicit jax devices / Mesh

@@ -484,6 +484,15 @@ def simplex_solve(
             else "float64"
         )
 
+    dual_ratio = getattr(options, "dual_ratio", "auto")
+    if dual_ratio == "auto":
+        # the long step only ever passes boxed breakpoints; it pays when a
+        # meaningful share of variables (columns + slacks) is boxed
+        boxed_frac = float(
+            np.mean(np.isfinite(np.asarray(lp.l)) & np.isfinite(np.asarray(lp.u)))
+        )
+        dual_ratio = "bfrt" if boxed_frac >= 0.2 else "harris"
+
     refreq = options.refactor_frequency
     if refreq is None:
         # cost-model auto cadence (timeToRefactorize analogue): the mixed
@@ -503,6 +512,7 @@ def simplex_solve(
             use_pallas_price=use_pallas,
             price_mode=price_mode,
             inverse_dtype=inv_dtype,
+            dual_ratio=dual_ratio,
         )
 
     opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))

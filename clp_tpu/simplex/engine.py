@@ -89,6 +89,15 @@ class SimplexOptions:
     # ClpPlusMinusOneMatrix.hpp, ClpNetworkMatrix.hpp:12-16). The caller must
     # have verified the structure (Model.detect_structure / pm1_indexable).
     price_mode: str = "dense"  # "dense" | "pm1"
+    # dual ratio test. "harris" = two-pass Harris stopping at the first
+    # breakpoint window. "bfrt" = long-step bound-flipping ratio test
+    # (reference: dualColumn's candidate/flip accounting,
+    # ClpSimplexDual.cpp:2216+): walk PAST boxed breakpoints while the
+    # leaving row's infeasibility slope stays positive — each passed boxed
+    # variable flips to its opposite bound — and enter at the breakpoint
+    # that exhausts the slope. One pivot then does the work of many
+    # degenerate short steps on problems rich in finite-width columns.
+    dual_ratio: str = "harris"  # "harris" | "bfrt"
 
 
 @jax.tree_util.register_dataclass
@@ -368,6 +377,54 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     q = jnp.argmax(pivot_mag)
     any_elig = jnp.any(elig)
 
+    if opts.dual_ratio == "bfrt":
+        # long-step BFRT: sort breakpoints by dual ratio and walk past the
+        # boxed ones while the leaving row's infeasibility slope stays
+        # positive. Passing boxed j (it will flip by width_j) reduces the
+        # slope by |a_j| * width_j; a breakpoint with an infinite-width
+        # column is impassable. The entering column comes from the Harris
+        # window around the slope-exhausting breakpoint; every breakpoint
+        # strictly below it is handled by the existing flip machinery.
+        # the whole breakpoint walk runs in f32 (f64 elementwise is
+        # VPU-emulated ~12x slower) and divide-free; only the SELECTION
+        # depends on it — the pivot element itself is still f64-verified.
+        # A slightly conservative threshold is always valid: passing fewer
+        # breakpoints is still a correct (shorter) long step.
+        width32 = (lp.u - lp.l).astype(jnp.float32)
+        boxed = jnp.isfinite(width32) & ~fixed
+        a32 = jnp.abs(a).astype(jnp.float32)
+        t32 = jnp.where(elig, theta_true, jnp.inf).astype(jnp.float32)
+        gain = jnp.where(elig & boxed, a32 * width32, jnp.inf)
+        # only the K smallest breakpoints can be walked in one pivot; top_k
+        # is far cheaper than a full nt sort on TPU, and truncating at K is
+        # a valid (shorter) long step — the walk just stops at breakpoint K
+        K = min(256, nt)
+        neg_t, idxK = jax.lax.top_k(-t32, K)
+        tK = -neg_t  # ascending K smallest ratios
+        remain = infeas[r].astype(jnp.float32) - jnp.cumsum(
+            jnp.where(elig, gain, 0.0)[idxK]
+        )
+        canpass = (remain > 0.0) & jnp.isfinite(tK)
+        k_star = jnp.sum(jnp.cumprod(canpass.astype(jnp.int32)))
+        theta_stop = tK[jnp.minimum(k_star, K - 1)]
+        # threshold semantics (strict <) instead of ranks: no scatter, and
+        # breakpoints tied with theta_stop stay unpassed (still eligible)
+        passed = elig & boxed & (t32 < theta_stop)
+        # Harris window around the stop, multiplied through by |a| to
+        # avoid the f64 divide: theta <= stop + rel/|a|  <=>
+        # theta*|a| <= stop*|a| + rel
+        window_ls = (
+            elig
+            & ~passed
+            & (t32 * a32 <= theta_stop * a32 + jnp.float32(rel))
+        )
+        # degenerate guard: if the long step passes every breakpoint
+        # (slope never exhausted — a dual ray through flips alone), fall
+        # back to the short-step Harris window above
+        use_ls = jnp.any(window_ls)
+        pivot_mag_ls = jnp.where(window_ls, a32, -jnp.inf)
+        q = jnp.where(use_ls, jnp.argmax(pivot_mag_ls), q)
+
     # --- FTRAN entering column + DSE tau, fused: one read of binv ---
     if pm1 is not None:
         abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
@@ -421,10 +478,19 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             lambda: jnp.zeros_like(state.xb),
         )
     else:
+        # mixed engine: the m x nt contraction runs against the f32 G copy
+        # (f64 matvecs are VPU-emulated ~12x slower, and BFRT long steps
+        # flip on most pivots); drift is covered by the f64 recompute at
+        # refactorization like every other f32 quantity here
+        Gf = G32 if (G32 is not None and mixed) else G
         flow = jax.lax.cond(
             jnp.any(flip),
             lambda: jnp.matmul(
-                state.binv, (G @ flip_delta).astype(state.binv.dtype),
+                state.binv,
+                jnp.matmul(
+                    Gf, flip_delta.astype(Gf.dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(state.binv.dtype),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(G.dtype),
             lambda: jnp.zeros_like(state.xb),

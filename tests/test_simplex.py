@@ -295,3 +295,46 @@ def test_reference_handbuilt_warmstart_lp():
     )
     assert abs(sol.objective_value - (-59.0 / 7.0)) < 1e-8
     assert check_kkt(model).ok
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bfrt_long_step_matches_harris(seed):
+    """The long-step BFRT reaches the same optimum in fewer pivots.
+
+    Reference: dualColumn's candidate/flip accounting walks past boxed
+    breakpoints (ClpSimplexDual.cpp:2216+); on box-rich LPs the long step
+    should never need MORE pivots than the first-breakpoint Harris test.
+    """
+    from clp_tpu.forms import to_standard_form
+    from clp_tpu.simplex import engine
+
+    model = random_lp(40, 70, seed=seed, density=0.2)
+    lp, _ = to_standard_form(model)
+    results = {}
+    for ratio in ("harris", "bfrt"):
+        opts = engine.SimplexOptions(max_iterations=20000, dual_ratio=ratio)
+        st = engine.initial_state(lp, opts)
+        st = engine.recompute(lp, st, opts.dual_bound)
+        st = engine.make_dual_feasible(lp, st, opts)
+        st = engine.dual_solve(lp, st, opts)
+        assert int(st.status) == engine.OPTIMAL, ratio
+        import jax.numpy as jnp
+
+        xn = engine.nonbasic_values(lp, st.vstat, opts.dual_bound)
+        obj = float(jnp.take(lp.c, st.basis) @ st.xb + lp.c @ xn)
+        results[ratio] = (obj, int(st.iterations))
+    obj_h, it_h = results["harris"]
+    obj_b, it_b = results["bfrt"]
+    assert abs(obj_b - obj_h) < 1e-6 * (1 + abs(obj_h))
+    assert it_b <= it_h + 5  # long steps never cost extra pivots
+
+
+def test_bfrt_auto_selected_on_boxed_lp():
+    """Driver auto-selects bfrt on box-rich LPs and solves correctly."""
+    model = random_lp(15, 25, seed=3)
+    ref = _linprog(model)
+    o = _no_presolve(method=SolveMethod.DUAL_SIMPLEX)
+    assert o.dual_ratio == "auto"
+    sol = model.initial_solve(o)
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
