@@ -75,6 +75,11 @@ class IPMOptions:
     # block-tridiagonal assembly + Cholesky in O(m*nb*nt) / O(m*nb^2)
     # instead of O(m^2*nt) / O(m^3). solve.py detects and permutes.
     band_nb: int = 0
+    # separable (diagonal-Hessian) QP: the caller certifies lp.Q is
+    # diagonal, so H = Q + D^-1 stays diagonal and every LP Newton branch
+    # (dense, banded, cg, lsqr) applies unchanged with dinv += diag(Q) —
+    # no (nt, nt) Cholesky. Host-side detection in solve.py.
+    q_diag: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -211,6 +216,10 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     """Single-instance Mehrotra IPM; jit/vmap over instances externally."""
     G, b, c, l, u = lp.G, lp.b, lp.c, lp.l, lp.u
     Q = lp.Q  # None for pure LP; (nt, nt) PSD for QP
+    # separable QP (caller-certified diagonal Q): the Hessian joins the
+    # D^-1 diagonal and every LP Newton branch applies unchanged
+    qdiag = jnp.diagonal(Q) if (Q is not None and opts.q_diag) else None
+    separable = Q is None or qdiag is not None
     m, nt = G.shape
     dtype = G.dtype
     hl = jnp.isfinite(l)
@@ -219,7 +228,7 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     bnorm = 1.0 + jnp.max(jnp.abs(b), initial=0.0)
     cnorm = 1.0 + jnp.max(jnp.abs(c), initial=0.0)
 
-    if opts.band_nb > 0 and Q is None:
+    if opts.band_nb > 0 and separable:
         # loop-invariant blocked view of G for the banded Newton solve
         nb_ = opts.band_nb
         _k = -(-m // nb_)
@@ -238,7 +247,12 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
     nonlinear = opts.grad_fn is not None  # PDCO separable-objective mode
 
     def grad(x):
-        g0 = c if Q is None else c + Q @ x
+        if Q is None:
+            g0 = c
+        elif qdiag is not None:
+            g0 = c + qdiag * x
+        else:
+            g0 = c + Q @ x
         return g0 + opts.grad_fn(x) if nonlinear else g0
 
     def residuals(x, y, z, w):
@@ -255,7 +269,12 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
         rb, rc = residuals(x, y, z, w)
         pinf = jnp.max(jnp.abs(rb), initial=0.0) / bnorm
         dinf = jnp.max(jnp.abs(rc), initial=0.0) / cnorm
-        quad = 0.0 if Q is None else 0.5 * (x @ (Q @ x))
+        if Q is None:
+            quad = 0.0
+        elif qdiag is not None:
+            quad = 0.5 * jnp.sum(qdiag * x * x)
+        else:
+            quad = 0.5 * (x @ (Q @ x))
         pobj = c @ x + quad
         if nonlinear and opts.obj_fn is not None:
             pobj = pobj + opts.obj_fn(x)
@@ -307,8 +326,11 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
             # separable phi'' joins the diagonal of the Newton system
             # (getHessian parity): H = diag(phi'') + D^-1
             dinv = dinv + jnp.maximum(opts.hess_fn(x), 0.0)
+        if qdiag is not None:
+            # separable QP: H = Q + D^-1 stays diagonal
+            dinv = dinv + jnp.maximum(qdiag, 0.0)
 
-        if Q is None and opts.linear_solver == "cg":
+        if separable and opts.linear_solver == "cg":
             # matrix-free normal equations: Mv = G(d*(G'v)) + reg*v
             d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
             reg = opts.reg_dual + 1e-12
@@ -332,7 +354,7 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
             def hsolve(r):
                 return d * r if r.ndim == 1 else d[:, None] * r
 
-        elif Q is None and opts.band_nb > 0:
+        elif separable and opts.band_nb > 0:
             # block-tridiagonal normal equations on the (host-permuted)
             # banded pattern: O(m*nb*nt) assembly via batched einsum +
             # O(m*nb^2) factorization, refined matrix-free in f64
@@ -367,7 +389,7 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
             def hsolve(r):
                 return d * r if r.ndim == 1 else d[:, None] * r
 
-        elif Q is None and opts.linear_solver == "lsqr":
+        elif separable and opts.linear_solver == "lsqr":
             # damped LSQR on A = [D^{1/2} G' ; sqrt(reg) I], b = [0;
             # rhs/sqrt(reg)]: the normal equations of this least-squares
             # problem are exactly (G D G' + reg) dy = rhs, but the Krylov
@@ -384,7 +406,7 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
             def hsolve(r):
                 return d * r if r.ndim == 1 else d[:, None] * r
 
-        elif Q is None:
+        elif separable:
             d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
             Gd = G * d  # (m, nt) row-scaled by columns
             M = Gd @ G.T

@@ -68,6 +68,11 @@ def price_and_ratios(rho, G, dj, elig_mask, sgn, sigma, rel, ptol,
     Returns (alpha[nt], relaxed_ratio[nt]) in f64 (or G's dtype if f32 in).
     """
     m, nt = G.shape
+    # VMEM budget: the pipeline double-buffers the (m, block_n) f32 G tile,
+    # so 2*m*block_n*4 B must stay well under the ~16 MB scoped VMEM limit
+    # (plus rho/dj/out tiles). Clamp block_n for tall problems.
+    fit = max(128, int(12_000_000 // (8 * m)) // 128 * 128)
+    block_n = min(block_n, fit)
     out_dtype = jnp.result_type(rho.dtype, G.dtype)
     if G.dtype == jnp.float64:
         # Mosaic has no f64: pricing runs in f32

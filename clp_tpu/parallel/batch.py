@@ -261,11 +261,36 @@ def solve_batch_ipm(
     opts = IPMOptions(
         tol=options.barrier_tolerance, max_iter=options.barrier_max_iterations
     )
+    # one shared banded plan for the whole batch (the reference's symbolic/
+    # numeric split, ClpCholeskyBase.cpp:638: ordering once, factor many):
+    # RCM on the UNION sparsity pattern across scenarios, so every
+    # instance's normal matrix is banded under the same row permutation —
+    # the vmapped numeric phase then runs block-tridiagonal per scenario
+    perm = None
+    if batched.Q is None:
+        from ..solve import _rcm_band_plan
+
+        union = (np.abs(np.asarray(batched.G)) > 0).any(axis=0)
+        perm, nb = _rcm_band_plan(union.astype(np.float64))
+        if perm is not None:
+            import dataclasses as _dc
+
+            pj = jnp.asarray(perm)
+            batched = _dc.replace(
+                batched, G=batched.G[:, pj, :], b=batched.b[:, pj]
+            )
+            opts = _dc.replace(opts, band_nb=nb)
     if mesh is not None:
         sh = scenario_sharding(mesh, options.mesh_axis)
         batched = jax.tree.map(lambda a: jax.device_put(a, sh), batched)
     res = ipm_solve_batched(batched, opts)
     res_host = jax.tree.map(np.asarray, res)
+    if perm is not None:
+        y_perm = res_host.y.copy()
+        y_full = np.empty_like(y_perm)
+        y_full[:, perm] = y_perm
+        res_host = jax.tree.map(lambda a: a, res_host)
+        res_host.y = y_full
     out = []
     for i, (mod, info) in enumerate(zip(models, infos)):
         one = jax.tree.map(lambda a: a[i], res_host)

@@ -497,8 +497,13 @@ def simplex_solve(
     if refreq is None:
         # cost-model auto cadence (timeToRefactorize analogue): the mixed
         # TPU engine's per-pivot cost is tiny next to a refactorization,
-        # so amortize over longer chunks there
-        refreq = 400 if inv_dtype == "float32" else 100
+        # so amortize over longer chunks there; the O(m^3) refactorization
+        # grows faster than the O(m^2) pivot, so the optimal chunk grows
+        # with m (measured: m=4096 solves ~1.7x faster at 800 than 400)
+        if inv_dtype == "float32":
+            refreq = 400 if m <= 2048 else 800
+        else:
+            refreq = 100
 
     def make_opts(dual_bound: float) -> SimplexOptions:
         return SimplexOptions(

@@ -188,7 +188,14 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
         reg_dual=1e-10 * boost,
     )
     perm = None
-    if lp.Q is None:
+    if lp.Q is not None:
+        # separable QP: a diagonal Q keeps H = Q + D^-1 diagonal, so the
+        # barrier takes the LP Newton branches (incl. banded) with
+        # dinv += diag(Q) instead of the (nt, nt) Cholesky
+        Qh = np.asarray(lp.Q)
+        if np.count_nonzero(Qh - np.diag(np.diagonal(Qh))) == 0:
+            opts = _dc.replace(opts, q_diag=True)
+    if lp.Q is None or opts.q_diag:
         perm, nb = _rcm_band_plan(np.asarray(lp.G))
         if perm is not None:
             # permute ROWS so the normal matrix is banded; x and columns

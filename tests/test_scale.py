@@ -116,3 +116,68 @@ def test_block_tridiag_kernels_match_dense():
     x = np.asarray(block_tridiag_solve(L, C, jnp.asarray(b.reshape(k, nb)))).ravel()
     ref = np.linalg.solve(M, b)
     assert np.abs(x - ref).max() < 1e-12 * (1 + np.abs(ref).max())
+
+
+def test_separable_qp_banded_barrier():
+    """Diagonal-Q QP takes the LP Newton branches (q_diag) incl. the
+    banded plan on staircase structure; result matches the dense QP
+    barrier path run without the plan."""
+    import scipy.sparse as sp
+
+    m = staircase_lp(nblocks=12, bm=24, bn=36, seed=4)
+    nv = m.num_cols
+    rng = np.random.default_rng(0)
+    m.load_quadratic_objective(sp.diags(rng.uniform(0.1, 2.0, nv)).tocsc())
+
+    o = SolveOptions(method=SolveMethod.BARRIER, crossover=False)
+    o.presolve.enabled = False
+    m_band = m.copy()
+    s_band = m_band.initial_solve(o)
+    assert s_band.status == ProblemStatus.OPTIMAL
+
+    # dense reference: force the generic QP path by disabling the plan
+    from clp_tpu import solve as _solve
+
+    orig = _solve._rcm_band_plan
+    _solve._rcm_band_plan = lambda G: (None, 0)
+    try:
+        s_dense = m.copy().initial_solve(o)
+    finally:
+        _solve._rcm_band_plan = orig
+    assert s_dense.status == ProblemStatus.OPTIMAL
+    assert abs(s_band.objective_value - s_dense.objective_value) < 1e-6 * (
+        1 + abs(s_dense.objective_value)
+    )
+
+
+def test_batched_ipm_shared_band_plan():
+    """Scenario batch over ONE staircase structure: a single RCM plan is
+    computed on the union pattern and the vmapped numeric phase runs
+    block-tridiagonal; objectives match per-instance dense solves."""
+    from clp_tpu.parallel.batch import solve_batch_ipm
+
+    base = staircase_lp(nblocks=10, bm=22, bn=33, seed=5)
+    rng = np.random.default_rng(1)
+    models = []
+    for _ in range(4):
+        mod = base.copy()
+        shift = np.abs(rng.uniform(0, 0.02, mod.num_rows))
+        mod.row_lower = np.where(
+            mod.row_lower > -1e29, mod.row_lower - shift, mod.row_lower
+        )
+        mod.row_upper = np.where(
+            mod.row_upper < 1e29, mod.row_upper + shift, mod.row_upper
+        )
+        models.append(mod)
+    o = SolveOptions(crossover=False)
+    o.presolve.enabled = False
+    sols = solve_batch_ipm(models, o)
+    for mod, sol in zip(models, sols):
+        assert sol.status == ProblemStatus.OPTIMAL
+        ref = mod.copy().initial_solve(
+            SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+        )
+        assert abs(sol.objective_value - ref.objective_value) < 1e-6 * (
+            1 + abs(ref.objective_value)
+        )
+        assert check_kkt(mod).ok
