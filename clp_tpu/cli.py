@@ -90,6 +90,10 @@ class CLI:
         self.directory = "."
         self.dir_sample = ""
         self.dir_netlib = ""
+        # default filenames set by the FILE parameter group (-basisFile
+        # etc., reference FIRSTFILEPARAM..LASTFILEPARAM): used by the
+        # matching action when no filename follows it
+        self.file_defaults: dict = {}
 
     def _path(self, p: str, data_dir: str = "") -> str:
         import os
@@ -168,6 +172,25 @@ class CLI:
             with open(path, "w") as f:
                 self.print_solution(out=f, all_rows=True)
         self.log(f"Solution written to {path}", 2)
+
+    def write_gmpl_solution(self, path: str) -> None:
+        """Write the solution in GMPL/MathProg data format (writeGmplSol
+        parity, CbcOrClpParam WRITEGMPLSOL): a `param` block per variable
+        so a .mod file can re-read the solution as data."""
+        sol = self.model.solution
+        if sol is None or sol.primal is None:
+            print("** no solution available")
+            return
+        cn = self.model.col_names or [f"C{j}" for j in range(self.model.num_cols)]
+        with open(path, "w") as f:
+            print(f"/* status {sol.status.name} */", file=f)
+            print(f"/* objective {sol.objective_value:.12g} */", file=f)
+            print("param solution :=", file=f)
+            for j, v in enumerate(sol.primal):
+                print(f"  '{cn[j]}' {v:.12g}", file=f)
+            print(";", file=f)
+            print("end;", file=f)
+        self.log(f"GMPL solution written to {path}", 2)
 
     def read_solution_file(self, path: str) -> int:
         """Read a text solution file written by -writeSol / -solution."""
@@ -385,6 +408,17 @@ class CLI:
         m.col_upper = np.where(np.isfinite(cu), cu, 1e30)
         print(f"Tightened {tightened} bounds")
 
+    def _take_file(self, args: list[str], i: int, key: str):
+        """Filename for a file action: next token if present and not a
+        parameter, else the default set by the matching FILE parameter
+        (-basisFile etc., reference ClpParam FIRSTFILEPARAM group)."""
+        if i + 1 < len(args) and not args[i + 1].startswith("-"):
+            return args[i + 1], i + 1
+        d = self.file_defaults.get(key, "")
+        if not d:
+            raise IndexError(f"missing filename for {args[i]}")
+        return d, i
+
     def run_args(self, args: list[str]) -> int:
         try:
             return self._run_args(args)
@@ -404,7 +438,7 @@ class CLI:
             # bare keywords work in the REPL like the reference CLI: only
             # treat a dashless token as a filename if it isn't a command
             if (not a.startswith("-") and not self.have_model
-                    and al not in ("help", "?", "params", "exit", "quit",
+                    and al not in ("help", "?", "???", "params", "exit", "quit",
                                    "end", "stop", "unittest")):
                 rc = self.do_import(a)
                 i += 1
@@ -422,32 +456,32 @@ class CLI:
             elif al in ("solve", "either", "auto"):
                 self.do_solve(SolveMethod.AUTOMATIC)
             elif al == "import":
-                i += 1
-                rc = self.do_import(self._path(args[i], self.dir_sample))
+                fn, i = self._take_file(args, i, "import")
+                rc = self.do_import(self._path(fn, self.dir_sample))
                 if rc != 0 and not self.errors_allowed:
                     return rc
             elif al == "export":
-                i += 1
-                self.model.write_mps(args[i])
-                self.log(f"Model written to {args[i]}")
+                fn, i = self._take_file(args, i, "export")
+                self.model.write_mps(fn)
+                self.log(f"Model written to {fn}")
             elif al in ("basisi", "basisin"):
-                i += 1
+                fn, i = self._take_file(args, i, "basis")
                 from .io.basis import read_basis
 
-                read_basis(self.model, args[i])
+                read_basis(self.model, fn)
             elif al in ("basiso", "basisout"):
-                i += 1
+                fn, i = self._take_file(args, i, "basis")
                 from .io.basis import write_basis
 
-                write_basis(self.model, args[i])
+                write_basis(self.model, fn)
             elif al == "printsol":
                 self.print_solution()
             elif al == "solution":
-                i += 1
-                if args[i] == "-":
+                fn, i = self._take_file(args, i, "solution")
+                if fn == "-":
                     self.print_solution(all_rows=True)
                 else:
-                    with open(args[i], "w") as f:
+                    with open(fn, "w") as f:
                         self.print_solution(out=f, all_rows=True)
             elif al == "maximize":
                 self.model.set_maximize()
@@ -522,24 +556,24 @@ class CLI:
                 st = self.model.detect_structure() if self.have_model else {}
                 print(f"Structure detection (automatic at solve time): {st}")
             elif al == "parametrics":
-                i += 1
-                rc = self.do_parametrics(args[i])
+                fn, i = self._take_file(args, i, "parametrics")
+                rc = self.do_parametrics(fn)
             elif al in ("readmodel", "restoremodel"):
-                i += 1
-                rc = self.model.restore_model(self._path(args[i]))
+                fn, i = self._take_file(args, i, "model")
+                rc = self.model.restore_model(self._path(fn))
                 self.have_model = rc == 0 and self.model.num_cols > 0
             elif al in ("writemodel", "savemodel"):
-                i += 1
-                rc = self.model.save_model(args[i])
+                fn, i = self._take_file(args, i, "model")
+                rc = self.model.save_model(fn)
             elif al == "readsol":
-                i += 1
-                rc = self.read_solution_file(self._path(args[i]))
+                fn, i = self._take_file(args, i, "solution")
+                rc = self.read_solution_file(self._path(fn))
             elif al == "writesol":
-                i += 1
-                self.write_solution_file(args[i])
+                fn, i = self._take_file(args, i, "solution")
+                self.write_solution_file(fn)
             elif al == "writesolbinary":
-                i += 1
-                self.write_solution_file(args[i], binary=True)
+                fn, i = self._take_file(args, i, "solution_binary")
+                self.write_solution_file(fn, binary=True)
             elif al in ("genpy", "cppgenerate", "generatepython"):
                 i += 1
                 self.model.generate_python(args[i])
@@ -575,8 +609,18 @@ class CLI:
                 files = args[i + 1 :]
                 i = len(args)
                 rc = self.do_batch(files)
-            elif al in ("help", "?"):
+            elif al == "writegmplsol":
+                fn, i = self._take_file(args, i, "gmpl_sol")
+                self.write_gmpl_solution(fn)
+            elif al in ("clearcuts", "userclp"):
+                self.log(f"{al}: accepted (no-op by design here; see -params)")
+            elif al in ("help", "?", "generalquery"):
                 print(HELP)
+            elif al in ("???", "fullgeneralquery"):
+                from .params import help_text
+
+                print(HELP)
+                print(help_text())
             elif al == "params":
                 from .params import help_text
 

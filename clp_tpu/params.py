@@ -282,12 +282,47 @@ for name, help_ in (
     ("netlibTune", "netlib with tuned settings"),
     ("unitTest", "run built-in tests"),
     ("printVersion", "print version"),
+    ("writeGmplSol", "write solution in GMPL/MathProg data format"),
+    ("help", "print the command list (also '?')"),
+    ("generalQuery", "print the command list (alias of help / '?')"),
+    ("fullGeneralQuery", "print every parameter with help text (also '???')"),
     ("end", "quit"),
     ("exit", "quit"),
     ("quit", "quit"),
     ("stop", "quit"),
 ):
     _reg(Param(name, "action", None, help_))
+
+# compat actions: accepted, no-op BY DESIGN, help says why
+for name, help_ in (
+    ("clearCuts", "clear the cut store (compat: cuts live in the MIP layer here)"),
+    ("userClp", "user-registered action hook (compat: use event handlers / the Python API)"),
+):
+    _reg(Param(name, "action", None, help_, scope="compat"))
+
+
+def _file_default(key):
+    def f(cli, v):
+        cli.file_defaults[key] = str(v)
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# file parameters (reference: FIRSTFILEPARAM..LASTFILEPARAM) — each sets the
+# DEFAULT filename its matching action uses when invoked without one
+# ---------------------------------------------------------------------------
+for name, key, help_ in (
+    ("basisFile", "basis", "default file for -basisIn/-basisOut"),
+    ("exportFile", "export", "default file for -export"),
+    ("importFile", "import", "default file for -import"),
+    ("modelFile", "model", "default file for -readModel/-writeModel"),
+    ("solutionFile", "solution", "default file for -solution/-writeSol"),
+    ("solutionBinaryFile", "solution_binary", "default file for -writeSolBinary"),
+    ("parametricsFile", "parametrics", "default file for -parametrics"),
+    ("gmplSolFile", "gmpl_sol", "default file for -writeGmplSol"),
+):
+    _reg(Param(name, "file", "", help_, _file_default(key)))
 
 
 def lookup(name: str) -> Optional[Param]:

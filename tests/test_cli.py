@@ -84,3 +84,51 @@ def test_netlib_harness_empty_dir(tmp_path, capsys):
     rc = run_netlib(str(tmp_path))
     assert rc == 0
     assert "no data files found" in capsys.readouterr().out
+
+
+def test_file_parameter_defaults(tmp_path):
+    """FILE parameters (reference FIRSTFILEPARAM group) set the default
+    filename their matching action uses when none follows."""
+    from clp_tpu.cli import CLI
+    from clp_tpu.utils.generators import random_lp
+
+    m = random_lp(4, 6, seed=0)
+    mps = str(tmp_path / "m.mps")
+    m.write_mps(mps)
+    sol_file = str(tmp_path / "sol.txt")
+    bas_file = str(tmp_path / "b.bas")
+    cli = CLI()
+    rc = cli.run_args([
+        "-import", mps,
+        "-solutionFile", sol_file,
+        "-basisFile", bas_file,
+        "-dualsimplex",
+        "-solution",       # no filename -> uses solutionFile
+        "-basisOut",       # no filename -> uses basisFile
+    ])
+    assert rc == 0
+    assert "objective" in open(sol_file).read()
+    assert open(bas_file).read().strip()
+
+
+def test_write_gmpl_solution(tmp_path):
+    from clp_tpu.cli import CLI
+    from clp_tpu.utils.generators import random_lp
+
+    m = random_lp(4, 6, seed=1)
+    mps = str(tmp_path / "m.mps")
+    m.write_mps(mps)
+    out = str(tmp_path / "s.gmpl")
+    cli = CLI()
+    rc = cli.run_args(["-import", mps, "-dualsimplex", "-writeGmplSol", out])
+    assert rc == 0
+    txt = open(out).read()
+    assert "param solution :=" in txt and txt.strip().endswith("end;")
+
+
+def test_full_general_query_lists_params(capsys):
+    from clp_tpu.cli import CLI
+
+    CLI().run_args(["???"])
+    out = capsys.readouterr().out
+    assert "Parameters (Clp-style names" in out and "basisFile" in out
