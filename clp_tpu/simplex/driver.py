@@ -592,6 +592,25 @@ def simplex_solve(
         if int(state2.status) in (engine.OPTIMAL, engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
             state, st = state2, int(state2.status)
 
+    # mixed-precision escalation: an LP the f32 pivot loop cannot finish
+    # (refinement-gate NUMERICAL on every basis, graded/ill-conditioned
+    # columns) retries on the full-f64 engine before the perturbation
+    # fallback — precision trouble is not degeneracy trouble
+    if st in (engine.NUMERICAL, engine.CONTINUE) and opts.inverse_dtype == "float32":
+        opts64 = dataclasses.replace(
+            opts, inverse_dtype="float64", refactor_frequency=100,
+            use_pallas_price=False,
+        )
+        state64 = initial_state(lp, opts64) if warm is None else _warm_state(lp, opts64, warm, n, m)
+        state64 = recompute(lp, state64, opts64.dual_bound)
+        if dual:
+            state64 = make_dual_feasible(lp, state64, opts64)
+            state64 = dsolve(lp, state64, opts64)
+        else:
+            state64 = psolve(lp, state64, opts64)
+        if int(state64.status) in (engine.OPTIMAL, engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
+            state, st, opts = state64, int(state64.status), opts64
+
     # still stuck: cost-perturbation retry (anti-degeneracy escalation,
     # reference: ClpSimplexDual::perturb, ClpSimplexDual.cpp:6533 — perturb,
     # re-solve, restore true costs, clean up from the perturbed basis)
