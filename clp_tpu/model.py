@@ -107,6 +107,9 @@ class Model:
         self.perturbation = 100  # reference: ClpSimplex.hpp:705-716
         self.solution = Solution()
         self.event_handler = None  # callable(event_name, model) -> int
+        # CoinMessageHandler analogue: when set, every solver phase emits
+        # its CLP_* catalog messages through it (passMessageHandler parity)
+        self.message_handler = None
 
     # --- shape accessors (reference: ClpModel.hpp:410-421) ---
     @property
@@ -446,6 +449,7 @@ class Model:
 
         state = dict(self.__dict__)
         state.pop("event_handler", None)
+        state.pop("message_handler", None)
         try:
             with open(filename, "wb") as f:
                 pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -503,8 +507,15 @@ class Model:
         import copy as _copy
 
         m = Model()
+        # handlers are shared by reference, not deep-copied: they can hold
+        # streams/closures (reference: handlers are pointers on ClpModel)
+        shared = ("event_handler", "message_handler")
         m.__dict__ = {
-            k: (_copy.deepcopy(v) if not sp.issparse(v) else v.copy())
+            k: (
+                v
+                if k in shared
+                else (_copy.deepcopy(v) if not sp.issparse(v) else v.copy())
+            )
             for k, v in self.__dict__.items()
         }
         m._A = self._A.copy()

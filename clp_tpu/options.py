@@ -90,6 +90,9 @@ class SolveOptions:
     # first-breakpoint two-pass test. "auto" = bfrt when a meaningful
     # fraction of variables (columns + slacks) is boxed.
     dual_ratio: str = "auto"  # "auto" | "harris" | "bfrt"
+    # Positive-Edge threshold (reference: ClpPESimplex psi); used by the
+    # "pesteepest" pivot rules
+    pe_psi: float = 0.5
     # batching / sharding (TPU-native, no reference analogue)
     mesh_axis: str = "scenario"
     devices: Optional[object] = None  # explicit jax devices / Mesh

@@ -134,7 +134,17 @@ _reg(Param("primalObjectiveLimit", "dbl", -1e30, "stop primal when objective bel
 _reg(Param("barrierTolerance", "dbl", 1e-8, "barrier convergence tolerance", _set_opts("barrier_tolerance")))
 _reg(Param("primalWeight", "dbl", 1e10, "infeasibility cost weight (compat: phase 1 here uses the pure "
            "infeasibility gradient, not a composite cost)", _store("primalWeight"), scope="compat"))
-_reg(Param("psi", "dbl", -0.5, "positive-edge psi (compat: PE pricing pending)", _store("psi"), scope="compat"))
+def _psi(cli, v):
+    # reference semantics (ClpParam psi): magnitude is the PE threshold;
+    # a positive value also switches pricing to the Positive-Edge rules
+    v = float(v)
+    cli.options.pe_psi = abs(v)
+    if v > 0:
+        cli.options.dual_pivot = "pesteepest"
+        cli.options.primal_pivot = "pesteepest"
+
+
+_reg(Param("psi", "dbl", -0.5, "positive-edge psi threshold (>0 also selects PE pricing)", _psi))
 _reg(Param("progress", "dbl", 1.0, "progress display: 0 = deterministic table mode",
            lambda cli, v: setattr(cli, "progress_deterministic", float(v) == 0.0)))
 

@@ -324,7 +324,7 @@ def _demote_fakes_to_free(lp, state: SimplexState) -> SimplexState:
 
 
 def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
-                 max_seconds: Optional[float], progress=None):
+                 max_seconds: Optional[float], progress=None, mh=None):
     """Host-driven chunk loop: wall-clock limits + per-chunk progress.
 
     Same protocol as the fully-jitted loop (verified-optimality, stall
@@ -375,11 +375,15 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
             abs(obj_f - o) <= 1e-12 * (1.0 + abs(o)) for o in obj_history
         ):
             cycles += 1
+            if mh is not None:
+                mh.message("CLP_POSSIBLELOOP", it=int(state.iterations))
         else:
             cycles = 0
         obj_history = (obj_history + [obj_f])[-5:]
         stalls = 0 if made_pivots else stalls + 1
         if stalls >= 3 or cycles >= 3:
+            if mh is not None and cycles >= 3:
+                mh.message("CLP_LOOP")
             state = dataclasses.replace(
                 state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
             )
@@ -437,6 +441,14 @@ def simplex_solve(
     lp, info = to_standard_form(model)
     m, nt = lp.G.shape
     n = nt - m
+
+    from ..events import get_handler
+
+    mh = get_handler(model, options)
+
+    def _msg(name, **kw):
+        if mh is not None:
+            mh.message(name, **kw)
 
     # chunked host loop when wall-clock limits or live progress are wanted
     use_chunked = options.max_seconds is not None or options.log_level >= 3
@@ -518,6 +530,7 @@ def simplex_solve(
             price_mode=price_mode,
             inverse_dtype=inv_dtype,
             dual_ratio=dual_ratio,
+            pe_psi=getattr(options, "pe_psi", 0.5),
         )
 
     opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))
@@ -528,12 +541,12 @@ def simplex_solve(
 
     def dsolve(lp_, state_, opts_):
         if use_chunked:
-            return _run_chunked(lp_, state_, opts_, True, options.max_seconds, progress)
+            return _run_chunked(lp_, state_, opts_, True, options.max_seconds, progress, mh)
         return dual_solve(lp_, state_, opts_)
 
     def psolve(lp_, state_, opts_):
         if use_chunked:
-            return _run_chunked(lp_, state_, opts_, False, options.max_seconds, progress)
+            return _run_chunked(lp_, state_, opts_, False, options.max_seconds, progress, mh)
         return primal_solve(lp_, state_, opts_)
 
     if dual:
@@ -553,6 +566,7 @@ def simplex_solve(
         while st == engine.OPTIMAL and _at_fake_bound(lp, state, opts.dual_bound) and _pressed() and attempts < 2:
             attempts += 1
             opts = make_opts(opts.dual_bound * 100.0)
+            _msg("CLP_DUAL_BOUNDS", bound=opts.dual_bound)
             state = dataclasses.replace(state, status=jnp.asarray(engine.CONTINUE, jnp.int32))
             state = recompute(lp, state, opts.dual_bound)
             state = make_dual_feasible(lp, state, opts)
@@ -615,6 +629,7 @@ def simplex_solve(
     # reference: ClpSimplexDual::perturb, ClpSimplexDual.cpp:6533 — perturb,
     # re-solve, restore true costs, clean up from the perturbed basis)
     if st in (engine.NUMERICAL, engine.CONTINUE, engine.ITER_LIMIT):
+        _msg("CLP_SIMPLEX_PERTURB", pct=1e-4)
         rng = np.random.default_rng(model.random_seed)
         c = np.asarray(lp.c)
         scale = 1e-6 * (1.0 + np.abs(c))
@@ -627,10 +642,25 @@ def simplex_solve(
         state3 = dsolve(lp_pert, state3, opts)
         if int(state3.status) == engine.OPTIMAL:
             # restore true costs, clean up with the primal from this basis
+            _msg("CLP_PRIMAL_ORIGINAL")
             state3 = dataclasses.replace(state3, status=jnp.asarray(engine.CONTINUE, jnp.int32))
             state3 = recompute(lp, state3, opts.dual_bound)
             state3 = psolve(lp, state3, opts)
             if int(state3.status) in (engine.OPTIMAL, engine.DUAL_INFEASIBLE):
                 state, st = state3, int(state3.status)
 
-    return _extract(model, lp, state, opts, st)
+    sol = _extract(model, lp, state, opts, st)
+    if st == engine.OPTIMAL:
+        _msg(
+            "CLP_SIMPLEX_FINISHED" if dual else "CLP_PRIMAL_OPTIMAL",
+            obj=sol.objective_value,
+        )
+    elif st == engine.PRIMAL_INFEASIBLE:
+        _msg("CLP_SIMPLEX_INFEASIBLE", pinf=float(sol.objective_value))
+    elif st == engine.DUAL_INFEASIBLE:
+        _msg("CLP_SIMPLEX_UNBOUNDED")
+    elif st == engine.ITER_LIMIT:
+        _msg("CLP_SIMPLEX_STOPPED", obj=sol.objective_value)
+    else:
+        _msg("CLP_SIMPLEX_ERROR")
+    return sol

@@ -206,6 +206,18 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
             lp = _dc.replace(lp, G=lp.G[pj, :], b=lp.b[pj])
             opts = _dc.replace(opts, band_nb=nb)
     res = ipm_solve_jit(lp, opts)
+    from .events import get_handler
+
+    mh = get_handler(model, options)
+    if mh is not None:
+        if bool(res.converged):
+            mh.message("CLP_BARRIER_END", obj=float(res.pobj), it=int(res.iterations))
+        else:
+            mh.message(
+                "CLP_BARRIER_EXIT2",
+                why=f"not converged: gap {float(res.rel_gap):.3e} "
+                    f"pinf {float(res.primal_infeas):.3e}",
+            )
     if perm is not None:
         y_full = np.empty_like(np.asarray(res.y))
         y_full[perm] = np.asarray(res.y)

@@ -212,3 +212,27 @@ def test_interval_timing_messages(capsys):
     out = capsys.readouterr().out
     assert "took" in out  # CLP_INTERVAL_TIMING lines
     assert "iterations time" in out  # CLP_TIMING line
+
+
+def test_psi_selects_positive_edge():
+    """psi > 0 sets the PE threshold and switches to PE pricing
+    (reference: ClpPESimplex psi semantics)."""
+    cli = CLI()
+    cli.run_args(["-psi", "0.4"])
+    assert cli.options.pe_psi == pytest.approx(0.4)
+    assert cli.options.dual_pivot == "pesteepest"
+    assert cli.options.primal_pivot == "pesteepest"
+    # negative value: threshold magnitude stored, pricing untouched
+    cli2 = CLI()
+    cli2.run_args(["-psi", "-0.3"])
+    assert cli2.options.pe_psi == pytest.approx(0.3)
+    assert cli2.options.dual_pivot != "pesteepest"
+    # and the PE solve still reaches the right optimum
+    model = random_lp(12, 20, seed=7)
+    ref = _linprog(model)
+    opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX, dual_pivot="pesteepest",
+                        pe_psi=0.4)
+    opts.presolve.enabled = False
+    sol = model.initial_solve(opts)
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
