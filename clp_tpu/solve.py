@@ -324,6 +324,10 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         _fire(model, Event.PRESOLVE_START)
         t_phase = time.time()
         presolved, pinfo = run_presolve(model, options.presolve)
+        # the inner solve runs on the presolved model: carry the handler so
+        # phase messages still reach the user's interceptor (driver2 flow)
+        presolved.message_handler = model.message_handler
+        presolved.log_level = model.log_level
         timings = {"presolve": time.time() - t_phase}
         _fire(
             model,

@@ -24,6 +24,9 @@ ALL = [
     "event_handler.py",
     "basis_io.py",
     "pdco_example.py",
+    "driver2.py",
+    "dual_cuts.py",
+    "iis.py",
 ]
 
 
