@@ -59,6 +59,9 @@ class SolveOptions:
     sprint_passes: int = 100
     slp_passes: int = 0
     dualize: int = 0  # 1 = solve the dualized model and map back
+    # start from the current solution values (reference ifValuesPass:
+    # ClpSimplex::dual(1)/primal(1)); basis built from the point
+    values_pass: int = 0
     # rim scale factors applied for the solve, unscaled on the way out
     # (reference: ClpObjScale/ClpRhsScale dblParams, ClpModel.hpp:1124-1161)
     objective_scale: float = 1.0

@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .branching import HotStart, mark_hot_start, solve_from_hot_start
-from .constants import INF, ProblemStatus, SolveMethod
+from .constants import INF, ProblemStatus, SolveMethod, VariableStatus
 from .model import Model, Solution
 from .options import SolveOptions
 
@@ -155,3 +155,75 @@ class OsiClpTpuSolverInterface:
     def setWarmStart(self, warm) -> None:
         cs, rs = warm
         self.model.set_basis_status(cs, rs)
+
+    # --- tableau access (OsiSimplexInterface group; reference:
+    # OsiClpSolverInterface.hpp enableFactorization/getBasics/getBInvRow/
+    # getBInvARow/getBInvCol/getBInvACol — what Cbc's cut generators,
+    # e.g. CglGomory, consume after a solve) ---
+    #
+    # Convention: the tableau is over the standard form [A | -I] (slack
+    # columns carry coefficient -1, matching this framework's simplex
+    # engine). getBInvARow returns (structural part, slack part).
+
+    def enableFactorization(self) -> None:
+        """Factorize the current basis for tableau queries."""
+        import scipy.linalg as sla
+
+        sol = self.model.solution
+        if sol.column_status is None or sol.row_status is None:
+            raise RuntimeError("no basis: solve first (simplex with basis out)")
+        m = self.model.num_rows
+        status = np.concatenate([sol.column_status, sol.row_status])
+        basics = np.flatnonzero(status == VariableStatus.BASIC)
+        if basics.size != m:
+            raise RuntimeError(
+                f"basis has {basics.size} basic variables, need {m}"
+            )
+        A = np.asarray(self.model.matrix.todense(), dtype=np.float64)
+        G = np.concatenate([A, -np.eye(m)], axis=1)
+        self._basics = basics
+        self._G = G
+        self._lu = sla.lu_factor(G[:, basics])
+
+    def disableFactorization(self) -> None:
+        self._basics = self._lu = self._G = None
+
+    def getBasics(self):
+        """Indices of basic variables (columns then slacks n..n+m-1)."""
+        self._need_factorization()
+        return self._basics.copy()
+
+    def getBInvRow(self, row: int):
+        """Row `row` of B^-1 (via a BTRAN solve)."""
+        import scipy.linalg as sla
+
+        self._need_factorization()
+        e = np.zeros(self.model.num_rows)
+        e[row] = 1.0
+        return sla.lu_solve(self._lu, e, trans=1)
+
+    def getBInvCol(self, col: int):
+        """Column `col` of B^-1 (via an FTRAN solve)."""
+        import scipy.linalg as sla
+
+        self._need_factorization()
+        e = np.zeros(self.model.num_rows)
+        e[col] = 1.0
+        return sla.lu_solve(self._lu, e)
+
+    def getBInvARow(self, row: int):
+        """Row `row` of B^-1 [A | -I] -> (structural part, slack part)."""
+        r = self.getBInvRow(row) @ self._G
+        n = self.model.num_cols
+        return r[:n], r[n:]
+
+    def getBInvACol(self, col: int):
+        """Column `col` of B^-1 [A | -I] (col may index a slack)."""
+        import scipy.linalg as sla
+
+        self._need_factorization()
+        return sla.lu_solve(self._lu, self._G[:, col])
+
+    def _need_factorization(self) -> None:
+        if getattr(self, "_lu", None) is None:
+            raise RuntimeError("call enableFactorization() first")

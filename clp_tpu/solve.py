@@ -309,6 +309,39 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         model.solution = sol
         return sol
 
+    # --- values pass (reference: ClpSimplex::dual(1)/primal(1),
+    # ClpSimplexDual.cpp:637 ifValuesPass — start the simplex from the
+    # CURRENT solution values; the crossover machinery builds the starting
+    # basis from the point). Like the reference's direct method call this
+    # bypasses presolve; the point is taken as-is.
+    if (
+        getattr(options, "values_pass", 0)
+        and options.method in (SolveMethod.DUAL_SIMPLEX, SolveMethod.PRIMAL_SIMPLEX)
+        and model.solution.primal is not None
+        and model.solution.primal.size == model.num_cols
+    ):
+        warm = Solution(
+            primal=np.asarray(model.solution.primal, dtype=np.float64).copy(),
+            row_activity=(
+                None
+                if model.solution.row_activity is None
+                else np.asarray(model.solution.row_activity, dtype=np.float64).copy()
+            ),
+        )
+        sol = _solve_simplex(
+            model, options, dual=options.method == SolveMethod.DUAL_SIMPLEX,
+            warm=warm,
+        )
+        from .events import get_handler
+
+        mh = get_handler(model, options)
+        if mh is not None:
+            mh.message("CLP_END_VALUES_PASS", it=sol.iterations)
+        sol.solve_time = time.time() - t0
+        model.solution = sol
+        _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
+        return sol
+
     # --- presolve ---
     # QP: Q-aware transforms only (fixed columns fold Q terms into the rim;
     # variable-eliminating transforms are gated off inside presolve() —

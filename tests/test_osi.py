@@ -60,3 +60,48 @@ def test_osi_branch_and_bound():
     assert si.isProvenOptimal()
     x = si.getColSolution()
     assert np.abs(x - np.round(x)).max() < 1e-6
+
+
+def test_osi_tableau_access():
+    """OsiSimplexInterface group: B^-1 rows/cols over [A | -I]
+    (reference: OsiClpSolverInterface getBInvARow family)."""
+    si = OsiClpTpuSolverInterface(random_lp(8, 12, seed=31))
+    si.options.presolve.enabled = False
+    si.initialSolve()
+    assert si.isProvenOptimal()
+    si.enableFactorization()
+
+    m, n = si.getNumRows(), si.getNumCols()
+    basics = si.getBasics()
+    assert basics.size == m
+
+    A = np.asarray(si.model.matrix.todense())
+    G = np.concatenate([A, -np.eye(m)], axis=1)
+    B = G[:, basics]
+
+    # B^-1 applied to B's columns is the identity
+    for k in range(m):
+        col = si.getBInvACol(int(basics[k]))
+        e = np.zeros(m); e[k] = 1.0
+        np.testing.assert_allclose(col, e, atol=1e-9)
+
+    # rows of B^-1 G: stacked they equal inv(B) @ G
+    T = np.stack([np.concatenate(si.getBInvARow(i)) for i in range(m)])
+    np.testing.assert_allclose(T, np.linalg.solve(B, G), atol=1e-8)
+
+    # BInvRow / BInvCol are consistent transposes of the same inverse
+    R = np.stack([si.getBInvRow(i) for i in range(m)])
+    C = np.stack([si.getBInvCol(i) for i in range(m)], axis=1)
+    np.testing.assert_allclose(R, C, atol=1e-9)
+    np.testing.assert_allclose(R @ B, np.eye(m), atol=1e-9)
+
+    # basic solution consistency: x_B = B^-1 (b - N x_N) with b = 0
+    x_full = np.concatenate([si.getColSolution(), si.getRowActivity()])
+    nonbasic = np.setdiff1d(np.arange(n + m), basics)
+    xb = np.linalg.solve(B, -G[:, nonbasic] @ x_full[nonbasic])
+    np.testing.assert_allclose(x_full[basics], xb, atol=1e-7)
+
+    si.disableFactorization()
+    import pytest
+    with pytest.raises(RuntimeError):
+        si.getBInvRow(0)

@@ -338,3 +338,30 @@ def test_bfrt_auto_selected_on_boxed_lp():
     sol = model.initial_solve(o)
     assert sol.status == ProblemStatus.OPTIMAL
     assert abs(sol.objective_value - ref.fun) < 1e-7 * (1 + abs(ref.fun))
+
+
+@pytest.mark.parametrize("dual", [True, False])
+def test_values_pass(dual):
+    """ifValuesPass (ClpSimplex::dual(1)/primal(1)): start from the current
+    solution values; restart from the optimum should cost ~no pivots."""
+    model = random_lp(20, 32, seed=11)
+    method = SolveMethod.DUAL_SIMPLEX if dual else SolveMethod.PRIMAL_SIMPLEX
+    sol0 = model.initial_solve(_no_presolve(method=method))
+    assert sol0.status == ProblemStatus.OPTIMAL
+    obj = sol0.objective_value
+
+    # restart from the optimal values
+    sol1 = model.initial_solve(_no_presolve(method=method, values_pass=1))
+    assert sol1.status == ProblemStatus.OPTIMAL
+    assert abs(sol1.objective_value - obj) < 1e-7 * (1 + abs(obj))
+    assert sol1.iterations <= max(5, sol0.iterations // 2), (
+        sol1.iterations, sol0.iterations
+    )
+
+    # restart from a perturbed (infeasible) point still reaches the optimum
+    rng = np.random.default_rng(0)
+    model.solution.primal = sol0.primal + 0.1 * rng.standard_normal(sol0.primal.size)
+    model.solution.row_activity = None
+    sol2 = model.initial_solve(_no_presolve(method=method, values_pass=1))
+    assert sol2.status == ProblemStatus.OPTIMAL
+    assert abs(sol2.objective_value - obj) < 1e-7 * (1 + abs(obj))
