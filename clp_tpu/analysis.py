@@ -321,3 +321,77 @@ def restore_from_dual(model: Model, dual: Model, mapping: dict) -> None:
         row_activity=model.matrix @ x,
         iterations=dsol.iterations,
     )
+
+
+def find_iis(model: Model, options=None, batch: bool = True) -> list[int]:
+    """Irreducible infeasible subsystem of rows (reference role:
+    examples/iis.cpp — explain WHY a model is infeasible).
+
+    The Farkas ray's support seeds the candidate set; a deletion filter
+    shrinks it to irreducibility (every remaining row necessary). With
+    `batch=True` each filter round tests EVERY candidate deletion in one
+    batched dual-simplex sweep on-device (the trials differ only in row
+    bounds, so they stack on the scenario axis) and drops all
+    simultaneously-redundant rows when a re-verification confirms the
+    reduced set is still infeasible — typically 2-3 solves total instead
+    of |candidates| sequential ones.
+    """
+    from .options import SolveOptions
+    from .constants import SolveMethod
+
+    opts = options or SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts.presolve.enabled = False  # rays + stable row indexing
+
+    def _free_rows(m, rows):
+        t = m.copy()
+        t.row_lower = t.row_lower.copy()
+        t.row_upper = t.row_upper.copy()
+        for q in rows:
+            t.row_lower[q] = -INF
+            t.row_upper[q] = INF
+        return t
+
+    def _infeasible(m) -> bool:
+        return m.initial_solve(opts).status == ProblemStatus.PRIMAL_INFEASIBLE
+
+    sol = model.initial_solve(opts)
+    if sol.status != ProblemStatus.PRIMAL_INFEASIBLE:
+        raise ValueError(f"model is not primal infeasible: {sol.status}")
+    ray = model.infeasibility_ray()
+    all_rows = set(range(model.num_rows))
+    cand = (
+        [int(r) for r in np.flatnonzero(np.abs(ray) > 1e-9)]
+        if ray is not None and np.any(np.abs(ray) > 1e-9)
+        else sorted(all_rows)
+    )
+    # rows outside the candidate set play no part: free them once
+    base = _free_rows(model, sorted(all_rows - set(cand)))
+    if not _infeasible(base):  # ray support insufficient -> use all rows
+        cand = sorted(all_rows)
+        base = model
+
+    iis = list(cand)
+    while len(iis) > 1:
+        trials = [_free_rows(base, sorted((set(all_rows) - set(iis)) | {r}))
+                  for r in iis]
+        if batch and len(trials) > 1:
+            from .parallel.batch import solve_batch_dual_simplex
+
+            sols = solve_batch_dual_simplex(trials, opts)
+            redundant = [r for r, s in zip(iis, sols)
+                         if s.status == ProblemStatus.PRIMAL_INFEASIBLE]
+        else:
+            redundant = [r for r, t in zip(iis, trials) if _infeasible(t)]
+        if not redundant:
+            break  # every row necessary -> irreducible
+        if len(redundant) > 1:
+            # try dropping all redundant rows at once; accept if the
+            # reduced set still proves infeasibility
+            shrunk = [r for r in iis if r not in redundant]
+            if shrunk and _infeasible(
+                _free_rows(base, sorted(set(all_rows) - set(shrunk)))
+            ):
+                iis = shrunk
+                continue
+        iis.remove(redundant[0])
+    return iis

@@ -76,3 +76,10 @@ iis = iis_rows(model)
 print(f"IIS: rows {iis} (each necessary, together infeasible)")
 assert set(iis) == {0, 1, 2}, iis
 print("matches the known conflict {0, 1, 2}")
+
+# the library API runs the same filter with every round's trials in ONE
+# batched dual-simplex sweep on-device (clp_tpu.analysis.find_iis)
+from clp_tpu.analysis import find_iis
+
+assert find_iis(build_infeasible()) == [0, 1, 2]
+print("library find_iis (batched sweeps) agrees")

@@ -102,3 +102,50 @@ def test_dualize_matches_primal():
 
     rep = check_kkt(model)
     assert rep.ok, str(rep)
+
+
+def test_find_iis_known_conflict():
+    """find_iis: deletion filter over batched dual-simplex trials."""
+    import scipy.sparse as sp
+    from clp_tpu.analysis import find_iis
+
+    A = sp.csc_matrix(np.array([
+        [1.0, 1.0, 0.0],   # x1 + x2 >= 4 (conflicts with the two caps)
+        [1.0, 0.0, 0.0],   # x1 <= 1
+        [0.0, 1.0, 0.0],   # x2 <= 1
+        [0.0, 0.0, 1.0],   # innocent
+        [1.0, 0.0, 1.0],   # innocent
+    ]))
+    m = Model()
+    m.load_problem(A, col_lower=[0, 0, 0], col_upper=[INF] * 3,
+                   objective=[1.0] * 3,
+                   row_lower=[4.0, -INF, -INF, -INF, -INF],
+                   row_upper=[INF, 1.0, 1.0, 10.0, 20.0])
+    assert find_iis(m) == [0, 1, 2]
+    assert find_iis(m, batch=False) == [0, 1, 2]
+
+
+def test_find_iis_irreducible_property():
+    """Every returned row is necessary: freeing any one restores feasibility."""
+    from clp_tpu.analysis import find_iis
+    from clp_tpu.utils.generators import infeasible_lp
+    from clp_tpu.options import SolveOptions
+    from clp_tpu.constants import SolveMethod
+
+    m = infeasible_lp()
+    iis = find_iis(m)
+    assert iis, "empty IIS for an infeasible model"
+    opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts.presolve.enabled = False
+    all_rows = set(range(m.num_rows))
+    for r in iis:
+        t = m.copy()
+        t.row_lower = t.row_lower.copy(); t.row_upper = t.row_upper.copy()
+        for q in (all_rows - set(iis)) | {r}:
+            t.row_lower[q] = -INF; t.row_upper[q] = INF
+        assert t.initial_solve(opts).status == ProblemStatus.OPTIMAL, r
+
+    # feasible model raises
+    from clp_tpu.utils.generators import random_lp
+    with pytest.raises(ValueError):
+        find_iis(random_lp(6, 10, seed=1))
