@@ -157,6 +157,34 @@ def bench_batched_ipm(jax, jnp):
     }
 
 
+def bench_batched_dual(jax, jnp):
+    """Scenario-batched dual simplex: whole pivot loops vmapped on-device."""
+    from clp_tpu.options import SolveOptions
+    from clp_tpu.constants import SolveMethod, ProblemStatus
+    from clp_tpu.parallel.batch import solve_batch_dual_simplex
+    from clp_tpu.utils.generators import random_lp
+
+    B, M, N = 32, 64, 96
+    base = random_lp(M, N, seed=2)
+    rng = np.random.default_rng(3)
+    models = []
+    for _ in range(B):
+        m = base.copy()
+        shift = np.abs(rng.uniform(0, 0.05, m.num_rows))
+        m.row_lower = np.where(m.row_lower > -1e29, m.row_lower - shift, m.row_lower)
+        m.row_upper = np.where(m.row_upper < 1e29, m.row_upper + shift, m.row_upper)
+        models.append(m)
+    opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts.presolve.enabled = False
+    sols = solve_batch_dual_simplex(models, opts)  # compile pass
+    t0 = time.perf_counter()
+    sols = solve_batch_dual_simplex(models, opts)
+    t = time.perf_counter() - t0
+    ok = sum(s.status == ProblemStatus.OPTIMAL for s in sols)
+    assert ok >= B * 9 // 10, f"only {ok}/{B} optimal"
+    return {"instances_per_s": B / t, "batch": B, "shape": f"{M}x{N}"}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -165,6 +193,10 @@ def main():
 
     simplex = bench_dual_simplex(jax, jnp)
     ipm = bench_batched_ipm(jax, jnp)
+    try:
+        bdual = bench_batched_dual(jax, jnp)
+    except Exception as e:  # extras must not sink the headline
+        bdual = {"error": str(e)[:200]}
 
     # headline comparison: end-to-end wall clock on the SAME LP, this TPU
     # chip vs HiGHS dual simplex on this host's CPU (measured in this run).
@@ -192,6 +224,7 @@ def main():
                     "batched_ipm_speedup_on_device": round(
                         ipm["batch_speedup_on_device"], 2
                     ),
+                    "batched_dual_simplex": bdual,
                 },
             }
         )
