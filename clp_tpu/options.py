@@ -62,6 +62,9 @@ class SolveOptions:
     # start from the current solution values (reference ifValuesPass:
     # ClpSimplex::dual(1)/primal(1)); basis built from the point
     values_pass: int = 0
+    # PDLP matrix backend: None = auto (sparse BCOO when the matrix is
+    # large and sparse), True/False force sparse/dense matvecs
+    pdlp_sparse: Optional[bool] = None
     # rim scale factors applied for the solve, unscaled on the way out
     # (reference: ClpObjScale/ClpRhsScale dblParams, ClpModel.hpp:1124-1161)
     objective_scale: float = 1.0

@@ -9,6 +9,19 @@ for very large instances where factorizations don't fit. Solves
 with Chambolle-Pock updates and Moreau projection for the two-sided row
 bounds. Moderate-accuracy tool (1e-4..1e-6); finishing to simplex accuracy
 is the orchestrator's job.
+
+Two matrix backends share the same jitted loop:
+  * dense `jnp.ndarray` — MXU matvecs, best when the matrix fits dense;
+  * sparse `jax.experimental.sparse.BCOO` — memory O(nnz) gather/scatter
+    matvecs, unlocking instances whose dense form (or an explicit basis
+    inverse) cannot fit in HBM. This is the framework's answer for
+    beyond-dense-scale sparse LPs, where the reference reaches for its
+    sparse LU (ClpFactorization/CoinAbc) — on TPU the first-order method
+    IS the idiomatic large-sparse path.
+
+Ruiz equilibration (a few host-side passes on the scipy matrix) scales the
+problem before the iterations — the PDLP papers' standard preconditioning —
+and the solution is unscaled on the way out.
 """
 
 from __future__ import annotations
@@ -26,12 +39,14 @@ from .options import SolveOptions
 
 @partial(jax.jit, static_argnames=("max_iter", "check_every"))
 def _pdhg(A, c, rl, ru, cl, cu, tol, max_iter: int, check_every: int = 100):
-    m, n = A.shape
+    m = rl.shape[0]
+    n = c.shape[0]
+    AT = A.T  # BCOO transpose is a view; dense transpose is free under jit
     # power iteration for ||A||_2
     v = jnp.ones(n) / jnp.sqrt(n)
 
     def pw(_, v):
-        w = A.T @ (A @ v)
+        w = AT @ (A @ v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
     v = jax.lax.fori_loop(0, 30, pw, v)
@@ -49,7 +64,7 @@ def _pdhg(A, c, rl, ru, cl, cu, tol, max_iter: int, check_every: int = 100):
         pinf = jnp.max(
             jnp.maximum(jnp.maximum(rl - ax, ax - ru), 0.0), initial=0.0
         ) / (1.0 + jnp.max(jnp.abs(ax), initial=0.0))
-        d = c - A.T @ y
+        d = c - AT @ y
         dviol = jnp.maximum(
             jnp.where(jnp.isfinite(cu), 0.0, jnp.maximum(-d, 0.0)),
             jnp.where(jnp.isfinite(cl), 0.0, jnp.maximum(d, 0.0)),
@@ -67,7 +82,7 @@ def _pdhg(A, c, rl, ru, cl, cu, tol, max_iter: int, check_every: int = 100):
     def body(carry):
         x, y, xa, ya, k, kt, r0, _ = carry
         # primal: gradient step on c + A'y_int, project to [cl, cu]
-        x1 = jnp.clip(x - tau * (c + A.T @ y), cl, cu)
+        x1 = jnp.clip(x - tau * (c + AT @ y), cl, cu)
         # dual: Moreau projection for the box support function
         yh = y + sig * (A @ (2.0 * x1 - x))
         y1 = yh - sig * jnp.clip(yh / sig, rl, ru)
@@ -103,20 +118,75 @@ def _pdhg(A, c, rl, ru, cl, cu, tol, max_iter: int, check_every: int = 100):
     return xa, -ya, kt, done  # flip to the user dual convention
 
 
+def _ruiz_equilibrate(A_sp, passes: int = 10):
+    """Ruiz scaling: D_r A D_c with rows/cols pulled toward unit inf-norm.
+
+    Host-side on the scipy matrix (cheap, O(passes * nnz)); returns
+    (dr, dc) with entries 1/sqrt(max |row|), iterated.
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A_sp, copy=True).astype(np.float64)
+    m, n = A.shape
+    dr = np.ones(m)
+    dc = np.ones(n)
+    for _ in range(passes):
+        absA = abs(A)
+        r = np.sqrt(absA.max(axis=1).toarray().ravel())
+        c = np.sqrt(absA.max(axis=0).toarray().ravel())
+        r[r == 0] = 1.0
+        c[c == 0] = 1.0
+        A = sp.diags(1.0 / r) @ A @ sp.diags(1.0 / c)
+        dr /= r
+        dc /= c
+        if np.max(np.abs(r - 1)) < 1e-3 and np.max(np.abs(c - 1)) < 1e-3:
+            break
+    return dr, dc
+
+
 def pdlp_solve(model: Model, options: SolveOptions) -> Solution:
-    A = jnp.asarray(model.matrix.todense())
+    """PDHG solve; sparse BCOO matvecs when the matrix is large and sparse
+    (or `options.pdlp_sparse` forces a backend)."""
+    A_sp = model.matrix.tocsr()
+    m, n = A_sp.shape
+    nnz = A_sp.nnz
+    force = getattr(options, "pdlp_sparse", None)
+    use_sparse = (
+        bool(force) if force is not None
+        else (m * n >= 1 << 22 and nnz < 0.05 * m * n)
+    )
     sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
-    c = jnp.asarray(model.objective * sense)
-    rl = jnp.asarray(np.where(model.row_lower <= -INF, -np.inf, model.row_lower))
-    ru = jnp.asarray(np.where(model.row_upper >= INF, np.inf, model.row_upper))
-    cl = jnp.asarray(np.where(model.col_lower <= -INF, -np.inf, model.col_lower))
-    cu = jnp.asarray(np.where(model.col_upper >= INF, np.inf, model.col_upper))
+
+    # Ruiz equilibration: solve min (Dc c)'x~ s.t. Dr rl <= (Dr A Dc) x~
+    # with x~ = Dc^-1 x, bounds scaled by Dc^-1
+    dr, dc = _ruiz_equilibrate(A_sp)
+    As = (A_sp.multiply(dr[:, None])).tocsr().multiply(dc[None, :]).tocsr()
+
+    c = jnp.asarray(model.objective * sense * dc)
+    rl = jnp.asarray(np.where(model.row_lower <= -INF, -np.inf, model.row_lower * dr))
+    ru = jnp.asarray(np.where(model.row_upper >= INF, np.inf, model.row_upper * dr))
+    cl = jnp.asarray(np.where(model.col_lower <= -INF, -np.inf, model.col_lower / dc))
+    cu = jnp.asarray(np.where(model.col_upper >= INF, np.inf, model.col_upper / dc))
+
+    if use_sparse:
+        from jax.experimental import sparse as jsparse
+
+        coo = As.tocoo()
+        A = jsparse.BCOO(
+            (jnp.asarray(coo.data),
+             jnp.asarray(np.stack([coo.row, coo.col], axis=1))),
+            shape=(m, n),
+        )
+    else:
+        A = jnp.asarray(As.todense())
+
     # first-order methods earn their keep at moderate accuracy; the
     # orchestrator's simplex/IPM finishes when tighter tolerances matter
     tol = max(options.barrier_tolerance, 1e-4)
     x, y, iters, done = _pdhg(A, c, rl, ru, cl, cu, tol, max_iter=200000)
-    x = np.asarray(x)
-    y = np.asarray(y) * sense
+    # unscale: x = Dc x~, y = Dr y~ (then sense)
+    x = np.asarray(x) * dc
+    y = np.asarray(y) * dr * sense
     d = model.objective - model.matrix.T @ y
     return Solution(
         status=ProblemStatus.OPTIMAL if bool(done) else ProblemStatus.STOPPED,

@@ -103,6 +103,13 @@ def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
         return SolveMethod.NETWORK
     if n > 6 * m and n > 2000:
         return SolveMethod.SPRINT  # wide LPs: column-subset working sets
+    # beyond-dense-scale sparse instances: neither a dense G (m x (n+m) f64)
+    # nor an explicit basis inverse fits; the sparse-matvec PDHG is the
+    # TPU-idiomatic large-sparse path (simplex/IPM finish after presolve
+    # shrinks, or the user picks a method explicitly)
+    nnz = model.num_elements
+    if m * (n + m) * 8 > 4 << 30 and nnz < 0.02 * m * n:
+        return SolveMethod.PDLP
     return SolveMethod.BARRIER
 
 

@@ -226,3 +226,52 @@ def test_pdco_separable_objective_hooks():
     rc = (np.asarray(lp.c) + gradphi - np.asarray(lp.G).T @ np.asarray(r3.y)
           - np.asarray(r3.z) + np.asarray(r3.w))
     assert np.abs(rc).max() < 1e-6
+
+
+def test_pdlp_sparse_backend_agrees():
+    """Sparse BCOO matvecs return the same answer as dense (memory O(nnz)
+    path for beyond-dense-scale LPs)."""
+    from clp_tpu import SolveOptions, SolveMethod
+
+    model = random_lp(40, 64, seed=18, density=0.1)
+    ref = _linprog(model)
+    sols = {}
+    for sparse in (False, True):
+        o = SolveOptions(method=SolveMethod.PDLP, pdlp_sparse=sparse)
+        o.presolve.enabled = False
+        sols[sparse] = model.copy().initial_solve(o)
+    for s in sols.values():
+        assert s.status == clp_tpu.ProblemStatus.OPTIMAL
+        assert abs(s.objective_value - ref.fun) < 1e-2 * (1 + abs(ref.fun))
+    assert abs(sols[0].objective_value - sols[1].objective_value) < 1e-3 * (
+        1 + abs(ref.fun)
+    )
+
+
+def test_pdlp_badly_scaled_lp():
+    """Ruiz equilibration: convergence survives 1e4 coefficient spread."""
+    import scipy.sparse as sp
+    from clp_tpu import SolveOptions, SolveMethod, Model, INF
+
+    rng = np.random.default_rng(2)
+    m, n = 16, 24
+    base = random_lp(m, n, seed=19)
+    # blow up row/col scales
+    R = 10.0 ** rng.uniform(-2, 2, m)
+    C = 10.0 ** rng.uniform(-2, 2, n)
+    A = sp.csc_matrix(np.asarray(base.matrix.todense()) * R[:, None] * C[None, :])
+    model = Model()
+    model.load_problem(
+        A,
+        col_lower=base.col_lower / C, col_upper=base.col_upper / C,
+        objective=base.objective * C,
+        row_lower=np.where(base.row_lower <= -INF, -INF, base.row_lower * R),
+        row_upper=np.where(base.row_upper >= INF, INF, base.row_upper * R),
+    )
+    ref = _linprog(model)
+    o = SolveOptions(method=SolveMethod.PDLP)
+    o.presolve.enabled = False
+    sol = model.initial_solve(o)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert ref.status == 0
+    assert abs(sol.objective_value - ref.fun) < 1e-2 * (1 + abs(ref.fun))
