@@ -181,3 +181,89 @@ def test_batched_ipm_shared_band_plan():
             1 + abs(ref.objective_value)
         )
         assert check_kkt(mod).ok
+
+
+def gub_block_lp(nsets=96, set_size=8, m_extra=160, seed=0):
+    """GUB-structured LP: convexity row per set + dense coupling rows
+    (the reference's testGub problem shape at ~1k rows)."""
+    rng = np.random.default_rng(seed)
+    n = nsets * set_size
+    rows, cols, vals = [], [], []
+    for k in range(nsets):  # GUB rows: sum of each set == 1
+        for t in range(set_size):
+            rows.append(k); cols.append(k * set_size + t); vals.append(1.0)
+    C = sp.random(m_extra, n, density=0.03, random_state=rng,
+                  data_rvs=rng.standard_normal).tocoo()
+    rows += list(nsets + C.row); cols += list(C.col); vals += list(C.data)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(nsets + m_extra, n)).tocsc()
+    x = np.zeros(n)
+    for k in range(nsets):  # interior point of each simplex
+        x[k * set_size: (k + 1) * set_size] = 1.0 / set_size
+    cx = (A @ x)[nsets:]
+    slack = rng.uniform(0.5, 2.0, m_extra)
+    model = Model()
+    model.load_problem(
+        A, np.zeros(n), np.ones(n), rng.standard_normal(n),
+        np.concatenate([np.ones(nsets), cx - slack]),
+        np.concatenate([np.ones(nsets), cx + slack]),
+    )
+    return model
+
+
+def degenerate_transport_lp(ns=256, nd=256, arcs_per=8, seed=0):
+    """Sparse transportation with INTEGRAL supplies/demands — massive
+    primal degeneracy (many basic variables at zero)."""
+    rng = np.random.default_rng(seed)
+    supply = rng.integers(2, 10, ns).astype(float)
+    total = supply.sum()
+    demand = np.zeros(nd)
+    # integral demands summing to the supply total
+    for _ in range(int(total)):
+        demand[rng.integers(nd)] += 1.0
+    ai, aj, av, cost = [], [], [], []
+    v = 0
+    for i in range(ns):
+        sinks = rng.choice(nd, size=arcs_per, replace=False)
+        for j in sinks:
+            ai += [i, ns + j]; aj += [v, v]; av += [1.0, 1.0]
+            cost.append(float(rng.integers(1, 10)))  # integer costs: ties
+            v += 1
+    # guarantee feasibility: one high-cost backstop arc per sink from a
+    # virtual depot column attached to every source row is overkill; use
+    # a dense final source instead
+    for j in range(nd):
+        ai += [ns - 1, ns + j]; aj += [v, v]; av += [1.0, 1.0]
+        cost.append(50.0)
+        v += 1
+    supply[ns - 1] += demand.sum()  # the backstop can cover everything
+    A = sp.coo_matrix((av, (ai, aj)), shape=(ns + nd, v)).tocsc()
+    model = Model()
+    model.load_problem(
+        A, np.zeros(v), np.full(v, 1e30), np.asarray(cost),
+        np.concatenate([-np.full(ns, 1e30), demand]),
+        np.concatenate([supply, demand]),
+    )
+    return model
+
+
+@pytest.mark.parametrize("method", [SolveMethod.DUAL_SIMPLEX, SolveMethod.PRIMAL_SIMPLEX])
+def test_gub_block_tight_tolerance(method):
+    model = gub_block_lp()
+    ref = _linprog(model)
+    assert ref.status == 0
+    sol = model.initial_solve(SolveOptions(method=method))
+    assert sol.status == ProblemStatus.OPTIMAL
+    rel = abs(sol.objective_value - ref.fun) / (1 + abs(ref.fun))
+    assert rel < 1e-8, rel
+    assert check_kkt(model).ok
+
+
+def test_degenerate_transport_tight_tolerance():
+    model = degenerate_transport_lp()
+    ref = _linprog(model)
+    assert ref.status == 0
+    sol = model.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.OPTIMAL
+    rel = abs(sol.objective_value - ref.fun) / (1 + abs(ref.fun))
+    assert rel < 1e-8, rel
+    assert check_kkt(model).ok
