@@ -12,12 +12,14 @@ is the orchestrator's job.
 
 Two matrix backends share the same jitted loop:
   * dense `jnp.ndarray` — MXU matvecs, best when the matrix fits dense;
-  * sparse `jax.experimental.sparse.BCOO` — memory O(nnz) gather/scatter
-    matvecs, unlocking instances whose dense form (or an explicit basis
-    inverse) cannot fit in HBM. This is the framework's answer for
-    beyond-dense-scale sparse LPs, where the reference reaches for its
-    sparse LU (ClpFactorization/CoinAbc) — on TPU the first-order method
-    IS the idiomatic large-sparse path.
+  * sparse ELL (padded rows) — memory O(nnz) matvecs built from GATHER +
+    multiply + row-sum only (no scatter: TPU-safe and vectorizes on the
+    VPU), with a second padded copy for the transpose product. Unlocks
+    instances whose dense form (or an explicit basis inverse) cannot fit
+    in HBM. This is the framework's answer for beyond-dense-scale sparse
+    LPs, where the reference reaches for its sparse LU
+    (ClpFactorization/CoinAbc) — on TPU the first-order method IS the
+    idiomatic large-sparse path.
 
 Ruiz equilibration (a few host-side passes on the scipy matrix) scales the
 problem before the iterations — the PDLP papers' standard preconditioning —
@@ -27,10 +29,57 @@ and the solution is unscaled on the way out.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+class EllMatrix(NamedTuple):
+    """Row-padded sparse matrix with both orientations materialized.
+
+    `val[i, k] * x[idx[i, k]]` summed over k is row i of A @ x; the T
+    fields hold the same matrix padded by columns for A.T @ y. Padding
+    entries carry val 0 / idx 0, contributing nothing. NamedTuple ->
+    automatic pytree, so it traces straight through jit/while_loop.
+    """
+
+    val: jnp.ndarray   # (m, k)
+    idx: jnp.ndarray   # (m, k) int32 column indices
+    valT: jnp.ndarray  # (n, kT)
+    idxT: jnp.ndarray  # (n, kT) int32 row indices
+
+    def __matmul__(self, x):
+        return jnp.sum(self.val * x[self.idx], axis=1)
+
+    @property
+    def T(self) -> "EllMatrix":
+        return EllMatrix(self.valT, self.idxT, self.val, self.idx)
+
+
+def _pad_rows(A_csr):
+    """CSR -> (val, idx) padded to the max row length."""
+    m = A_csr.shape[0]
+    counts = np.diff(A_csr.indptr)
+    k = max(int(counts.max(initial=1)), 1) if counts.size else 1
+    val = np.zeros((m, k))
+    idx = np.zeros((m, k), dtype=np.int32)
+    rows = np.repeat(np.arange(m), counts)
+    pos = np.arange(A_csr.nnz) - np.repeat(A_csr.indptr[:-1], counts)
+    val[rows, pos] = A_csr.data
+    idx[rows, pos] = A_csr.indices
+    return val, idx
+
+
+def ell_from_scipy(A_sp) -> EllMatrix:
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(A_sp)
+    val, idx = _pad_rows(csr)
+    valT, idxT = _pad_rows(csr.T.tocsr())
+    return EllMatrix(jnp.asarray(val), jnp.asarray(idx),
+                     jnp.asarray(valT), jnp.asarray(idxT))
 
 from .constants import INF, ProblemStatus, SecondaryStatus
 from .model import Model, Solution
@@ -168,17 +217,7 @@ def pdlp_solve(model: Model, options: SolveOptions) -> Solution:
     cl = jnp.asarray(np.where(model.col_lower <= -INF, -np.inf, model.col_lower / dc))
     cu = jnp.asarray(np.where(model.col_upper >= INF, np.inf, model.col_upper / dc))
 
-    if use_sparse:
-        from jax.experimental import sparse as jsparse
-
-        coo = As.tocoo()
-        A = jsparse.BCOO(
-            (jnp.asarray(coo.data),
-             jnp.asarray(np.stack([coo.row, coo.col], axis=1))),
-            shape=(m, n),
-        )
-    else:
-        A = jnp.asarray(As.todense())
+    A = ell_from_scipy(As) if use_sparse else jnp.asarray(As.todense())
 
     # first-order methods earn their keep at moderate accuracy; the
     # orchestrator's simplex/IPM finishes when tighter tolerances matter

@@ -960,8 +960,35 @@ int ClpTpu_initialBarrierNoCrossSolve(ClpTpuModel *m) {
   if (PyErr_Occurred()) PyErr_Print();
   return ClpTpu_status(m);
 }
-int ClpTpu_dualWithValuesPass(ClpTpuModel *m, int) { return ClpTpu_dual(m); }
-int ClpTpu_primalWithValuesPass(ClpTpuModel *m, int) { return ClpTpu_primal(m); }
+// ifValuesPass != 0 starts the simplex from the current solution values
+// (reference: Clp_dual/Clp_primal second argument -> ClpSimplex::dual(1))
+static int solve_with_values(Handle *h, const char *method, int ifValuesPass) {
+  if (!ifValuesPass) return solve_with(h, method);
+  Gil gil;
+  PyObject *fn = PyObject_GetAttrString(h->model, method);
+  if (!fn) {
+    report_if_error();
+    return -1;
+  }
+  PyObject *args = PyTuple_New(0);
+  PyObject *kw = Py_BuildValue("{s:i}", "values_pass", ifValuesPass);
+  PyObject *r = (args && kw) ? PyObject_Call(fn, args, kw) : nullptr;
+  Py_DECREF(fn);
+  Py_XDECREF(args);
+  Py_XDECREF(kw);
+  if (!r) {
+    report_if_error();
+    return -1;
+  }
+  Py_DECREF(r);
+  return ClpTpu_status(h);
+}
+int ClpTpu_dualWithValuesPass(ClpTpuModel *m, int v) {
+  return solve_with_values(H(m), "dual", v);
+}
+int ClpTpu_primalWithValuesPass(ClpTpuModel *m, int v) {
+  return solve_with_values(H(m), "primal", v);
+}
 
 void ClpTpu_idiot(ClpTpuModel *m, int tryhard) {
   // run the idiot crash to produce a warm starting point

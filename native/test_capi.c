@@ -42,6 +42,13 @@ int main(void) {
          ClpTpu_numberIterations(m));
   int ok = st == 0 && fabs(ov - 9.0) < 1e-7 && fabs(x[0] - 3.0) < 1e-7 &&
            fabs(x[1] - 1.0) < 1e-7;
+  /* values pass: restart from the solved values, must stay optimal */
+  int stv = ClpTpu_dualWithValuesPass(m, 1);
+  double ovv = ClpTpu_objectiveValue(m);
+  if (stv != 0 || fabs(ovv - 9.0) > 1e-7) {
+    fprintf(stderr, "values pass failed st=%d obj=%f\n", stv, ovv);
+    return 1;
+  }
   ClpTpu_deleteModel(m);
   if (!ok) {
     fprintf(stderr, "WRONG ANSWER\n");
