@@ -272,6 +272,31 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         model.solution = sol
         return sol
 
+    # sanity check (reference: ClpModel data validation + ClpSimplex
+    # sanityCheck — non-finite matrix entries or NaN rim data are
+    # rejected with CLP_BAD_MATRIX/CLP_BAD_BOUNDS, status ERRORS)
+    bad = None
+    if not np.isfinite(model.matrix.data).all():
+        bad = ("CLP_BAD_MATRIX",
+               {"n": int((~np.isfinite(model.matrix.data)).sum())})
+    else:
+        for a in (model.objective, model.col_lower, model.col_upper,
+                  model.row_lower, model.row_upper):
+            if np.isnan(np.asarray(a, dtype=np.float64)).any():
+                bad = ("CLP_BAD_BOUNDS",
+                       {"n": int(np.isnan(np.asarray(a)).sum())})
+                break
+    if bad is not None:
+        from .events import get_handler
+
+        mh = get_handler(model, options)
+        if mh is not None:
+            mh.message(bad[0], **bad[1])
+        sol = Solution(status=ProblemStatus.ERRORS)
+        sol.solve_time = time.time() - t0
+        model.solution = sol
+        return sol
+
     # --- dualize: solve the transposed model and map back (reference:
     # ClpSimplexOther::dualOfModel/restoreFromDual, ClpSimplexOther.cpp:1681)
     if options.dualize:

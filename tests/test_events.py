@@ -94,3 +94,33 @@ def test_save_restore_drops_handler():
         assert m2.message_handler is None
         sol = m2.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
         assert sol.status == ProblemStatus.OPTIMAL
+
+
+def test_sanity_check_rejects_nan_matrix():
+    """Non-finite data is rejected with CLP_BAD_MATRIX / CLP_BAD_BOUNDS
+    and status ERRORS (reference sanityCheck behavior)."""
+    import scipy.sparse as sp
+
+    m = Model()
+    m.load_problem(
+        sp.csc_matrix(np.array([[1.0, np.nan], [1.0, 3.0]])),
+        col_lower=[0, 0], col_upper=[INF, INF], objective=[1.0, 1.0],
+        row_lower=[-INF, -INF], row_upper=[4.0, 6.0],
+    )
+    h = _Capture()
+    m.message_handler = h
+    sol = m.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.ERRORS
+    assert "CLP_BAD_MATRIX" in h.messages_seen
+
+    m2 = Model()
+    m2.load_problem(
+        sp.csc_matrix(np.array([[1.0, 2.0]])),
+        col_lower=[0, np.nan], col_upper=[INF, INF], objective=[1.0, 1.0],
+        row_lower=[-INF], row_upper=[4.0],
+    )
+    h2 = _Capture()
+    m2.message_handler = h2
+    sol2 = m2.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol2.status == ProblemStatus.ERRORS
+    assert "CLP_BAD_BOUNDS" in h2.messages_seen
