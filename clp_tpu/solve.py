@@ -539,10 +539,10 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     # per-phase wall timings
     timings.update(sol.timings or {})
     sol.timings = timings
-    if options.log_level >= 2:
-        from .events import MessageHandler
+    from .events import get_handler
 
-        mh = MessageHandler(log_level=options.log_level)
+    mh = get_handler(model, options)
+    if mh is not None:
         mh.message(6, rows=model.num_rows, cols=model.num_cols, elems=model.num_elements)
         if "presolve" in timings and presolved is not None:
             mh.message(14, drows=model.num_rows - presolved.num_rows,
