@@ -227,3 +227,59 @@ class OsiClpTpuSolverInterface:
     def _need_factorization(self) -> None:
         if getattr(self, "_lu", None) is None:
             raise RuntimeError("call enableFactorization() first")
+
+    def pivot(self, colIn: int, colOut: int, outStatus: int) -> int:
+        """Execute ONE basis change and recompute the basic solution
+        (OsiSimplexInterface::pivot). colIn/colOut index the [A | -I]
+        columns (slack j = ncols + j); outStatus: -1 -> colOut leaves to
+        its lower bound, 1 -> upper. Returns 0 on success, -1 if the new
+        basis is singular (the old basis is kept)."""
+        import scipy.linalg as sla
+
+        self._need_factorization()
+        m, n = self.model.num_rows, self.model.num_cols
+        sol = self.model.solution
+        basics = self._basics
+        k = int(np.flatnonzero(basics == colOut).squeeze()) if colOut in basics else -1
+        if k < 0:
+            raise ValueError(f"colOut {colOut} is not basic")
+        if colIn in basics:
+            raise ValueError(f"colIn {colIn} is already basic")
+        new_basics = basics.copy()
+        new_basics[k] = colIn
+        B = self._G[:, new_basics]
+        try:
+            lu = sla.lu_factor(B)
+            if not np.isfinite(lu[0]).all() or np.any(
+                np.abs(np.diag(lu[0])) < 1e-11
+            ):
+                return -1
+        except Exception:
+            return -1
+        status = np.concatenate([sol.column_status, sol.row_status])
+        status[colIn] = VariableStatus.BASIC
+        status[colOut] = (
+            VariableStatus.AT_UPPER if outStatus > 0 else VariableStatus.AT_LOWER
+        )
+        # nonbasic values at their bounds; basics from B x_B = -N x_N
+        l = np.concatenate([self.model.col_lower, self.model.row_lower])
+        u = np.concatenate([self.model.col_upper, self.model.row_upper])
+        x = np.zeros(n + m)
+        nonbasic = np.setdiff1d(np.arange(n + m), new_basics)
+        at_up = status[nonbasic] == VariableStatus.AT_UPPER
+        x[nonbasic] = np.where(
+            at_up,
+            np.minimum(u[nonbasic], 1e30),
+            np.where(np.abs(l[nonbasic]) < 1e30, l[nonbasic], 0.0),
+        )
+        x[new_basics] = sla.lu_solve(lu, -self._G[:, nonbasic] @ x[nonbasic])
+        sol.column_status = status[:n].astype(np.int8)
+        sol.row_status = status[n:].astype(np.int8)
+        sol.primal = x[:n]
+        sol.row_activity = np.asarray(self.model.matrix @ x[:n])
+        sol.objective_value = float(self.model.objective @ x[:n]) + (
+            self.model.objective_offset
+        )
+        self._basics = new_basics
+        self._lu = lu
+        return 0

@@ -105,3 +105,32 @@ def test_osi_tableau_access():
     import pytest
     with pytest.raises(RuntimeError):
         si.getBInvRow(0)
+
+
+def test_osi_single_pivot():
+    """OsiSimplexInterface::pivot: one basis change, solution recomputed."""
+    si = OsiClpTpuSolverInterface(random_lp(6, 10, seed=32))
+    si.options.presolve.enabled = False
+    si.initialSolve()
+    assert si.isProvenOptimal()
+    obj0 = si.getObjValue()
+    si.enableFactorization()
+    m, n = si.getNumRows(), si.getNumCols()
+    basics = set(int(b) for b in si.getBasics())
+    colOut = min(basics)
+    colIn = next(j for j in range(n + m) if j not in basics)
+    rc = si.pivot(colIn, colOut, -1)
+    if rc == 0:
+        assert colIn in set(int(b) for b in si.getBasics())
+        # consistency: basic values satisfy the equality system
+        x_full = np.concatenate([si.getColSolution(), si.getRowActivity()])
+        A = np.asarray(si.model.matrix.todense())
+        G = np.concatenate([A, -np.eye(m)], axis=1)
+        np.testing.assert_allclose(G @ x_full, np.zeros(m), atol=1e-8)
+        # a pivot away from the optimum cannot improve a minimization
+        assert si.getObjValue() >= obj0 - 1e-7 * (1 + abs(obj0))
+    import pytest
+    nonbasic_now = [j for j in range(n + m)
+                    if j not in set(int(b) for b in si.getBasics())]
+    with pytest.raises(ValueError):  # colOut must be basic
+        si.pivot(nonbasic_now[0], nonbasic_now[1], -1)
