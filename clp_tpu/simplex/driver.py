@@ -295,6 +295,61 @@ def _primal_ray(lp, state: SimplexState, n: int) -> Optional[np.ndarray]:
     return None
 
 
+def _unbounded_certificate_ok(lp, state: SimplexState, tol: float = 1e-7) -> bool:
+    """True iff SOME nonbasic column yields an exact improving ray.
+
+    Candidate selection mirrors _primal_ray, but the basic direction is
+    re-solved in fresh f64 (np.linalg.solve on the basis columns) and the
+    cost improvement is checked against the ORIGINAL costs — immune to
+    dj noise from the engine's running (possibly f32) inverse.
+    """
+    G = np.asarray(lp.G, dtype=np.float64)
+    c = np.asarray(lp.c, dtype=np.float64)
+    l = np.asarray(lp.l)
+    u = np.asarray(lp.u)
+    vstat = np.asarray(state.vstat)
+    dj = np.asarray(state.dj)
+    basis = np.asarray(state.basis)
+    nt = G.shape[1]
+    try:
+        B_lu = None
+        import scipy.linalg as sla
+
+        B_lu = sla.lu_factor(G[:, basis])
+    except Exception:
+        return True  # cannot adjudicate: keep the engine's claim
+    cand = sorted(
+        (
+            (abs(dj[j]), j)
+            for j in range(nt)
+            if vstat[j] != BASIC
+            and l[j] != u[j]
+            and (
+                (vstat[j] == AT_LOWER and dj[j] < -1e-9)
+                or (vstat[j] == AT_UPPER and dj[j] > 1e-9)
+                or (vstat[j] == FREE and abs(dj[j]) > 1e-9)
+            )
+        ),
+        reverse=True,
+    )
+    lb, ub = l[basis], u[basis]
+    cb = c[basis]
+    for _, q in cand[:64]:
+        direction = -1.0 if (vstat[q] == AT_UPPER or (vstat[q] == FREE and dj[q] > 0)) else 1.0
+        if not np.isfinite(u[q] if direction > 0 else l[q]):
+            d = -direction * sla.lu_solve(B_lu, G[:, q])
+            blocked = np.any((d > tol) & np.isfinite(ub)) or np.any(
+                (d < -tol) & np.isfinite(lb)
+            )
+            if blocked:
+                continue
+            cost = direction * c[q] + cb @ d
+            scale = abs(c[q]) + float(np.abs(cb * d).sum()) + 1.0
+            if cost < -tol * scale:
+                return True
+    return False
+
+
 def _fake_bound_mask(lp, state: SimplexState) -> np.ndarray:
     l = np.asarray(lp.l)
     u = np.asarray(lp.u)
@@ -595,6 +650,19 @@ def simplex_solve(
     else:
         state = psolve(lp, state, opts)
         st = int(state.status)
+
+    # an unbounded claim must be backed by an exact certificate: a ray d
+    # with B d_B = -a_q solved in fresh f64 (not the engine's running
+    # inverse), strictly improving cost, and only-infinite bounds in the
+    # movement direction. Big-M cost spreads (e.g. sprint artificials at
+    # 1e5x the column costs) can otherwise push dj noise past the dual
+    # tolerance and fabricate an "unbounded" column; a fabricated claim
+    # funnels into the escalation chain below instead of being reported.
+    if st == engine.DUAL_INFEASIBLE and not _unbounded_certificate_ok(lp, state):
+        state = dataclasses.replace(
+            state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
+        )
+        st = engine.NUMERICAL
 
     # numerical failure: retry once with the other algorithm
     if st in (engine.NUMERICAL, engine.CONTINUE):

@@ -298,7 +298,18 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         return sol
 
     # --- dualize: solve the transposed model and map back (reference:
-    # ClpSimplexOther::dualOfModel/restoreFromDual, ClpSimplexOther.cpp:1681)
+    # ClpSimplexOther::dualOfModel/restoreFromDual, ClpSimplexOther.cpp:1681).
+    # Auto: very tall LPs transpose to wide ones the engines handle better
+    # (per-pivot work scales with the row count; reference tryDualize hint)
+    if (
+        not options.dualize
+        and options.method == SolveMethod.AUTOMATIC
+        and model.num_rows > 6 * model.num_cols
+        and model.num_rows > 2000
+    ):
+        import dataclasses as _dc
+
+        options = _dc.replace(options, dualize=1)
     if options.dualize:
         import dataclasses as _dc
 

@@ -64,7 +64,13 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100,
 
     best: Solution | None = None
     warm_map: Solution | None = None
+    # artificial columns are the same in every pass: carry their statuses
+    # so a warm basis keeps any still-basic artificials (dropping them made
+    # the warm basis singular — wrong-OPTIMAL-with-violations bug)
+    warm_art = np.full(2 * m, int(VariableStatus.AT_LOWER), dtype=np.int8)
     total_iters = 0
+    art_use = np.inf
+    new_cols = np.zeros(0, dtype=np.int64)
 
     for pass_no in range(max_passes):
         if deadline is not None and _time.monotonic() > deadline:
@@ -85,19 +91,20 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100,
         if warm_map is not None and warm_map.column_status is not None:
             warm = Solution(
                 column_status=np.concatenate(
-                    [
-                        warm_map.column_status[idx],
-                        np.full(2 * m, int(VariableStatus.AT_LOWER), dtype=np.int8),
-                    ]
+                    [warm_map.column_status[idx], warm_art]
                 ),
                 row_status=warm_map.row_status,
             )
         sol = simplex_solve(sub, sub_opts, dual=False, warm=warm)
+        if sol.status != ProblemStatus.OPTIMAL and warm is not None:
+            # a degraded warm basis must not end the sprint: retry cold
+            sol = simplex_solve(sub, sub_opts, dual=False, warm=None)
         total_iters += sol.iterations
         if sol.status != ProblemStatus.OPTIMAL:
             break
 
         art_use = float(np.abs(sol.primal[k:]).max(initial=0.0))
+        warm_art = np.asarray(sol.column_status[k:], dtype=np.int8)
 
         # full pricing with sub-LP duals
         y = np.asarray(sol.duals) * sense
@@ -136,7 +143,7 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100,
         warm_map = full
 
         if new_cols.size == 0:
-            if art_use > model.primal_tolerance * (1 + abs(big)):
+            if art_use > 10 * model.primal_tolerance:
                 best.status = ProblemStatus.PRIMAL_INFEASIBLE
             break  # full optimality (or infeasibility) proven
 
@@ -155,6 +162,13 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100,
 
     if best is None:
         best = Solution(status=ProblemStatus.ERRORS)
+    elif best.status == ProblemStatus.OPTIMAL and art_use > 10 * model.primal_tolerance:
+        # artificials still carry row violations: optimality is NOT proven
+        # (loop ended early by pass/time limit or a failed sub-solve)
+        best.status = (
+            ProblemStatus.PRIMAL_INFEASIBLE if new_cols.size == 0
+            else ProblemStatus.STOPPED
+        )
     if best.primal is not None:
         best.objective_value = float(model.objective @ best.primal) + model.objective_offset
         best.row_activity = A @ best.primal

@@ -27,6 +27,7 @@ ALL = [
     "driver2.py",
     "dual_cuts.py",
     "iis.py",
+    "modify.py",
 ]
 
 

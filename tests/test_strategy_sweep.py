@@ -42,3 +42,18 @@ def test_all_strategies_agree(gen, seed):
             sol.objective_value,
             ref.fun,
         )
+
+
+def test_auto_dualize_tall():
+    """AUTOMATIC dualizes very tall LPs (rows >> cols) and maps back."""
+    from clp_tpu.utils.generators import random_lp
+    from tests.test_mps import _linprog
+
+    model = random_lp(2400, 300, seed=6, density=0.02)
+    ref = _linprog(model)
+    assert ref.status == 0
+    sol = model.initial_solve(SolveOptions())  # AUTOMATIC
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    assert sol.primal.size == model.num_cols
+    assert sol.duals.size == model.num_rows
