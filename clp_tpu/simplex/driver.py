@@ -295,6 +295,52 @@ def _primal_ray(lp, state: SimplexState, n: int) -> Optional[np.ndarray]:
     return None
 
 
+def _infeasibility_certificate_ok(lp, state: SimplexState, tol: float = 1e-7) -> bool:
+    """True iff SOME infeasible basic row yields an exact Farkas certificate.
+
+    For Gx = 0, l <= x <= u, a row y of B^-T (signed toward the violated
+    bound) certifies infeasibility iff  sup_{l<=x<=u} y'Gx < 0, i.e. the
+    bound-support sum of z = G'y is strictly negative with no infinite
+    terms. Solved on fresh f64 factors — the engine's running inverse may
+    be f32 and the claim a refinement artifact.
+    """
+    G = np.asarray(lp.G, dtype=np.float64)
+    l = np.asarray(lp.l)
+    u = np.asarray(lp.u)
+    basis = np.asarray(state.basis)
+    xb = np.asarray(state.xb)
+    lb, ub = l[basis], u[basis]
+    below = lb - xb
+    above = xb - ub
+    infeas = np.maximum(np.maximum(below, above), 0.0)
+    if infeas.max(initial=0.0) <= 0:
+        return False
+    try:
+        import scipy.linalg as sla
+
+        B_lu = sla.lu_factor(G[:, basis])
+    except Exception:
+        return True  # cannot adjudicate: keep the engine's claim
+    m = basis.size
+    order = np.argsort(-infeas)[: min(16, m)]
+    for r in order:
+        if infeas[r] <= 0:
+            break
+        sigma = 1.0 if above[r] > below[r] else -1.0
+        e = np.zeros(m)
+        e[int(r)] = 1.0
+        y = sigma * sla.lu_solve(B_lu, e, trans=1)
+        z = y @ G
+        pos, neg = z > tol, z < -tol
+        if np.any(pos & ~np.isfinite(u)) or np.any(neg & ~np.isfinite(l)):
+            continue  # support is +inf: not a certificate
+        sup = float(np.sum(z[pos] * u[pos]) + np.sum(z[neg] * l[neg]))
+        scale = float(np.abs(z[pos] * u[pos]).sum() + np.abs(z[neg] * l[neg]).sum()) + 1.0
+        if sup < -tol * scale:
+            return True
+    return False
+
+
 def _unbounded_certificate_ok(lp, state: SimplexState, tol: float = 1e-7) -> bool:
     """True iff SOME nonbasic column yields an exact improving ray.
 
@@ -659,6 +705,13 @@ def simplex_solve(
     # tolerance and fabricate an "unbounded" column; a fabricated claim
     # funnels into the escalation chain below instead of being reported.
     if st == engine.DUAL_INFEASIBLE and not _unbounded_certificate_ok(lp, state):
+        state = dataclasses.replace(
+            state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
+        )
+        st = engine.NUMERICAL
+    # the symmetric exact check for infeasibility claims (Farkas ray
+    # re-derived on fresh f64 factors, support-function strictly negative)
+    if st == engine.PRIMAL_INFEASIBLE and not _infeasibility_certificate_ok(lp, state):
         state = dataclasses.replace(
             state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
         )
