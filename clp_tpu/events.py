@@ -222,6 +222,20 @@ class MessageHandler:
         print(text, file=self.stream)
 
 
+class CallbackHandler(MessageHandler):
+    """Wraps a callable(message_number, text) — backs the C API's
+    Clp_registerCallBack (reference: Clp_C_Interface.h clp_callback).
+    Sees every message regardless of log level, like the reference's
+    callback path."""
+
+    def __init__(self, fn):
+        super().__init__(log_level=63)
+        self.fn = fn
+
+    def print_message(self, msg, text):
+        self.fn(int(msg.number), text)
+
+
 def get_handler(model=None, options=None):
     """Resolve the active MessageHandler for a solver phase.
 

@@ -15,6 +15,13 @@ extern "C" {
 
 typedef void ClpTpuModel;
 
+/* message callback (reference: Clp_C_Interface.h clp_callback shape; this
+   build delivers the formatted catalog text as the single string part,
+   with no raw double/int parts) */
+typedef void (*clptpu_callback)(ClpTpuModel *model, int messageNumber,
+                                int nDouble, const double *vDouble, int nInt,
+                                const int *vInt, int nString, char **vString);
+
 /* process-wide init/teardown of the embedded runtime (idempotent) */
 int ClpTpu_initialize(void);
 void ClpTpu_finalize(void);
@@ -53,6 +60,17 @@ int ClpTpu_primalColumnSolution(ClpTpuModel *model, double *out, int len);
 int ClpTpu_dualRowSolution(ClpTpuModel *model, double *out, int len);
 int ClpTpu_reducedCosts(ClpTpuModel *model, double *out, int len);
 int ClpTpu_rowActivity(ClpTpuModel *model, double *out, int len);
+/* reference-name aliases */
+int ClpTpu_dualColumnSolution(ClpTpuModel *model, double *out, int len);
+int ClpTpu_primalRowSolution(ClpTpuModel *model, double *out, int len);
+/* message callback registration (Clp_registerCallBack/Clp_clearCallBack) */
+void ClpTpu_registerCallBack(ClpTpuModel *model, clptpu_callback userCallBack);
+void ClpTpu_clearCallBack(ClpTpuModel *model);
+/* quadratic objective: column-compressed upper triangle of Q */
+int ClpTpu_loadQuadraticObjective(ClpTpuModel *model, int numberColumns,
+                                  const long long *start, const int *column,
+                                  const double *element);
+void ClpTpu_setNumberIterations(ClpTpuModel *model, int n);
 
 /* ----------------------------------------------------------------------
  * Full Clp_C_Interface.h surface (function-for-function, Clp_ -> ClpTpu_;

@@ -28,6 +28,7 @@ bool g_we_own_interp = false;
 struct Handle {
   PyObject *model;  // clp_tpu.Model instance
   void *user_pointer = nullptr;
+  clptpu_callback callback = nullptr;  // registerCallBack target
   // handle-owned buffers backing the pointer-returning accessors (the
   // reference returns live internal arrays; an embedded runtime copies —
   // buffers stay valid until the next call on the same handle)
@@ -105,6 +106,8 @@ int copy_out(PyObject *seq_obj, double *out, int len) {
   Py_DECREF(fast);
   return count;
 }
+
+#define H(model) static_cast<Handle *>(model)
 
 int solve_with(Handle *h, const char *method) {
   Gil gil;
@@ -535,6 +538,116 @@ int ClpTpu_reducedCosts(ClpTpuModel *model, double *out, int len) {
 int ClpTpu_rowActivity(ClpTpuModel *model, double *out, int len) {
   return copy_solution_field(model, "primal_row_solution", out, len);
 }
+/* reference-name aliases (Clp_dualColumnSolution / Clp_primalRowSolution) */
+int ClpTpu_dualColumnSolution(ClpTpuModel *model, double *out, int len) {
+  return copy_solution_field(model, "dual_column_solution", out, len);
+}
+int ClpTpu_primalRowSolution(ClpTpuModel *model, double *out, int len) {
+  return copy_solution_field(model, "primal_row_solution", out, len);
+}
+
+/* --- message callback (Clp_registerCallBack / Clp_clearCallBack) --- */
+extern "C" PyObject *clptpu_cb_trampoline(PyObject *self, PyObject *args) {
+  Handle *h = static_cast<Handle *>(PyCapsule_GetPointer(self, "ClpTpuHandle"));
+  int num = 0;
+  const char *text = nullptr;
+  if (!PyArg_ParseTuple(args, "is", &num, &text)) return nullptr;
+  if (h && h->callback) {
+    char *strs[1] = {const_cast<char *>(text)};
+    h->callback(static_cast<ClpTpuModel *>(static_cast<void *>(h)), num, 0,
+                nullptr, 0, nullptr, 1, strs);
+  }
+  Py_RETURN_NONE;
+}
+
+static PyMethodDef g_cb_def = {"_clptpu_callback", clptpu_cb_trampoline,
+                               METH_VARARGS, "C callback trampoline"};
+
+void ClpTpu_registerCallBack(ClpTpuModel *model, clptpu_callback userCallBack) {
+  Handle *h = H(model);
+  Gil gil;
+  h->callback = userCallBack;
+  PyObject *capsule = PyCapsule_New(h, "ClpTpuHandle", nullptr);
+  PyObject *fn = PyCFunction_New(&g_cb_def, capsule);
+  Py_DECREF(capsule);  // fn holds its own reference
+  PyObject *handler_cls = import_attr("clp_tpu.events", "CallbackHandler");
+  PyObject *handler =
+      handler_cls ? PyObject_CallFunctionObjArgs(handler_cls, fn, nullptr)
+                  : nullptr;
+  if (handler) PyObject_SetAttrString(h->model, "message_handler", handler);
+  Py_XDECREF(handler);
+  Py_XDECREF(handler_cls);
+  Py_XDECREF(fn);
+  report_if_error();
+}
+
+void ClpTpu_clearCallBack(ClpTpuModel *model) {
+  Handle *h = H(model);
+  Gil gil;
+  h->callback = nullptr;
+  PyObject_SetAttrString(h->model, "message_handler", Py_None);
+  report_if_error();
+}
+
+/* --- quadratic objective (Clp_loadQuadraticObjective) --- */
+int ClpTpu_loadQuadraticObjective(ClpTpuModel *model, int numberColumns,
+                                  const long long *start, const int *column,
+                                  const double *element) {
+  Handle *h = H(model);
+  Gil gil;
+  long long nnz = start[numberColumns];
+  PyObject *scipy = PyImport_ImportModule("scipy.sparse");
+  if (!scipy) {
+    report_if_error();
+    return 1;
+  }
+  PyObject *csc = PyObject_GetAttrString(scipy, "csc_matrix");
+  Py_DECREF(scipy);
+  PyObject *data = np_array_1d(element, nnz);
+  PyObject *indices = PyList_New(nnz);
+  for (long long i = 0; i < nnz; ++i)
+    PyList_SET_ITEM(indices, i, PyLong_FromLong(column[i]));
+  PyObject *indptr = PyList_New(numberColumns + 1);
+  for (int j = 0; j <= numberColumns; ++j)
+    PyList_SET_ITEM(indptr, j, PyLong_FromLongLong(start[j]));
+  PyObject *triple = PyTuple_Pack(3, data, indices, indptr);
+  PyObject *shape = Py_BuildValue("(ii)", numberColumns, numberColumns);
+  PyObject *args2 = PyTuple_Pack(1, triple);
+  PyObject *kw = Py_BuildValue("{s:O}", "shape", shape);
+  PyObject *Q = PyObject_Call(csc, args2, kw);
+  Py_DECREF(csc);
+  Py_DECREF(data);
+  Py_DECREF(indices);
+  Py_DECREF(indptr);
+  Py_DECREF(triple);
+  Py_DECREF(shape);
+  Py_DECREF(args2);
+  Py_DECREF(kw);
+  if (!Q) {
+    report_if_error();
+    return 1;
+  }
+  PyObject *r = PyObject_CallMethod(h->model, "load_quadratic_objective", "O", Q);
+  Py_DECREF(Q);
+  if (!r) {
+    report_if_error();
+    return 1;
+  }
+  Py_DECREF(r);
+  return 0;
+}
+
+void ClpTpu_setNumberIterations(ClpTpuModel *model, int n) {
+  Gil gil;
+  PyObject *sol = PyObject_GetAttrString(H(model)->model, "solution");
+  if (sol) {
+    PyObject *v = PyLong_FromLong(n);
+    PyObject_SetAttrString(sol, "iterations", v);
+    Py_DECREF(v);
+    Py_DECREF(sol);
+  }
+  report_if_error();
+}
 
 /* ------------------------------------------------------------------ */
 /* Full Clp_C_Interface surface (see header)                           */
@@ -545,7 +658,6 @@ int ClpTpu_VersionMajor(void) { return 0; }
 int ClpTpu_VersionMinor(void) { return 1; }
 int ClpTpu_VersionRelease(void) { return 0; }
 
-#define H(model) static_cast<Handle *>(model)
 
 void ClpTpu_resize(ClpTpuModel *model, int nr, int nc) {
   Gil gil;

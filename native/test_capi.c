@@ -7,6 +7,16 @@
 
 #include "ClpTpu_C_Interface.h"
 
+static int g_callback_count = 0;
+static void my_callback(ClpTpuModel *model, int messageNumber, int nDouble,
+                        const double *vDouble, int nInt, const int *vInt,
+                        int nString, char **vString) {
+  (void)model; (void)nDouble; (void)vDouble; (void)nInt; (void)vInt;
+  g_callback_count++;
+  if (nString > 0 && g_callback_count <= 2)
+    printf("[callback %d] %s\n", messageNumber, vString[0]);
+}
+
 int main(void) {
   if (ClpTpu_initialize() != 0) {
     fprintf(stderr, "init failed\n");
@@ -181,6 +191,56 @@ int main(void) {
   }
   ClpTpu_freeRay(m4, ray);
   ClpTpu_deleteModel(m4);
+
+  /* message callback: must fire during a solve (Clp_registerCallBack) */
+  {
+    ClpTpuModel *m5 = ClpTpu_newModel();
+    long long st5[3] = {0, 2, 4};
+    int ix5[4] = {0, 1, 0, 1};
+    double vv5[4] = {1.0, 1.0, 1.0, 3.0};
+    double cub5[2] = {1e30, 1e30};
+    double rub5[2] = {4.0, 6.0};
+    double obj5[2] = {2.0, 3.0};
+    if (ClpTpu_loadProblem(m5, 2, 2, st5, ix5, vv5, NULL, cub5, obj5, NULL,
+                           rub5) != 0)
+      return 2;
+    ClpTpu_setObjSense(m5, -1.0);
+    ClpTpu_registerCallBack(m5, my_callback);
+    if (ClpTpu_dual(m5) != 0 || g_callback_count == 0) {
+      fprintf(stderr, "callback never fired (count=%d)\n", g_callback_count);
+      return 1;
+    }
+    ClpTpu_clearCallBack(m5);
+    int before = g_callback_count;
+    ClpTpu_dual(m5);
+    if (g_callback_count != before) {
+      fprintf(stderr, "callback fired after clearCallBack\n");
+      return 1;
+    }
+    /* quadratic objective: min -2a-2b+(a^2+b^2)/2 s.t. a+3b<=6 active:
+       KKT gives a=1.8, b=1.4 (lambda=0.2) */
+    ClpTpu_setObjSense(m5, 1.0);
+    double objq[2] = {-2.0, -2.0};
+    ClpTpu_chgObjCoefficients(m5, objq);
+    long long qs[3] = {0, 1, 2};
+    int qc[2] = {0, 1};
+    double qv[2] = {1.0, 1.0};
+    if (ClpTpu_loadQuadraticObjective(m5, 2, qs, qc, qv) != 0) {
+      fprintf(stderr, "loadQuadraticObjective failed\n");
+      return 1;
+    }
+    if (ClpTpu_initialBarrierNoCrossSolve(m5) != 0) {
+      fprintf(stderr, "QP barrier solve failed\n");
+      return 1;
+    }
+    double xq[2];
+    ClpTpu_primalColumnSolution(m5, xq, 2);
+    if (fabs(xq[0] - 1.8) > 1e-4 || fabs(xq[1] - 1.4) > 1e-4) {
+      fprintf(stderr, "QP solution wrong: [%f %f]\n", xq[0], xq[1]);
+      return 1;
+    }
+    ClpTpu_deleteModel(m5);
+  }
 
   printf("C API test OK (extended surface)\n");
   return 0;
