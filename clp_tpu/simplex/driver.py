@@ -581,9 +581,30 @@ def simplex_solve(
         use_pallas = bool(options.use_pallas_price)
 
     price_mode = options.price_mode
+    ell_kc = ell_kr = 0
     if price_mode == "auto":
-        price_mode = "pm1" if (not use_pallas and _pm1_eligible(model)) else "dense"
-    if price_mode == "pm1":
+        if not use_pallas and _pm1_eligible(model):
+            price_mode = "pm1"
+        else:
+            price_mode = "dense"
+            # sparse ELL pricing is a MEMORY escape hatch, not a speed
+            # path: measured on the v5e, gather matvecs run ~14x slower
+            # than the dense MXU contraction at 2048x3584/5% (TPU random
+            # gathers vs contiguous HBM streams). Auto-select it only when
+            # the dense f32 pricing copy of G would not fit alongside the
+            # inverse — slow beats impossible.
+            A = model.matrix
+            dens = A.nnz / max(1, A.shape[0] * A.shape[1])
+            g32_bytes = 4 * m * nt
+            if g32_bytes > 6 << 30 and dens <= 0.02:
+                counts_c = np.diff(A.tocsc().indptr)
+                counts_r = np.diff(A.tocsr().indptr)
+                # +1 for the slack entry in each row; slack cols have 1 nnz
+                ell_kc = (int(max(counts_c.max(initial=1), 1)) + 7) // 8 * 8
+                ell_kr = (int(counts_r.max(initial=0)) + 1 + 7) // 8 * 8
+                if ell_kc <= m // 4 and ell_kr <= nt // 4:
+                    price_mode = "ell"
+    if price_mode in ("pm1", "ell"):
         use_pallas = False  # gathers beat the f32 MXU contraction here
 
     inv_dtype = getattr(options, "inverse_dtype", "auto")
@@ -631,6 +652,8 @@ def simplex_solve(
             primal_pivot=_PRIMAL_PIVOT_MAP.get(options.primal_pivot, "devex"),
             use_pallas_price=use_pallas,
             price_mode=price_mode,
+            price_ell_kc=ell_kc,
+            price_ell_kr=ell_kr,
             inverse_dtype=inv_dtype,
             dual_ratio=dual_ratio,
             pe_psi=getattr(options, "pe_psi", 0.5),

@@ -88,7 +88,17 @@ class SimplexOptions:
     # and the FTRAN column two binv column reads (reference:
     # ClpPlusMinusOneMatrix.hpp, ClpNetworkMatrix.hpp:12-16). The caller must
     # have verified the structure (Model.detect_structure / pm1_indexable).
-    price_mode: str = "dense"  # "dense" | "pm1"
+    price_mode: str = "dense"  # "dense" | "pm1" | "ell"
+    # sparse ELL pricing ("ell" mode): PRICE/flip-flow/PE matvecs run as
+    # gather + multiply + row-sum over row-padded sparse forms of G instead
+    # of dense contractions — HBM traffic O(nnz) instead of O(m*nt), the
+    # dominant per-pivot cost on sparse LPs (reference analogue: the CSC
+    # kernels of ClpPackedMatrix::transposeTimesByRow). The pad widths are
+    # static (chosen by the driver from the host matrix: max nnz per column
+    # / per row, tile-rounded); correctness is unaffected — every nonzero
+    # is represented, padding entries carry value 0 at index 0.
+    price_ell_kc: int = 0  # max nnz per column (0 = mode unavailable)
+    price_ell_kr: int = 0  # max nnz per row
     # dual ratio test. "harris" = two-pass Harris stopping at the first
     # breakpoint window. "bfrt" = long-step bound-flipping ratio test
     # (reference: dualColumn's candidate/flip accounting,
@@ -219,6 +229,48 @@ def _basic_bounds(lp: StandardLP, basis):
 # --------------------------------------------------------------------------
 
 
+def ell_forms(G, kc: int, kr: int, dtype=jnp.float32):
+    """Row-padded sparse forms of G for gather-based matvecs.
+
+    Returns (col_val (nt,kc), col_idx, row_val (m,kr), row_idx): per-COLUMN
+    top-kc entries by |value| (covers every nonzero when kc >= max column
+    nnz — the driver guarantees this from the host matrix) and the same
+    per row. Padding slots carry value 0 at index 0, contributing nothing.
+    Built once per solve with lax.top_k — traced-shape-safe because the
+    pad widths are static.
+    """
+    m, nt = G.shape
+    Gt32 = G.T.astype(dtype)
+    _, cidx = jax.lax.top_k(jnp.abs(Gt32), kc)           # (nt, kc)
+    cval = jnp.take_along_axis(Gt32, cidx, axis=1)
+    cval = jnp.where(cval != 0, cval, 0.0)
+    cidx = jnp.where(cval != 0, cidx, 0).astype(jnp.int32)
+    G32 = G.astype(dtype)
+    _, ridx = jax.lax.top_k(jnp.abs(G32), kr)            # (m, kr)
+    rval = jnp.take_along_axis(G32, ridx, axis=1)
+    rval = jnp.where(rval != 0, rval, 0.0)
+    ridx = jnp.where(rval != 0, ridx, 0).astype(jnp.int32)
+    return cval, cidx, rval, ridx
+
+
+def _ell_price(rho, ell):
+    """alpha = rho @ G: per-column gather of rho + weighted row-sum."""
+    cval, cidx, _, _ = ell
+    return jnp.sum(cval * rho.astype(cval.dtype)[cidx], axis=1)
+
+
+def _ell_col(q, ell, m):
+    """Dense column G[:, q] scattered from the column form."""
+    cval, cidx, _, _ = ell
+    return jnp.zeros((m,), cval.dtype).at[cidx[q]].add(cval[q])
+
+
+def _ell_matvec(x, ell):
+    """G @ x: per-row gather of x + weighted row-sum."""
+    _, _, rval, ridx = ell
+    return jnp.sum(rval * x.astype(rval.dtype)[ridx], axis=1)
+
+
 def pm1_indices(G):
     """Per-column (+1-row, -1-row) indices; m encodes "no such entry".
 
@@ -260,7 +312,7 @@ def _pm1_matvec(delta, pm1, m):
 
 
 def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
-                   G32=None, pm1=None):
+                   G32=None, pm1=None, ell=None):
     """One dual pivot: price row -> BTRAN -> ratio test -> FTRAN -> update.
 
     When opts.use_pallas_price, PRICE + the Harris pass-1 scan run fused in
@@ -304,7 +356,12 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         key = jax.random.fold_in(jax.random.PRNGKey(20210), state.iterations)
         deg = (state.vstat != BASIC) & (jnp.abs(state.dj) <= dtol) & (lp.l != lp.u)
         z = jnp.where(deg, jax.random.rademacher(key, (nt,), G.dtype), 0.0)
-        gz = _pm1_matvec(z, pm1, m) if pm1 is not None else G @ z
+        if pm1 is not None:
+            gz = _pm1_matvec(z, pm1, m)
+        elif ell is not None:
+            gz = _ell_matvec(z, ell)
+        else:
+            gz = G @ z
         v = jnp.matmul(
             state.binv, gz.astype(state.binv.dtype),
             precision=jax.lax.Precision.HIGHEST,
@@ -328,7 +385,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     sgn = jnp.where(at_lo, 1.0, -1.0)
     rel = opts.harris_tolerance_frac * dtol
 
-    if opts.use_pallas_price:
+    if opts.use_pallas_price and ell is None:
         from ..ops.pallas_price import price_and_ratios
 
         cand_dir = (at_lo | at_up) & ~fixed
@@ -348,6 +405,9 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     else:
         if pm1 is not None:
             alpha = _pm1_price(rho, pm1).astype(G.dtype)  # gathers only
+        elif ell is not None:
+            # sparse PRICE: HBM traffic O(nnz) instead of O(m*nt)
+            alpha = _ell_price(rho, ell).astype(G.dtype)
         elif G32 is not None and mixed:
             # HIGHEST: TPU f32 matmuls default to one bf16 MXU pass
             # (~1e-3 error) which would trip the accuracy check every pivot
@@ -425,37 +485,11 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         pivot_mag_ls = jnp.where(window_ls, a32, -jnp.inf)
         q = jnp.where(use_ls, jnp.argmax(pivot_mag_ls), q)
 
-    # --- FTRAN entering column + DSE tau, fused: one read of binv ---
-    if pm1 is not None:
-        abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
-        tau = jnp.matmul(
-            state.binv, rho, precision=jax.lax.Precision.HIGHEST
-        ).astype(G.dtype)
-    else:
-        Gq = (G32 if (G32 is not None and mixed) else G)[:, q]
-        pair = jnp.stack([Gq.astype(state.binv.dtype),
-                          rho.astype(state.binv.dtype)], axis=1)
-        ftran_pair = jnp.matmul(
-            state.binv, pair, precision=jax.lax.Precision.HIGHEST
-        )
-        abar = ftran_pair[:, 0].astype(G.dtype)
-        tau = ftran_pair[:, 1].astype(G.dtype)
-    alpha_rq = alpha[q]
-    abar_r = abar[r]
-    # accuracy cross-check (reference: dual checks alpha vs ftran value).
-    # f32 pricing widens the acceptable discrepancy; the f64 abar_r is the
-    # value actually used for the pivot either way.
-    acc_tol = 2e-4 if (opts.use_pallas_price or mixed) else 1e-8
-    acc_bad = jnp.abs(alpha_rq - abar_r) > acc_tol * (1.0 + jnp.abs(abar_r))
-    # f32 FTRAN values below ~1e-6 relative are noise: treat them as
-    # too-small pivots (forces a fresh f64 factorization instead)
-    piv_floor = max(opts.pivot_tolerance, 1e-6) if mixed else opts.pivot_tolerance
-    piv_small = jnp.abs(abar_r) < piv_floor
-
-    # --- bound flips (ClpSimplexDual flipBounds :6345): candidates whose
-    # ratio falls strictly below the chosen pivot's ratio would go dual
-    # infeasible after the price update — but having BOTH bounds finite they
-    # can jump to the opposite bound instead (dj sign is valid there).
+    # --- bound flips decided FIRST (ClpSimplexDual flipBounds :6345):
+    # candidates whose ratio falls strictly below the chosen pivot's ratio
+    # would go dual infeasible after the price update — but having BOTH
+    # bounds finite they can jump to the opposite bound instead. Deciding
+    # them before the FTRAN lets their flow share its binv contraction.
     theta_q = theta_true[q]
     dual_bound = opts.dual_bound
     vlo = jnp.where(jnp.isfinite(lp.l), lp.l, -dual_bound)
@@ -465,9 +499,14 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     flip = elig & both_fin & (theta_true < theta_q - 1e-12) & (idx != q)
     width = lp.u - lp.l
     flip_delta = jnp.where(flip, jnp.where(at_lo, width, -width), 0.0)
-    # effect of all flips on x_B; most pivots flip nothing, so skip the
-    # two large matvecs then (under vmap this lowers to a select — no loss)
+
+    # --- FTRAN entering column + DSE tau (+ flip flow), fused: ONE read
+    # of binv for all three m^2 contractions ---
     if pm1 is not None:
+        abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
+        tau = jnp.matmul(
+            state.binv, rho, precision=jax.lax.Precision.HIGHEST
+        ).astype(G.dtype)
         flow = jax.lax.cond(
             jnp.any(flip),
             lambda: jnp.matmul(
@@ -478,23 +517,54 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             lambda: jnp.zeros_like(state.xb),
         )
     else:
-        # mixed engine: the m x nt contraction runs against the f32 G copy
-        # (f64 matvecs are VPU-emulated ~12x slower, and BFRT long steps
-        # flip on most pivots); drift is covered by the f64 recompute at
-        # refactorization like every other f32 quantity here
-        Gf = G32 if (G32 is not None and mixed) else G
-        flow = jax.lax.cond(
-            jnp.any(flip),
-            lambda: jnp.matmul(
-                state.binv,
-                jnp.matmul(
+        if ell is not None:
+            # sparse forms: Gq scattered from the column pad, flip flow as
+            # a row-gather matvec — O(nnz) instead of O(m*nt)
+            Gq = _ell_col(q, ell, m)
+            fdelta = jax.lax.cond(
+                jnp.any(flip),
+                lambda: _ell_matvec(flip_delta, ell),
+                lambda: jnp.zeros_like(Gq),
+            )
+        else:
+            Gf = G32 if (G32 is not None and mixed) else G
+            Gq = Gf[:, q]
+            # mixed engine: the m x nt contraction runs against the f32 G
+            # copy (f64 matvecs are VPU-emulated ~12x slower, and BFRT long
+            # steps flip on most pivots); drift is covered by the f64
+            # recompute at refactorization like every other f32 quantity
+            fdelta = jax.lax.cond(
+                jnp.any(flip),
+                lambda: jnp.matmul(
                     Gf, flip_delta.astype(Gf.dtype),
                     precision=jax.lax.Precision.HIGHEST,
-                ).astype(state.binv.dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(G.dtype),
-            lambda: jnp.zeros_like(state.xb),
+                ),
+                lambda: jnp.zeros_like(Gq),
+            )
+        triple = jnp.stack([
+            Gq.astype(state.binv.dtype),
+            rho.astype(state.binv.dtype),
+            fdelta.astype(state.binv.dtype),
+        ], axis=1)
+        ftran3 = jnp.matmul(
+            state.binv, triple, precision=jax.lax.Precision.HIGHEST
         )
+        abar = ftran3[:, 0].astype(G.dtype)
+        tau = ftran3[:, 1].astype(G.dtype)
+        flow = ftran3[:, 2].astype(G.dtype)
+    alpha_rq = alpha[q]
+    abar_r = abar[r]
+    # accuracy cross-check (reference: dual checks alpha vs ftran value).
+    # f32 pricing widens the acceptable discrepancy; the f64 abar_r is the
+    # value actually used for the pivot either way.
+    acc_tol = (
+        2e-4 if (opts.use_pallas_price or mixed or ell is not None) else 1e-8
+    )
+    acc_bad = jnp.abs(alpha_rq - abar_r) > acc_tol * (1.0 + jnp.abs(abar_r))
+    # f32 FTRAN values below ~1e-6 relative are noise: treat them as
+    # too-small pivots (forces a fresh f64 factorization instead)
+    piv_floor = max(opts.pivot_tolerance, 1e-6) if mixed else opts.pivot_tolerance
+    piv_small = jnp.abs(abar_r) < piv_floor
 
     # --- primal step: leaving variable lands on its violated bound,
     # after accounting for the flip flow ---
@@ -941,6 +1011,11 @@ def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
     the +-1 index arrays for multiply-free pricing)."""
     if opts.price_mode == "pm1" and not opts.use_pallas_price:
         return partial(dual_iteration, pm1=pm1_indices(lp.G))
+    if opts.price_mode == "ell" and opts.price_ell_kc > 0:
+        return partial(
+            dual_iteration,
+            ell=ell_forms(lp.G, opts.price_ell_kc, opts.price_ell_kr),
+        )
     if opts.use_pallas_price or opts.inverse_dtype == "float32":
         G32 = lp.G.astype(jnp.float32)
         return partial(dual_iteration, G32=G32)

@@ -365,3 +365,38 @@ def test_values_pass(dual):
     sol2 = model.initial_solve(_no_presolve(method=method, values_pass=1))
     assert sol2.status == ProblemStatus.OPTIMAL
     assert abs(sol2.objective_value - obj) < 1e-7 * (1 + abs(obj))
+
+
+def test_ell_sparse_pricing_matches_dense():
+    """price_mode='ell' (gather-based sparse PRICE, O(nnz) HBM traffic)
+    reaches the same verified optimum as dense pricing."""
+    from clp_tpu.forms import to_standard_form
+    from clp_tpu.simplex import engine
+
+    model = random_lp(96, 160, seed=13, density=0.08)
+    ref = _linprog(model)
+    lp, _ = to_standard_form(model)
+    Gn = np.asarray(lp.G)
+    kc = (int((Gn != 0).sum(axis=0).max()) + 7) // 8 * 8
+    kr = (int((Gn != 0).sum(axis=1).max()) + 7) // 8 * 8
+    objs = {}
+    for mode, kw in (("dense", {}),
+                     ("ell", dict(price_mode="ell", price_ell_kc=kc,
+                                  price_ell_kr=kr))):
+        opts = engine.SimplexOptions(max_iterations=20000, dual_ratio="bfrt",
+                                     **kw)
+        st = engine.initial_state(lp, opts)
+        st = engine.recompute(lp, st, opts.dual_bound)
+        st = engine.make_dual_feasible(lp, st, opts)
+        st = engine.dual_solve(lp, st, opts)
+        assert int(st.status) == engine.OPTIMAL, (mode, int(st.status))
+        l, u = np.asarray(lp.l), np.asarray(lp.u)
+        vstat = np.asarray(st.vstat)
+        x = np.where(vstat == engine.AT_LOWER, np.where(np.isfinite(l), l, 0),
+                     np.where(vstat == engine.AT_UPPER,
+                              np.where(np.isfinite(u), u, 0), 0.0))
+        x[np.asarray(st.basis)] = np.asarray(st.xb)
+        objs[mode] = float(np.asarray(lp.c) @ x)
+    assert ref.status == 0
+    for mode, obj in objs.items():
+        assert abs(obj - ref.fun) < 1e-7 * (1 + abs(ref.fun)), (mode, obj)
