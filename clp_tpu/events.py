@@ -268,14 +268,18 @@ class ProgressDisplay:
     def __init__(self, stream=None, deterministic: bool = False, every: int = 100):
         self.stream = stream or sys.stdout
         self.deterministic = deterministic
-        self.every = every
+        self.every = max(1, every)
         self._t0 = time.time()
         self._printed_header = False
+        self._last = -1
 
     def line(self, phase: str, iteration: int, objective: float,
              pinf: float = 0.0, dinf: float = 0.0) -> None:
-        if iteration % self.every and not self.deterministic:
+        # calls arrive at chunk grain (arbitrary iteration numbers): print
+        # whenever the counter crosses the next multiple of `every`
+        if self._last >= 0 and iteration < self._last + self.every:
             return
+        self._last = iteration
         if not self._printed_header:
             print(self.HEADER, file=self.stream)
             self._printed_header = True

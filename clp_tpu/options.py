@@ -65,6 +65,10 @@ class SolveOptions:
     # PDLP matrix backend: None = auto (sparse BCOO when the matrix is
     # large and sparse), True/False force sparse/dense matvecs
     pdlp_sparse: Optional[bool] = None
+    # progress table (reference -progress/-progressIter): -1 off,
+    # 0 deterministic (no timestamps, diffable), 1 live
+    progress: int = -1
+    progress_iter: int = 100
     # rim scale factors applied for the solve, unscaled on the way out
     # (reference: ClpObjScale/ClpRhsScale dblParams, ClpModel.hpp:1124-1161)
     objective_scale: float = 1.0

@@ -145,8 +145,13 @@ def _psi(cli, v):
 
 
 _reg(Param("psi", "dbl", -0.5, "positive-edge psi threshold (>0 also selects PE pricing)", _psi))
+def _progress(cli, v):
+    cli.options.progress = 0 if float(v) == 0.0 else 1
+    cli.progress_deterministic = float(v) == 0.0
+
+
 _reg(Param("progress", "dbl", 1.0, "progress display: 0 = deterministic table mode",
-           lambda cli, v: setattr(cli, "progress_deterministic", float(v) == 0.0)))
+           _progress))
 
 # ---------------------------------------------------------------------------
 # integer parameters
@@ -168,8 +173,13 @@ _reg(Param("substitution", "int", 3, "presolve substitution level: 0 none / 1 do
 _reg(Param("dualize", "int", 0, "0 off / 1 solve the dualized model and map back", _set_opts("dualize")))
 _reg(Param("slpValue", "int", 0, "SLP passes for nonlinear objectives", _set_opts("slp_passes")))
 _reg(Param("cppGenerate", "int", 0, "generate_python output level (see -genPy FILE action)", _store("cpp"), scope="compat"))
+def _progress_iter(cli, v):
+    cli.options.progress_iter = int(v)
+    cli.progress_every = int(v)
+
+
 _reg(Param("progressIter", "int", 100, "progress line every N iterations",
-           lambda cli, v: setattr(cli, "progress_every", int(v))))
+           _progress_iter))
 _reg(Param("outputFormat", "int", 2, "solution file format 1-6 (1=plain values, 2=indexed)", _set_cli("output_format")))
 _reg(Param("specialOptions", "int", 0, "bitmask behavior switches (compat: stored on the model; "
            "TPU engine switches are explicit options)", _set_model("special_options"), scope="compat"))

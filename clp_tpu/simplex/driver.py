@@ -551,13 +551,22 @@ def simplex_solve(
         if mh is not None:
             mh.message(name, **kw)
 
-    # chunked host loop when wall-clock limits or live progress are wanted
-    use_chunked = options.max_seconds is not None or options.log_level >= 3
+    # chunked host loop when wall-clock limits or a progress table are
+    # wanted (reference -progress/-progressIter; log level >= 3 implies a
+    # live table at every chunk)
+    prog_mode = getattr(options, "progress", -1)
+    if options.log_level >= 3 and prog_mode < 0:
+        prog_mode = 1
+    use_chunked = options.max_seconds is not None or prog_mode >= 0
     progress = None
-    if options.log_level >= 3:
+    if prog_mode >= 0:
         from ..events import ProgressDisplay
 
-        disp = ProgressDisplay(every=1)
+        disp = ProgressDisplay(
+            deterministic=prog_mode == 0,
+            every=1 if options.log_level >= 3
+            else getattr(options, "progress_iter", 100) or 100,
+        )
         phase = "dual" if dual else "primal"
         progress = lambda it, obj: disp.line(phase, it, obj)  # noqa: E731
 
