@@ -191,6 +191,15 @@ def main():
 
     import clp_tpu  # noqa: F401  (x64 on)
 
+    # persistent compilation cache: the driver re-runs this bench every
+    # round with identical shapes — cached executables skip the multi-minute
+    # tunnel compiles after the first round
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     simplex = bench_dual_simplex(jax, jnp)
     ipm = bench_batched_ipm(jax, jnp)
     try:
