@@ -35,7 +35,7 @@ actions:
   -pdlp                       first-order PDHG solver
   -solve | -either            automatic method choice
   -import FILE                read MPS (gzip ok); .lp read as LP format
-  -export FILE                write model as MPS
+  -export FILE                write model as MPS (.lp -> LP format)
   -basisI FILE                read starting basis
   -basisO FILE                write final basis
   -printsol                   print nonzero primal solution values
@@ -462,7 +462,12 @@ class CLI:
                     return rc
             elif al == "export":
                 fn, i = self._take_file(args, i, "export")
-                self.model.write_mps(fn)
+                if fn.endswith(".lp"):
+                    from .io.lp_format import write_lp
+
+                    write_lp(self.model, fn)
+                else:
+                    self.model.write_mps(fn)
                 self.log(f"Model written to {fn}")
             elif al in ("basisi", "basisin"):
                 fn, i = self._take_file(args, i, "basis")
