@@ -189,16 +189,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import clp_tpu  # noqa: F401  (x64 on)
-
-    # persistent compilation cache: the driver re-runs this bench every
-    # round with identical shapes — cached executables skip the multi-minute
-    # tunnel compiles after the first round
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    import clp_tpu  # noqa: F401  (x64 on; CLPTPU_COMPILE_CACHE honored there
+    # — measured: the cache does NOT help through the axon tunnel, compiles
+    # happen server-side)
 
     simplex = bench_dual_simplex(jax, jnp)
     ipm = bench_batched_ipm(jax, jnp)
