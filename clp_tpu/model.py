@@ -148,7 +148,10 @@ class Model:
         self.row_lower = _as_f64(row_lower, m, -INF)
         self.row_upper = _as_f64(row_upper, m, INF)
         if row_objective is not None:
-            raise NotImplementedError("row objective not supported")
+            # reference rowObjective_ (ClpModel.hpp loadProblem overloads):
+            # r'(Ax) folds exactly into the column objective as (A'r)'x
+            r = _as_f64(row_objective, m, 0.0)
+            self.objective = self.objective + np.asarray(A.T @ r)
         self.solution = Solution()
         return self
 

@@ -400,3 +400,21 @@ def test_ell_sparse_pricing_matches_dense():
     assert ref.status == 0
     for mode, obj in objs.items():
         assert abs(obj - ref.fun) < 1e-7 * (1 + abs(ref.fun)), (mode, obj)
+
+
+def test_row_objective_folds():
+    """rowObjective (ClpModel loadProblem overload): r'(Ax) == (A'r)'x."""
+    import scipy.sparse as sp
+
+    A = sp.csc_matrix(np.array([[1.0, 1.0], [1.0, 3.0]]))
+    m = Model()
+    m.load_problem(A, col_lower=[0, 0], col_upper=[INF, INF],
+                   objective=[2.0, 3.0], row_lower=[-INF, -INF],
+                   row_upper=[4.0, 6.0], row_objective=[1.0, -1.0])
+    # folded objective: c + A'r = [2+1-1, 3+1-3] = [2, 1]
+    np.testing.assert_allclose(m.objective, [2.0, 1.0])
+    m.set_maximize()
+    sol = m.initial_solve(_no_presolve(method=SolveMethod.DUAL_SIMPLEX))
+    assert sol.status == ProblemStatus.OPTIMAL
+    # max 2a+b s.t. a+b<=4, a+3b<=6: optimum at a=4,b=0 -> 8
+    assert abs(sol.objective_value - 8.0) < 1e-9
