@@ -65,6 +65,10 @@ class SolveOptions:
     # PDLP matrix backend: None = auto (sparse BCOO when the matrix is
     # large and sparse), True/False force sparse/dense matvecs
     pdlp_sparse: Optional[bool] = None
+    # fused Pallas FTRAN + rank-1 update kernel (mixed engine; see
+    # ops/pallas_pivot.py) — hardware-validated, per-pivot parity with the
+    # XLA path on v5e, so opt-in
+    use_pallas_pivot: bool = False
     # progress table (reference -progress/-progressIter): -1 off,
     # 0 deterministic (no timestamps, diffable), 1 live
     progress: int = -1

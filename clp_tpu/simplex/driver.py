@@ -660,6 +660,12 @@ def simplex_solve(
             dual_pivot=_DUAL_PIVOT_MAP.get(options.dual_pivot, "steepest"),
             primal_pivot=_PRIMAL_PIVOT_MAP.get(options.primal_pivot, "devex"),
             use_pallas_price=use_pallas,
+            # fused FTRAN+update kernel: hardware-validated (2048x3584
+            # verified optimal) but measured at per-pivot parity with the
+            # XLA path on the v5e — the binv write dominates either way and
+            # the (bm, m) x (m, 3) matmul underfills the MXU. Off unless
+            # the user opts in; revisit on hardware with higher HBM ratios.
+            use_pallas_pivot=getattr(options, "use_pallas_pivot", False),
             price_mode=price_mode,
             price_ell_kc=ell_kc,
             price_ell_kr=ell_kr,

@@ -73,6 +73,10 @@ class SimplexOptions:
     # netlib scale; the CPU/test path uses the plain f64 contraction.
     use_pallas_price: bool = False
     price_block_n: int = 512
+    # fused FTRAN + rank-1 inverse update Pallas kernel (mixed engine only):
+    # one read + one write of binv per pivot instead of three passes
+    # (ops/pallas_pivot.py). Off by default; the driver turns it on on TPU.
+    use_pallas_pivot: bool = False
     # basis-inverse storage/update dtype for the pivot loop. "float32" turns
     # on the mixed-precision engine: refactorization, x_B/y/dj recomputation
     # and claim verification stay f64 (every refactor_frequency pivots), but
@@ -502,6 +506,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     # --- FTRAN entering column + DSE tau (+ flip flow), fused: ONE read
     # of binv for all three m^2 contractions ---
+    binv_fused = None  # set when the fused Pallas pivot kernel ran
     if pm1 is not None:
         abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
         tau = jnp.matmul(
@@ -546,14 +551,47 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             rho.astype(state.binv.dtype),
             fdelta.astype(state.binv.dtype),
         ], axis=1)
-        ftran3 = jnp.matmul(
-            state.binv, triple, precision=jax.lax.Precision.HIGHEST
-        )
-        abar = ftran3[:, 0].astype(G.dtype)
-        tau = ftran3[:, 1].astype(G.dtype)
-        flow = ftran3[:, 2].astype(G.dtype)
+        if (
+            opts.use_pallas_pivot
+            and mixed
+            and state.binv.dtype == jnp.float32
+        ):
+            # fused kernel: the 3-column FTRAN AND the rank-1 update in a
+            # single pass over binv. The pivot element comes from the
+            # consistent scalar rho . g_q (arithmetically row r of the same
+            # contraction); the pivot gate is decided BEFORE the kernel so
+            # a rejected pivot writes binv back unchanged.
+            from ..ops.pallas_pivot import fused_pivot_update
+
+            rho32 = rho.astype(jnp.float32)
+            abar_r32 = jnp.dot(
+                rho32, triple[:, 0], precision=jax.lax.Precision.HIGHEST
+            )
+            abar_r_f = abar_r32.astype(G.dtype)
+            acc_bad_f = jnp.abs(alpha[q] - abar_r_f) > 2e-4 * (
+                1.0 + jnp.abs(abar_r_f)
+            )
+            piv_small_f = jnp.abs(abar_r_f) < max(opts.pivot_tolerance, 1e-6)
+            gate = (
+                any_infeas & any_elig & ~acc_bad_f & ~piv_small_f
+            ).astype(jnp.float32)
+            binv_fused, res = fused_pivot_update(
+                state.binv, triple, rho32, abar_r32, gate,
+                r.astype(jnp.int32),
+                interpret=jax.default_backend() != "tpu",
+            )
+            abar = res[:, 0].astype(G.dtype)
+            tau = res[:, 1].astype(G.dtype)
+            flow = res[:, 2].astype(G.dtype)
+        else:
+            ftran3 = jnp.matmul(
+                state.binv, triple, precision=jax.lax.Precision.HIGHEST
+            )
+            abar = ftran3[:, 0].astype(G.dtype)
+            tau = ftran3[:, 1].astype(G.dtype)
+            flow = ftran3[:, 2].astype(G.dtype)
     alpha_rq = alpha[q]
-    abar_r = abar[r]
+    abar_r = abar[r] if binv_fused is None else abar_r_f
     # accuracy cross-check (reference: dual checks alpha vs ftran value).
     # f32 pricing widens the acceptable discrepancy; the f64 abar_r is the
     # value actually used for the pivot either way.
@@ -589,12 +627,16 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     w_new = jnp.maximum(w_new, 1e-8)
     w_new = w_new.at[r].set(jnp.maximum(wr / (abar_r * abar_r), 1e-8))
 
-    # --- basis inverse product-form update (binv's own dtype) ---
-    factor = abar / abar_r
-    factor = factor.at[r].set(1.0 - 1.0 / abar_r)
-    binv_new = state.binv - jnp.outer(
-        factor.astype(state.binv.dtype), state.binv[r, :]
-    )
+    # --- basis inverse product-form update (binv's own dtype); the fused
+    # Pallas kernel already wrote it (gated) in the same pass as the FTRAN
+    if binv_fused is None:
+        factor = abar / abar_r
+        factor = factor.at[r].set(1.0 - 1.0 / abar_r)
+        binv_new = state.binv - jnp.outer(
+            factor.astype(state.binv.dtype), state.binv[r, :]
+        )
+    else:
+        binv_new = binv_fused
 
     # --- basic solution update ---
     xb_new = state.xb - delta_q * abar - flow
@@ -623,7 +665,11 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     new_state = SimplexState(
         basis=jnp.where(do_pivot, basis_new, state.basis),
         vstat=jnp.where(do_pivot, vstat_new, state.vstat),
-        binv=jnp.where(do_pivot, binv_new, state.binv),
+        binv=(
+            binv_new  # kernel output is already pivot-gated
+            if binv_fused is not None
+            else jnp.where(do_pivot, binv_new, state.binv)
+        ),
         xb=jnp.where(do_pivot, xb_new, state.xb),
         dj=jnp.where(do_pivot, dj_new, state.dj),
         y=state.y,  # refreshed at refactorization

@@ -64,3 +64,66 @@ def test_dual_engine_with_pallas_price_matches_plain():
         return float(jnp.take(lp.c, st.basis) @ st.xb + lp.c @ xn)
 
     assert abs(obj(s0) - obj(s1)) <= 1e-7 * (1 + abs(obj(s0)))
+
+
+def test_fused_pivot_update_matches_reference():
+    """ops/pallas_pivot: one-pass FTRAN+tau+flow+rank-1 update == the
+    separate XLA ops (interpret mode; hardware-validated separately)."""
+    import jax.numpy as jnp
+    from clp_tpu.ops.pallas_pivot import fused_pivot_update
+
+    rng = np.random.default_rng(3)
+    m = 96
+    binv = jnp.asarray(rng.standard_normal((m, m)), jnp.float32)
+    gq = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    fd = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    r = 41
+    rho = binv[r, :]
+    triple = jnp.stack([gq, rho, fd], axis=1)
+    abar = binv @ gq
+    abar_r = rho @ gq
+    bn, res = fused_pivot_update(binv, triple, rho, abar_r,
+                                 jnp.asarray(1.0), jnp.asarray(r),
+                                 interpret=True)
+    factor = abar / abar_r
+    factor = factor.at[r].set(1.0 - 1.0 / abar_r)
+    bref = binv - jnp.outer(factor, rho)
+    assert float(jnp.abs(bn - bref).max()) < 1e-5
+    assert float(jnp.abs(res[:, 0] - abar).max()) < 1e-5
+    assert float(jnp.abs(res[:, 1] - binv @ rho).max()) < 1e-5
+    assert float(jnp.abs(res[:, 2] - binv @ fd).max()) < 1e-5
+    # gate 0: binv passes through bit-exact
+    bn0, _ = fused_pivot_update(binv, triple, rho, abar_r,
+                                jnp.asarray(0.0), jnp.asarray(r),
+                                interpret=True)
+    assert float(jnp.abs(bn0 - binv).max()) == 0.0
+
+
+def test_fused_pivot_in_engine():
+    """use_pallas_pivot=True reaches the same optimum as the plain path."""
+    from clp_tpu.forms import to_standard_form
+    from clp_tpu.simplex import engine
+    from clp_tpu.utils.generators import random_lp
+    from tests.test_mps import _linprog
+
+    model = random_lp(64, 96, seed=9, density=0.15)
+    ref = _linprog(model)
+    lp, _ = to_standard_form(model)
+    opts = engine.SimplexOptions(
+        max_iterations=10000, inverse_dtype="float32",
+        refactor_frequency=50, dual_ratio="bfrt", use_pallas_pivot=True,
+    )
+    st = engine.initial_state(lp, opts)
+    st = engine.recompute(lp, st, opts.dual_bound)
+    st = engine.make_dual_feasible(lp, st, opts)
+    st = engine.dual_solve(lp, st, opts)
+    assert int(st.status) == engine.OPTIMAL
+    l, u = np.asarray(lp.l), np.asarray(lp.u)
+    vstat = np.asarray(st.vstat)
+    x = np.where(vstat == engine.AT_LOWER, np.where(np.isfinite(l), l, 0),
+                 np.where(vstat == engine.AT_UPPER,
+                          np.where(np.isfinite(u), u, 0), 0.0))
+    x[np.asarray(st.basis)] = np.asarray(st.xb)
+    obj = float(np.asarray(lp.c) @ x)
+    assert ref.status == 0
+    assert abs(obj - ref.fun) < 1e-6 * (1 + abs(ref.fun))
