@@ -496,6 +496,23 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         from .pdlp import pdlp_solve
 
         sol = pdlp_solve(work, options)
+        # first-order solutions are moderate-accuracy by design; polish to
+        # simplex accuracy with a values-pass dual solve (the crossover
+        # analogue of barrier+crossover) whenever the dense engine can hold
+        # the problem — beyond that scale the PDHG tolerance stands
+        if (
+            options.crossover
+            and sol.status == ProblemStatus.OPTIMAL
+            and 4 * work.num_rows * (work.num_rows + work.num_cols) <= 4 << 30
+        ):
+            polish = _solve_simplex(
+                work, options, dual=True,
+                warm=Solution(primal=sol.primal.copy(),
+                              row_activity=None if sol.row_activity is None
+                              else np.asarray(sol.row_activity).copy()),
+            )
+            if polish.status == ProblemStatus.OPTIMAL:
+                sol = polish
     elif method == SolveMethod.NETWORK:
         from .network import network_form, solve_network
 

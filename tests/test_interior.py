@@ -275,3 +275,22 @@ def test_pdlp_badly_scaled_lp():
     assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
     assert ref.status == 0
     assert abs(sol.objective_value - ref.fun) < 1e-2 * (1 + abs(ref.fun))
+
+
+def test_pdlp_polish_to_simplex_accuracy():
+    """PDLP + values-pass dual polish reaches 1e-8 agreement (the
+    barrier+crossover analogue for the first-order path)."""
+    from clp_tpu import SolveOptions, SolveMethod
+
+    model = random_lp(30, 50, seed=21)
+    ref = _linprog(model)
+    o = SolveOptions(method=SolveMethod.PDLP, crossover=True)
+    o.presolve.enabled = False
+    sol = model.initial_solve(o)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-8 * (1 + abs(ref.fun))
+    # without polish: moderate accuracy only is promised
+    o2 = SolveOptions(method=SolveMethod.PDLP, crossover=False)
+    o2.presolve.enabled = False
+    s2 = model.copy().initial_solve(o2)
+    assert abs(s2.objective_value - ref.fun) < 1e-2 * (1 + abs(ref.fun))
