@@ -57,5 +57,6 @@ from .io.mps import read_mps, write_mps  # noqa: E402,F401
 from .io.lp_format import read_lp, write_lp  # noqa: E402,F401
 from .validate import check_kkt, check_objective  # noqa: E402,F401
 from .solve import initial_solve, solve_batch  # noqa: E402,F401
+from .analysis import ranging, parametrics, dualize, find_iis  # noqa: E402,F401
 
 __version__ = "0.1.0"
