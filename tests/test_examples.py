@@ -28,6 +28,7 @@ ALL = [
     "dual_cuts.py",
     "iis.py",
     "modify.py",
+    "markowitz_frontier.py",
 ]
 
 
