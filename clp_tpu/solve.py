@@ -476,6 +476,22 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             # (reference: ClpSolve.cpp:3585-3786 values-pass cleanup);
             # dual finish — the IPM's duals are near-feasible
             sol = _solve_simplex(work, options, dual=True, warm=sol)
+        elif (
+            sol.status == ProblemStatus.STOPPED
+            and sol.secondary_status == SecondaryStatus.FAILED_TO_CONVERGE
+            and work.quadratic_objective is None
+        ):
+            # the raw IPM cannot certify infeasible/unbounded; when it
+            # fails to converge, adjudicate the STATUS with the simplex
+            # (reference: initialSolve falls back to a cleanup solve on
+            # barrier failure regardless of crossover settings)
+            adj = _solve_simplex(work, options, dual=True)
+            if adj.status in (
+                ProblemStatus.OPTIMAL,
+                ProblemStatus.PRIMAL_INFEASIBLE,
+                ProblemStatus.DUAL_INFEASIBLE,
+            ):
+                sol = adj
     elif (
         work.quadratic_objective is not None
         and method in (SolveMethod.DUAL_SIMPLEX, SolveMethod.PRIMAL_SIMPLEX,

@@ -30,6 +30,7 @@ for seed in (2, 10, 11):  # seeds that historically caught bugs
 for seed in (0, 3):
     CASES.append(("tall", seed))
     CASES.append(("tight", seed))
+    CASES.append(("unbounded", seed))
 
 
 def _build(kind, seed):
@@ -40,6 +41,19 @@ def _build(kind, seed):
         return m
     if kind == "tall":
         return random_lp(20, 9, seed=seed, density=0.4)
+    if kind == "unbounded":
+        # append column -A[:,0]: moving (x_0, x_new) together is a ray with
+        # cost -1 per unit -> certified unbounded (exercises the exact
+        # primal-ray certificate path)
+        import scipy.sparse as sp
+
+        m = random_lp(15, 12, seed=200 + seed, density=0.4)
+        a0 = np.asarray(m.matrix.todense())[:, 0:1]
+        m.col_upper = m.col_upper.copy()
+        m.col_upper[0] = INF
+        m.add_columns(sp.csc_matrix(-a0), lower=[0.0], upper=[INF],
+                      objective=[-float(m.objective[0]) - 1.0])
+        return m
     # "tight": likely infeasible
     m = random_lp(12, 10, seed=seed, density=0.5)
     r = np.random.default_rng(7000 + seed)
