@@ -536,6 +536,20 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             )
             if polish.status == ProblemStatus.OPTIMAL:
                 sol = polish
+        elif (
+            sol.status == ProblemStatus.STOPPED
+            and sol.secondary_status == SecondaryStatus.FAILED_TO_CONVERGE
+            and 4 * work.num_rows * (work.num_rows + work.num_cols) <= 4 << 30
+        ):
+            # PDHG cannot certify infeasible/unbounded: adjudicate the
+            # status with the simplex when the dense engine fits
+            adj = _solve_simplex(work, options, dual=True)
+            if adj.status in (
+                ProblemStatus.OPTIMAL,
+                ProblemStatus.PRIMAL_INFEASIBLE,
+                ProblemStatus.DUAL_INFEASIBLE,
+            ):
+                sol = adj
     elif method == SolveMethod.NETWORK:
         from .network import network_form, solve_network
 

@@ -294,3 +294,24 @@ def test_pdlp_polish_to_simplex_accuracy():
     o2.presolve.enabled = False
     s2 = model.copy().initial_solve(o2)
     assert abs(s2.objective_value - ref.fun) < 1e-2 * (1 + abs(ref.fun))
+
+
+def test_pdlp_classifies_infeasible_and_unbounded():
+    """PDHG cannot certify infeasibility/unboundedness; the simplex
+    adjudication on FAILED_TO_CONVERGE must classify both."""
+    import scipy.sparse as sp
+    from clp_tpu import SolveOptions, SolveMethod, INF
+    from clp_tpu.utils.generators import infeasible_lp
+
+    o = SolveOptions(method=SolveMethod.PDLP)
+    o.presolve.enabled = False
+    s = infeasible_lp().initial_solve(o)
+    assert s.status == clp_tpu.ProblemStatus.PRIMAL_INFEASIBLE
+
+    m = random_lp(15, 12, seed=203, density=0.4)
+    a0 = np.asarray(m.matrix.todense())[:, 0:1]
+    m.col_upper = m.col_upper.copy(); m.col_upper[0] = INF
+    m.add_columns(sp.csc_matrix(-a0), lower=[0.0], upper=[INF],
+                  objective=[-float(m.objective[0]) - 1.0])
+    s2 = m.initial_solve(o)
+    assert s2.status == clp_tpu.ProblemStatus.DUAL_INFEASIBLE
