@@ -409,6 +409,14 @@ def _at_fake_bound(lp, state: SimplexState, dual_bound: float) -> bool:
     return bool(np.any(_fake_bound_mask(lp, state)))
 
 
+def _pressed_fake(lp, state: SimplexState, dual_tol: float) -> bool:
+    """A fake-bound nonbasic with a real escape direction (nonzero dj):
+    the dangerous case — the 'optimum' leans on the fake bound. Degenerate
+    parks (dj ~ 0) are harmless and stay."""
+    mask = _fake_bound_mask(lp, state)
+    return bool(np.any(mask & (np.abs(np.asarray(state.dj)) > 10 * dual_tol)))
+
+
 def _demote_fakes_to_free(lp, state: SimplexState) -> SimplexState:
     """Park fake-bound nonbasics at value 0 as FREE.
 
@@ -734,6 +742,26 @@ def simplex_solve(
     else:
         state = psolve(lp, state, opts)
         st = int(state.status)
+        attempts = 0
+        while (
+            st == engine.OPTIMAL
+            and _pressed_fake(lp, state, model.dual_tolerance)
+            and attempts < 3
+        ):
+            # the primal engine parks infinite-bound entries at the fake
+            # bound magnitude too: an "optimum" leaning on a fake bound is
+            # not an optimum (sprint sub-LPs hit this on unbounded
+            # restrictions — claimed OPTIMAL at objective ~ -dual_bound).
+            # Demote the fakes to FREE and continue on true bounds; a real
+            # ray then surfaces as DUAL_INFEASIBLE. Loop: the re-solve can
+            # park ANOTHER infinite-bound variable the same way.
+            attempts += 1
+            state = _demote_fakes_to_free(lp, state)
+            state = dataclasses.replace(
+                state, status=jnp.asarray(engine.CONTINUE, jnp.int32)
+            )
+            state = psolve(lp, state, opts)
+            st = int(state.status)
 
     # an unbounded claim must be backed by an exact certificate: a ray d
     # with B d_B = -a_q solved in fresh f64 (not the engine's running
@@ -809,6 +837,38 @@ def simplex_solve(
             state3 = psolve(lp, state3, opts)
             if int(state3.status) in (engine.OPTIMAL, engine.DUAL_INFEASIBLE):
                 state, st = state3, int(state3.status)
+
+    # final guard: NO path may report an OPTIMAL that leans on a fake
+    # bound (a nonbasic parked at +-dualBound on an infinite bound). The
+    # escalation retries above (algorithm switch / f64 / perturbation)
+    # accept their result directly, so re-apply the demote-to-free finish
+    # here; a genuine ray surfaces as DUAL_INFEASIBLE.
+    attempts = 0
+    while (
+        st == engine.OPTIMAL
+        and _pressed_fake(lp, state, model.dual_tolerance)
+        and attempts < 3
+    ):
+        attempts += 1
+        state = _demote_fakes_to_free(lp, state)
+        state = dataclasses.replace(
+            state, status=jnp.asarray(engine.CONTINUE, jnp.int32)
+        )
+        state = psolve(lp, state, opts)
+        st = int(state.status)
+        # this re-solve runs AFTER the certificate checks above: any claim
+        # it produces must be certified here too (an uncertified ray from
+        # big-M dj noise must not escape as DUAL_INFEASIBLE)
+        if st == engine.DUAL_INFEASIBLE and not _unbounded_certificate_ok(lp, state):
+            state = dataclasses.replace(
+                state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
+            )
+            st = engine.NUMERICAL
+        if st == engine.PRIMAL_INFEASIBLE and not _infeasibility_certificate_ok(lp, state):
+            state = dataclasses.replace(
+                state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
+            )
+            st = engine.NUMERICAL
 
     sol = _extract(model, lp, state, opts, st)
     if st == engine.OPTIMAL:

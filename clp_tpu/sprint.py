@@ -101,6 +101,12 @@ def sprint_solve(model: Model, options: SolveOptions, max_passes: int = 100,
             sol = simplex_solve(sub, sub_opts, dual=False, warm=None)
         total_iters += sol.iterations
         if sol.status != ProblemStatus.OPTIMAL:
+            if sol.status == ProblemStatus.DUAL_INFEASIBLE:
+                # an improving ray of the column restriction is a ray of
+                # the full problem (inactive columns sit at their bounds):
+                # unboundedness is proven, not a failure
+                best = Solution(status=ProblemStatus.DUAL_INFEASIBLE,
+                                iterations=total_iters)
             break
 
         art_use = float(np.abs(sol.primal[k:]).max(initial=0.0))

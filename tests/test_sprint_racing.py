@@ -46,3 +46,23 @@ def test_racing_infeasible():
     model = infeasible_lp()
     sol = racing_solve(model)
     assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
+
+
+def test_sprint_unbounded_classified():
+    """An unbounded wide LP must be classified DUAL_INFEASIBLE by sprint,
+    not claimed OPTIMAL at the fake-bound magnitude (regression: the
+    escalation retry accepted an optimum leaning on a fake bound)."""
+    import scipy.sparse as sp
+    from clp_tpu import INF
+    from clp_tpu.sprint import sprint_solve
+
+    m = random_lp(12, 600, seed=5, density=0.1)
+    a0 = np.asarray(m.matrix.todense())[:, 0:1]
+    m.col_upper = m.col_upper.copy()
+    m.col_upper[0] = INF
+    m.add_columns(sp.csc_matrix(-a0), lower=[0.0], upper=[INF],
+                  objective=[-float(m.objective[0]) - 1.0])
+    o = SolveOptions()
+    o.presolve.enabled = False
+    s = sprint_solve(m, o)
+    assert s.status == ProblemStatus.DUAL_INFEASIBLE
