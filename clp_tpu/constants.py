@@ -60,6 +60,10 @@ class SecondaryStatus(enum.IntEnum):
     STOPPED_ON_TIME = 9
     STOPPED_PRIMAL_FEASIBLE = 10
     INFEAS_OR_UNBOUNDED_IN_PRESOLVE = 11
+    # TPU-build extension (no reference analogue): the solution is OPTIMAL
+    # only to a first-order tolerance (>= ~1e-4, PDHG) — NOT simplex 1e-7
+    # accuracy. Cleared when a sprint/crunch polish verifies full KKT.
+    REDUCED_ACCURACY = 12
 
 
 class VariableStatus(enum.IntEnum):

@@ -81,6 +81,120 @@ def stack_models_simplex(models: Sequence[Model]) -> tuple[StandardLP, list]:
     return batched, infos
 
 
+@partial(jax.jit, static_argnames=("o",))
+def _bprep(lp, st, o):
+    def one(lp1, st1):
+        st1 = engine_mod().recompute(lp1, st1, o.dual_bound)
+        return engine_mod().make_dual_feasible(lp1, st1, o)
+
+    return jax.vmap(one)(lp, st)
+
+
+@partial(jax.jit, static_argnames=("o",))
+def _bchunk(lp, st, o):
+    eng = engine_mod()
+
+    def one(lp1, st1):
+        return eng._one_chunk(
+            lp1, st1, o, eng._dual_iteration_fn(lp1, o), eng._verify_dual_claim
+        )
+
+    return jax.vmap(one)(lp, st)
+
+
+def engine_mod():
+    from ..simplex import engine
+
+    return engine
+
+
+def _compacting_dual_loop(batched, init_states, opts):
+    """Chunked batched dual simplex with live-set compaction.
+
+    The fully-vmapped `dual_solve` drags every finished instance through the
+    slowest member's remaining pivots — batch throughput collapses to the
+    worst case. Instead: run one refactor-chunk at a time (the same
+    verified-claim protocol as the host-chunked single driver,
+    driver.py:_run_chunked), retire instances whose status is settled, and
+    repack the survivors into the next power-of-two bucket so later chunks
+    run on a shrinking batch. Shapes stay static per bucket, so at most
+    log2(B)+1 programs compile.
+    """
+    from ..simplex import engine
+
+    import dataclasses as _dc
+
+    B = int(jax.tree.leaves(batched)[0].shape[0])
+    done: dict[int, object] = {}
+    live = np.arange(B)
+    lp_cur, st_cur = batched, _bprep(batched, init_states, opts)
+    pending = np.full(B, -1, dtype=np.int64)   # terminal-claim protocol
+    stalls = np.zeros(B, dtype=np.int64)
+    pending_iters = np.asarray(st_cur.iterations, dtype=np.int64).copy()
+    max_chunks = int(opts.max_iterations) // max(1, int(opts.refactor_frequency)) + 8
+
+    for _ in range(max_chunks):
+        st_cur, verified, _obj = _bchunk(lp_cur, st_cur, opts)
+        k = live.size
+        stat = np.asarray(st_cur.status)[:k]
+        iters = np.asarray(st_cur.iterations)[:k]
+        ver = np.asarray(verified)[:k]
+
+        finish = ver.copy()
+        for j in range(k):
+            gi = live[j]
+            s = int(stat[j])
+            if ver[j]:
+                continue
+            if s in (engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
+                # accept only when a fresh-factor chunk re-derives the claim
+                # without managing a pivot (driver.py chunk protocol)
+                if pending[gi] == s and int(iters[j]) == int(pending_iters[gi]):
+                    finish[j] = True
+                else:
+                    pending[gi] = s
+            elif s in (engine.NUMERICAL, engine.ITER_LIMIT):
+                finish[j] = True
+            else:
+                pending[gi] = -1
+                if s == engine.CONTINUE:
+                    # stall: chunks without pivots right after refactorization
+                    if int(iters[j]) == int(pending_iters[gi]):
+                        stalls[gi] += 1
+                        if stalls[gi] >= 3:
+                            finish[j] = True
+                    else:
+                        stalls[gi] = 0
+        pending_iters[live] = iters
+
+        if finish.any():
+            for j in np.flatnonzero(finish):
+                done[int(live[j])] = jax.tree.map(lambda a: a[int(j)], st_cur)
+            keep = ~finish
+            live = live[keep]
+            if live.size == 0:
+                break
+            # repack survivors into the next power-of-two bucket (pad by
+            # repeating the first survivor; padding results are discarded)
+            bucket = 1 << int(np.ceil(np.log2(live.size)))
+            idx = np.arange(bucket) % live.size
+            src = np.flatnonzero(keep)[idx]
+            gather = jnp.asarray(src)
+            lp_cur = jax.tree.map(lambda a: jnp.take(a, gather, axis=0), lp_cur)
+            st_cur = jax.tree.map(lambda a: jnp.take(a, gather, axis=0), st_cur)
+    else:
+        # chunk budget exhausted: whatever is left goes to the per-instance
+        # fallback as NUMERICAL
+        for j in range(live.size):
+            st_j = jax.tree.map(lambda a: a[int(j)], st_cur)
+            st_j = _dc.replace(
+                st_j, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
+            )
+            done[int(live[j])] = st_j
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *[done[i] for i in range(B)])
+
+
 def solve_batch_dual_simplex(
     models: Sequence[Model],
     options: Optional[SolveOptions] = None,
@@ -130,29 +244,14 @@ def solve_batch_dual_simplex(
             m_i, nt_i = lp_i.G.shape
             per.append(_warm_state(lp_i, opts, warm, nt_i - m_i, m_i))
         init_states = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
-
-        @partial(jax.jit, static_argnames=("o",))
-        def run_warm(lp, st0, o):
-            def one(lp1, st1):
-                st1 = engine.recompute(lp1, st1, o.dual_bound)
-                st1 = engine.make_dual_feasible(lp1, st1, o)
-                return engine.dual_solve(lp1, st1, o)
-
-            return jax.vmap(one)(lp, st0)
-
-        states = run_warm(batched, init_states, opts)
     else:
         @partial(jax.jit, static_argnames=("o",))
-        def run(lp, o):
-            def one(lp1):
-                st = engine.initial_state(lp1, o)
-                st = engine.recompute(lp1, st, o.dual_bound)
-                st = engine.make_dual_feasible(lp1, st, o)
-                return engine.dual_solve(lp1, st, o)
+        def make_init(lp, o):
+            return jax.vmap(lambda lp1: engine.initial_state(lp1, o))(lp)
 
-            return jax.vmap(one)(lp)
+        init_states = make_init(batched, opts)
 
-        states = run(batched, opts)
+    states = _compacting_dual_loop(batched, init_states, opts)
 
     # --- batched hard-case handling (no per-instance serialization):
     # 1) fake-bound escalation reruns, 2) demote-to-free + primal finish —

@@ -242,9 +242,16 @@ def pdlp_solve(model: Model, options: SolveOptions) -> Solution:
     x = np.asarray(x) * dc
     y = np.asarray(y) * dr * sense
     d = model.objective - model.matrix.T @ y
+    # a first-order OPTIMAL at tol >= 1e-4 is NOT simplex accuracy: carry
+    # REDUCED_ACCURACY so callers can tell (cleared by the orchestrator's
+    # polish once a simplex finish verifies full KKT)
+    sec = SecondaryStatus.FAILED_TO_CONVERGE
+    if bool(done):
+        sec = (SecondaryStatus.REDUCED_ACCURACY if tol > 1e-7
+               else SecondaryStatus.NONE)
     return Solution(
         status=ProblemStatus.OPTIMAL if bool(done) else ProblemStatus.STOPPED,
-        secondary_status=SecondaryStatus.NONE if bool(done) else SecondaryStatus.FAILED_TO_CONVERGE,
+        secondary_status=sec,
         objective_value=float(model.objective @ x) + model.objective_offset,
         primal=x,
         duals=y,

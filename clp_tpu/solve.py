@@ -108,7 +108,13 @@ def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
     # TPU-idiomatic large-sparse path (simplex/IPM finish after presolve
     # shrinks, or the user picks a method explicitly)
     nnz = model.num_elements
-    if m * (n + m) * 8 > 4 << 30 and nnz < 0.02 * m * n:
+    dense_bytes = m * (n + m) * 8
+    if (dense_bytes > 4 << 30 and nnz < 0.02 * m * n) or (
+        # very sparse at large m: dense factorizations are O(m^3) even when
+        # they fit — PDHG + crunch_polish reaches 1e-8 in O(nnz) iterations
+        # plus a small dense finish (bigsolve.py)
+        m >= 4096 and nnz < 0.01 * m * n
+    ):
         return SolveMethod.PDLP
     # backend-aware: on TPU the mixed-precision dual simplex is the
     # measured champion at netlib scale — 7.4 s end-to-end (incl. compile)
@@ -519,24 +525,35 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         from .pdlp import pdlp_solve
 
         sol = pdlp_solve(work, options)
-        # first-order solutions are moderate-accuracy by design; polish to
-        # simplex accuracy with a values-pass dual solve (the crossover
-        # analogue of barrier+crossover) whenever the dense engine can hold
-        # the problem — beyond that scale the PDHG tolerance stands
-        if (
-            options.crossover
-            and sol.status == ProblemStatus.OPTIMAL
-            and 4 * work.num_rows * (work.num_rows + work.num_cols) <= 4 << 30
-        ):
-            polish = _solve_simplex(
-                work, options, dual=True,
-                warm=Solution(primal=sol.primal.copy(),
-                              row_activity=None if sol.row_activity is None
-                              else np.asarray(sol.row_activity).copy()),
+        # first-order solutions are moderate-accuracy by design (they carry
+        # SecondaryStatus.REDUCED_ACCURACY); polish to simplex accuracy:
+        #   * dense-engine scale: values-pass dual solve on the whole LP
+        #   * beyond that: crunch_polish — row+column working-set finish
+        #     against the full sparse data (bigsolve.py), the reference's
+        #     sparse-LU accuracy class reached the working-set way
+        if options.crossover and sol.status == ProblemStatus.OPTIMAL:
+            polished = None
+            dense_fits = (
+                4 * work.num_rows * (work.num_rows + work.num_cols) <= 4 << 30
             )
-            if polish.status == ProblemStatus.OPTIMAL:
-                sol = polish
-        elif (
+            if work.num_rows >= 2048 or not dense_fits:
+                # the working-set finish is strictly cheaper than a full
+                # dense values pass at scale; try it first
+                from .bigsolve import crunch_polish
+
+                polished = crunch_polish(work, options, sol)
+                if polished is not None:
+                    sol = polished
+            if polished is None and dense_fits:
+                polish = _solve_simplex(
+                    work, options, dual=True,
+                    warm=Solution(primal=sol.primal.copy(),
+                                  row_activity=None if sol.row_activity is None
+                                  else np.asarray(sol.row_activity).copy()),
+                )
+                if polish.status == ProblemStatus.OPTIMAL:
+                    sol = polish
+        if (
             sol.status == ProblemStatus.STOPPED
             and sol.secondary_status == SecondaryStatus.FAILED_TO_CONVERGE
             and 4 * work.num_rows * (work.num_rows + work.num_cols) <= 4 << 30

@@ -29,6 +29,16 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 REFERENCE_EXAMPLES = pathlib.Path("/root/reference/examples")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the per-process XLA executable cache: a full single-process run
+    accumulates hundreds of compiled programs (8 virtual devices each) and
+    eventually segfaults in backend_compile_and_load. Dropping the caches at
+    module teardown keeps each worker's footprint flat."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def afiro_path():
     p = REFERENCE_EXAMPLES / "modified_afiro.mps"

@@ -45,6 +45,24 @@ def staircase_lp(nblocks=8, bm=25, bn=40, seed=0):
     return model
 
 
+def test_mixed_precision_1024_production_config():
+    """The production TPU configuration (f32 inverse + Pallas PRICE, here in
+    interpret mode) at the scale where the driver defaults to it (m >= 512,
+    driver.py inverse_dtype auto) — exercised IN the suite, not only on the
+    tunnel. ~65 s on 2 CPUs; the KKT check is the oracle."""
+    from clp_tpu.simplex.driver import simplex_solve
+
+    model = staircase_lp(nblocks=32, bm=32, bn=56, seed=1)
+    assert model.num_rows == 1024
+    opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts.inverse_dtype = "float32"
+    opts.use_pallas_price = True
+    sol = simplex_solve(model, opts, dual=True)
+    assert sol.status == ProblemStatus.OPTIMAL
+    rep = check_kkt(model, x=sol.primal, y=sol.duals, tol=1e-6)
+    assert rep.ok, str(rep)
+
+
 @pytest.mark.parametrize("method", [SolveMethod.DUAL_SIMPLEX, SolveMethod.BARRIER])
 def test_staircase_tight_tolerance(method):
     model = staircase_lp()
