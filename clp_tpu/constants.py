@@ -93,6 +93,8 @@ class SolveMethod(enum.IntEnum):
     SPRINT = 6  # column-subset sifting
     PDLP = 7  # first-order primal-dual hybrid gradient (TPU-native extra)
     NETWORK = 8  # spanning-tree-basis network simplex (ClpNetworkBasis)
+    GUB = 9  # key-variable GUB simplex over the general-row working basis
+    #         (ClpGubMatrix analogue, clp_tpu/gub.py)
 
 
 class ScalingMode(enum.IntEnum):

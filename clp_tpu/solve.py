@@ -101,6 +101,19 @@ def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
     # (reference: ClpSolve.cpp network shortcut via ClpNetworkMatrix)
     if model.detect_structure()["network"]:
         return SolveMethod.NETWORK
+    # GUB-dominated LPs: the key-variable engine pivots on the small
+    # general-row working basis instead of the full m x m inverse
+    # (ClpGubMatrix role; detection mirrors ClpSimplexOther::gubVersion)
+    if m <= 20000 and n <= 200000:
+        from .gub import detect_gub
+
+        sets = detect_gub(model)
+        K = len(sets)
+        m_g = m - K
+        covered = sum(int(gs.cols.size) for gs in sets)
+        if (K >= 8 and K >= m // 2 and covered >= n // 2
+                and m_g * (n + K + m_g) * 8 <= 1 << 30):
+            return SolveMethod.GUB
     if n > 6 * m and n > 2000:
         return SolveMethod.SPRINT  # wide LPs: column-subset working sets
     # beyond-dense-scale sparse instances: neither a dense G (m x (n+m) f64)
@@ -446,7 +459,8 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     from .constants import ScalingMode
 
     if (options.scaling != ScalingMode.OFF and work.num_cols and work.num_rows
-            and method != SolveMethod.NETWORK):  # scaling destroys +-1 structure
+            # scaling destroys +-1 / unit-coefficient structure
+            and method not in (SolveMethod.NETWORK, SolveMethod.GUB)):
         from .scaling import compute_scaling, scale_model_arrays
 
         mode = options.scaling
@@ -574,6 +588,17 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             sol = solve_network(work, options)
         else:
             # presolve/user edits broke the +-1 structure: general dual path
+            sol = _solve_simplex(work, options, dual=True)
+    elif method == SolveMethod.GUB:
+        from .gub import solve_gub
+
+        try:
+            sol = solve_gub(work, options)
+        except ValueError:
+            sol = None  # no GUB rows / unverifiable claim: dense path
+        if sol is None or sol.status in (
+            ProblemStatus.ERRORS, ProblemStatus.STOPPED,
+        ):
             sol = _solve_simplex(work, options, dual=True)
     else:
         raise NotImplementedError(f"method {method}")
