@@ -150,6 +150,306 @@ def ranging(model: Model, dual_tol: float = 1e-9) -> RangingResult:
     return RangingResult(cost_down, cost_up, rhs_down, rhs_up)
 
 
+@dataclasses.dataclass
+class ParametricsResult:
+    """Exact homotopy output: every basis-change breakpoint in theta."""
+
+    thetas: list  # breakpoint thetas (0 and theta_reached included)
+    objectives: list  # objective value at each theta
+    pivots: int  # total basis changes walked
+    theta_reached: float  # == theta_end unless the LP left the feasible/
+    #                        bounded region earlier
+    status: ProblemStatus  # OPTIMAL if theta_end reached; PRIMAL_INFEASIBLE
+    #                        / DUAL_INFEASIBLE if the homotopy hit the wall
+    solution: object = None  # Solution at theta_reached (model.solution is
+    #                          left at theta=0 — the model data is theta=0)
+
+    def points(self) -> list[tuple[float, float]]:
+        return list(zip(self.thetas, self.objectives))
+
+
+def parametrics_exact(
+    model: Model,
+    theta_end: float,
+    dc: Optional[np.ndarray] = None,
+    d_row_lower: Optional[np.ndarray] = None,
+    d_row_upper: Optional[np.ndarray] = None,
+    d_col_lower: Optional[np.ndarray] = None,
+    d_col_upper: Optional[np.ndarray] = None,
+    tol: float = 1e-9,
+    max_pivots: int = 0,
+) -> ParametricsResult:
+    """Pivot-level parametric simplex — the nextTheta semantics
+    (ClpSimplexOther::nextTheta, ClpSimplexOther.cpp:5148).
+
+    From the optimal basis at theta=0, primal values and reduced costs are
+    LINEAR in theta within a basis: the exact next breakpoint is the
+    smallest theta where either a basic variable meets a (possibly moving)
+    bound (then one DUAL pivot restores feasibility) or a nonbasic reduced
+    cost crosses zero (then one PRIMAL pivot restores optimality).  Cost
+    O(#basis changes) pivots total — no re-solves, no bisection — and the
+    breakpoint list is exact.
+
+    Row-bound changes are slack-bound changes in the standard form
+    [A | -I]v = 0, so rhs parametrics and bound parametrics share one code
+    path.  Stops early (status reports which wall) when the LP goes primal
+    infeasible (no dual-eligible entering column) or unbounded (no primal
+    blocker) at some theta < theta_end.
+    """
+    from .constants import SolveMethod
+    from .options import SolveOptions
+
+    if model.solution is None or model.solution.column_status is None:
+        opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+        opts.presolve.enabled = False
+        model.initial_solve(opts)
+    G, c0, l0, u0, stat, basic, lu, x, dj, sense = _basis_data(model)
+    m, nt = G.shape
+    n = model.num_cols
+    stat = stat.copy().astype(np.int64)
+    x = x.copy()
+
+    # per-unit-theta changes in standard form (only finite bounds move)
+    dcost = np.zeros(nt)
+    if dc is not None:
+        dcost[:n] = np.asarray(dc, dtype=float) * sense
+    dl = np.zeros(nt)
+    du = np.zeros(nt)
+    if d_col_lower is not None:
+        dl[:n] = np.where(l0[:n] > -INF, np.asarray(d_col_lower, float), 0.0)
+    if d_col_upper is not None:
+        du[:n] = np.where(u0[:n] < INF, np.asarray(d_col_upper, float), 0.0)
+    if d_row_lower is not None:
+        dl[n:] = np.where(l0[n:] > -INF, np.asarray(d_row_lower, float), 0.0)
+    if d_row_upper is not None:
+        du[n:] = np.where(u0[n:] < INF, np.asarray(d_row_upper, float), 0.0)
+    lo = np.where(l0 <= -INF, -np.inf, l0)
+    up = np.where(u0 >= INF, np.inf, u0)
+
+    Binv = np.linalg.inv(G[:, basic])
+    basic = basic.copy()
+    in_basis = np.zeros(nt, dtype=bool)
+    in_basis[basic] = True
+    BASIC, AT_LO, AT_UP = (int(VariableStatus.BASIC),
+                           int(VariableStatus.AT_LOWER),
+                           int(VariableStatus.AT_UPPER))
+    FIXED, FREE = int(VariableStatus.FIXED), int(VariableStatus.SUPER_BASIC)
+    FREE0 = int(VariableStatus.FREE)
+    at_lo_codes = (AT_LO, FIXED)
+
+    if max_pivots <= 0:
+        max_pivots = 50 * (m + nt) + 10000
+
+    theta = 0.0
+    pivots = 0
+    zero_steps = 0
+    status = ProblemStatus.OPTIMAL
+    thetas: list[float] = []
+    objs: list[float] = []
+
+    def record():
+        obj = float((c0 + theta * dcost) @ x) + model.objective_offset * sense
+        thetas.append(theta)
+        objs.append(obj * (1.0 if sense > 0 else -1.0))
+
+    def refresh_basics():
+        """Recompute basic values/duals/djs exactly at the current theta."""
+        nonlocal x, dj
+        xnb = x.copy()
+        xnb[basic] = 0.0
+        x[basic] = Binv @ (-G @ xnb)
+        cb = (c0 + theta * dcost)[basic]
+        y = Binv.T @ cb
+        dj = (c0 + theta * dcost) - G.T @ y
+
+    # nonbasic values at theta: the active bound's moving value
+    def nb_velocity():
+        v = np.zeros(nt)
+        nb_lo = ~in_basis & np.isin(stat, at_lo_codes)
+        nb_up = ~in_basis & (stat == AT_UP)
+        v[nb_lo] = dl[nb_lo]
+        v[nb_up] = du[nb_up]
+        return v
+
+    refresh_basics()
+    record()
+
+    while theta < theta_end - 1e-15 and pivots < max_pivots:
+        # --- linear rates within the current basis ---
+        vel = nb_velocity()
+        w = -(Binv @ (G @ vel))  # d x_B / d theta
+        cb_rate = dcost[basic]
+        y_rate = Binv.T @ cb_rate
+        dj_rate = dcost - G.T @ y_rate
+
+        # primal wall: basic i meets its (moving) bound
+        xb, wb = x[basic], w
+        lb = lo[basic] + theta * dl[basic]
+        ub_ = up[basic] + theta * du[basic]
+        rate_lo = wb - dl[basic]  # d(x - l)/d theta
+        rate_up = wb - du[basic]  # d(x - u)/d theta
+        gap_lo = xb - lb
+        gap_up = ub_ - xb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_lo = np.where((rate_lo < -tol) & np.isfinite(gap_lo),
+                            np.maximum(gap_lo, 0.0) / (-rate_lo), np.inf)
+            t_up = np.where((rate_up > tol) & np.isfinite(gap_up),
+                            np.maximum(gap_up, 0.0) / rate_up, np.inf)
+        t_primal = np.minimum(t_lo, t_up)
+        rp = int(np.argmin(t_primal)) if m else -1
+        tp = float(t_primal[rp]) if m else np.inf
+
+        # dual wall: nonbasic k's dj crosses zero against its status
+        nb = ~in_basis
+        d_now = dj
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lo_cross = np.where(
+                nb & np.isin(stat, at_lo_codes) & (lo != up)[np.arange(nt)]
+                & (dj_rate < -tol),
+                np.maximum(d_now, 0.0) / (-dj_rate), np.inf)
+            up_cross = np.where(
+                nb & (stat == AT_UP) & (lo != up) & (dj_rate > tol),
+                np.maximum(-d_now, 0.0) / dj_rate, np.inf)
+            fr_cross = np.where(
+                nb & np.isin(stat, (FREE, FREE0)) & (np.abs(dj_rate) > tol),
+                np.abs(d_now) / np.maximum(np.abs(dj_rate), tol), np.inf)
+        t_dual = np.minimum(np.minimum(lo_cross, up_cross), fr_cross)
+        kq = int(np.argmin(t_dual))
+        td = float(t_dual[kq])
+
+        t_star = min(tp, td, theta_end - theta)
+        if t_star > 0:
+            zero_steps = 0
+            theta += t_star
+            x[basic] += t_star * w
+            x += t_star * (vel * nb)  # nonbasics ride their moving bounds
+            dj += t_star * dj_rate
+        else:
+            zero_steps += 1
+            if zero_steps > m + nt + 100:
+                status = ProblemStatus.STOPPED  # degenerate cycling guard
+                break
+        if theta >= theta_end - 1e-15:
+            break
+
+        if tp <= min(td, theta_end):  # includes tie: prefer the dual pivot
+            # --- basic leaves at a bound: one dual pivot ---
+            to_lower = t_lo[rp] <= t_up[rp]
+            leave = int(basic[rp])
+            rho = Binv[rp]
+            alpha = rho @ G
+            alpha[basic] = 0.0
+            direction = 1.0 if to_lower else -1.0
+            # entering must keep dual feasibility: standard dual ratio test
+            cand_lo = nb & np.isin(stat, at_lo_codes) & (lo != up)
+            cand_up = nb & (stat == AT_UP) & (lo != up)
+            cand_fr = nb & np.isin(stat, (FREE, FREE0))
+            aa = direction * alpha
+            elig = ((cand_lo & (aa < -tol)) | (cand_up & (aa > tol))
+                    | (cand_fr & (np.abs(aa) > tol)))
+            if not np.any(elig):
+                status = ProblemStatus.PRIMAL_INFEASIBLE
+                break
+            ratio = np.full(nt, np.inf)
+            ratio[elig] = np.abs(dj[elig]) / np.abs(alpha[elig])
+            cands = np.flatnonzero(elig)
+            best = cands[np.argmin(ratio[cands])]
+            # largest |alpha| among near-ties for stability
+            near = cands[ratio[cands] <= ratio[best] + 1e-10]
+            q = int(near[np.argmax(np.abs(alpha[near]))])
+            abar = Binv @ G[:, q]
+            piv = abar[rp]
+            if abs(piv) < 1e-11:
+                status = ProblemStatus.STOPPED
+                break
+            stat[leave] = AT_LO if to_lower else AT_UP
+            in_basis[leave] = False
+            x[leave] = (lo[leave] + theta * dl[leave] if to_lower
+                        else up[leave] + theta * du[leave])
+            basic[rp] = q
+            in_basis[q] = True
+            stat[q] = BASIC
+            er = np.zeros(m)
+            er[rp] = 1.0
+            Binv -= np.outer((abar - er) / piv, Binv[rp])
+            pivots += 1
+        else:
+            # --- nonbasic dj hits zero: one primal pivot ---
+            q = kq
+            sigma = 1.0 if (stat[q] in at_lo_codes
+                            or (stat[q] in (FREE, FREE0)
+                                and dj[q] + tol * 0 < 0)) else -1.0
+            abar = Binv @ G[:, q]
+            dxb = -sigma * abar
+            lb = lo[basic] + theta * dl[basic]
+            ub_ = up[basic] + theta * du[basic]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r_up = np.where(dxb > tol, (ub_ - x[basic]) / dxb, np.inf)
+                r_dn = np.where(dxb < -tol, (x[basic] - lb) / (-dxb), np.inf)
+            r_all = np.minimum(np.maximum(r_up, 0.0), np.maximum(r_dn, 0.0))
+            rr = int(np.argmin(r_all)) if m else -1
+            t_blk = float(r_all[rr]) if m else np.inf
+            t_own = up[q] - lo[q] + theta * (du[q] - dl[q])
+            if not np.isfinite(min(t_blk, t_own)):
+                status = ProblemStatus.DUAL_INFEASIBLE
+                break
+            if t_own <= t_blk:  # bound flip
+                x[q] += sigma * t_own
+                x[basic] += t_own * dxb
+                stat[q] = AT_UP if sigma > 0 else AT_LO
+            else:
+                leave = int(basic[rr])
+                went_up = dxb[rr] > 0
+                x[q] += sigma * t_blk
+                x[basic] += t_blk * dxb
+                stat[leave] = AT_UP if went_up else AT_LO
+                in_basis[leave] = False
+                x[leave] = (up[leave] + theta * du[leave] if went_up
+                            else lo[leave] + theta * dl[leave])
+                piv = abar[rr]
+                if abs(piv) < 1e-11:
+                    status = ProblemStatus.STOPPED
+                    break
+                basic[rr] = q
+                in_basis[q] = True
+                stat[q] = BASIC
+                er = np.zeros(m)
+                er[rr] = 1.0
+                Binv -= np.outer((abar - er) / piv, Binv[rr])
+            pivots += 1
+
+        if pivots % 50 == 0:
+            Binv = np.linalg.inv(G[:, basic])
+        refresh_basics()
+        record()
+
+    # exact values at the final theta
+    refresh_basics()
+    if not thetas or abs(thetas[-1] - theta) > 1e-15:
+        record()
+    else:
+        obj = float((c0 + theta * dcost) @ x) + model.objective_offset * sense
+        objs[-1] = obj * (1.0 if sense > 0 else -1.0)
+
+    from .model import Solution
+
+    sol = Solution(
+        status=ProblemStatus.OPTIMAL,  # optimal AT theta_reached
+        objective_value=objs[-1],
+        primal=x[:n] * 1.0,
+        duals=(Binv.T @ (c0 + theta * dcost)[basic]) * sense,
+        reduced_costs=dj[:n] * sense,
+        row_activity=model.matrix @ x[:n],
+        iterations=pivots,
+        column_status=stat[:n].astype(np.int8),
+        row_status=stat[n:].astype(np.int8),
+    )
+    return ParametricsResult(
+        thetas=thetas, objectives=objs, pivots=pivots,
+        theta_reached=theta, status=status, solution=sol,
+    )
+
+
 def parametrics(
     model: Model,
     theta_end: float,
@@ -163,11 +463,47 @@ def parametrics(
 ) -> list[tuple[float, float]]:
     """Objective/rhs/bound homotopy in theta over [0, theta_end].
 
-    Returns (theta, objective) samples including every basis-change
-    breakpoint (found by adaptive bisection on basis equality), endpoint
-    included — the capability of ClpSimplexOther::parametrics (:2554),
-    implemented by warm re-solves rather than in-pivot homotopy.
+    Returns the EXACT (theta, objective) breakpoint list (endpoint
+    included) from the pivot-level walker `parametrics_exact` — the
+    nextTheta semantics of ClpSimplexOther::parametrics (:2554, :5148).
+    Falls back to adaptive-bisection re-solves if the walker stalls
+    numerically (degenerate cycling guard).
     """
+    try:
+        res = parametrics_exact(
+            model, theta_end, dc=dc,
+            d_row_lower=d_row_lower, d_row_upper=d_row_upper,
+            d_col_lower=d_col_lower, d_col_upper=d_col_upper, tol=tol,
+        )
+        if res.status in (ProblemStatus.OPTIMAL,
+                          ProblemStatus.PRIMAL_INFEASIBLE,
+                          ProblemStatus.DUAL_INFEASIBLE):
+            pts = res.points()
+            if len(pts) > max_points:  # keep ends, thin the middle
+                idx = np.unique(np.linspace(0, len(pts) - 1, max_points)
+                                .astype(int))
+                pts = [pts[i] for i in idx]
+            return pts
+    except (np.linalg.LinAlgError, ValueError):
+        pass
+    return _parametrics_bisect(
+        model, theta_end, dc, d_row_lower, d_row_upper,
+        d_col_lower, d_col_upper, max_points, tol,
+    )
+
+
+def _parametrics_bisect(
+    model: Model,
+    theta_end: float,
+    dc: Optional[np.ndarray] = None,
+    d_row_lower: Optional[np.ndarray] = None,
+    d_row_upper: Optional[np.ndarray] = None,
+    d_col_lower: Optional[np.ndarray] = None,
+    d_col_upper: Optional[np.ndarray] = None,
+    max_points: int = 64,
+    tol: float = 1e-9,
+) -> list[tuple[float, float]]:
+    """Bisection-with-warm-re-solves fallback (round-2 implementation)."""
     from .options import SolveOptions
     from .constants import SolveMethod
     from .simplex.driver import simplex_solve
