@@ -67,3 +67,89 @@ def test_pwl_matches_manual_formulation():
     assert abs(s1.objective_value - s2.objective_value) < 1e-8 * (
         1 + abs(s2.objective_value)
     )
+
+
+# --- in-engine piecewise costs (ClpNonLinearCost, no column expansion) ---
+
+
+def _rand_lp(m, n, seed, lo=0.0):
+    rng = np.random.default_rng(seed)
+    A = sp.random(m, n, density=0.5, random_state=rng.integers(1 << 30),
+                  data_rvs=lambda s: rng.normal(size=s)).tocsc()
+    mm = Model()
+    x0 = rng.random(n) * 2
+    b = A @ x0
+    mm.load_problem(A, np.full(n, lo), np.full(n, 3.0), rng.normal(size=n),
+                    b - rng.random(m), b + rng.random(m))
+    return mm, rng
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("sense,lo", [(1.0, 0.0), (-1.0, 0.0), (1.0, 0.4)])
+def test_inengine_matches_reformulation(seed, sense, lo):
+    """solve_piecewise (zero extra columns) == segment reformulation,
+    across min/max senses and phase-1-requiring bounds."""
+    from clp_tpu.piecewise import solve_piecewise
+
+    m, rng = _rand_lp(7, 12, seed, lo=lo)
+    m.optimization_direction = sense
+    pw = {}
+    for j in rng.choice(12, 4, replace=False):
+        k = int(rng.integers(2, 9))
+        bps = np.concatenate([[lo], np.sort(rng.uniform(lo + 0.1, 2.9, k - 1)),
+                              [3.0]])
+        pw[int(j)] = (bps, np.sort(rng.normal(size=k)) * sense)
+    m_ref = m.copy()
+    for j in pw:
+        set_piecewise_linear_cost(m_ref, j, *pw[j])
+    assert m.num_cols == 12  # the whole point: no columns added
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.enabled = False
+    sref = m_ref.initial_solve(o)
+    sol = solve_piecewise(m, pw)
+    assert sol.status == sref.status
+    if sref.status == ProblemStatus.OPTIMAL:
+        assert abs(sol.objective_value - sref.objective_value) < 1e-6 * (
+            1 + abs(sref.objective_value))
+
+
+def test_inengine_rests_at_kink():
+    """Optimum exactly at a cost kink: subgradient optimality
+    slope_left <= y'a <= slope_right (ClpNonLinearCost state model)."""
+    from clp_tpu.piecewise import solve_piecewise
+
+    m = Model()
+    m.load_problem(sp.csc_matrix(np.array([[1.0]])), np.array([0.0]),
+                   np.array([10.0]), np.array([0.0]),
+                   np.array([-INF]), np.array([INF]))
+    sol = solve_piecewise(m, {0: ([0.0, 4.0, 10.0], [-2.0, 3.0])})
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.primal[0] - 4.0) < 1e-8
+    assert abs(sol.objective_value - (-8.0)) < 1e-8
+
+
+def test_inengine_unbounded_last_piece():
+    from clp_tpu.piecewise import solve_piecewise
+
+    m = Model()
+    m.load_problem(sp.csc_matrix(np.eye(2)), np.zeros(2),
+                   np.array([INF, 2.0]), np.array([0.0, 1.0]),
+                   np.full(2, -INF), np.array([INF, 2.0]))
+    sol = solve_piecewise(m, {0: ([0.0, 1.0, np.inf], [-1.0, -0.5])})
+    assert sol.status == ProblemStatus.DUAL_INFEASIBLE
+    assert sol.unbounded_ray is not None
+
+
+def test_inengine_infinite_domain_finite_optimum():
+    from clp_tpu.piecewise import solve_piecewise
+
+    m = Model()
+    m.load_problem(sp.csc_matrix(np.array([[1.0]])), np.array([0.0]),
+                   np.array([INF]), np.array([0.0]),
+                   np.array([-INF]), np.array([INF]))
+    sol = solve_piecewise(m, {0: ([0.0, 2.0, np.inf], [-1.5, 0.25])})
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.primal[0] - 2.0) < 1e-8
