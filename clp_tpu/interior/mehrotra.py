@@ -80,6 +80,14 @@ class IPMOptions:
     # (dense, banded, cg, lsqr) applies unchanged with dinv += diag(Q) —
     # no (nt, nt) Cholesky. Host-side detection in solve.py.
     q_diag: bool = False
+    # general sparse normal equations (the unstructured complement of the
+    # banded plan — ClpCholeskyBase.cpp:792 orderAMD + :1982 symbolic):
+    # a host callable (d, rhs) -> dy backed by ops/sparse_chol.py's
+    # supernodal multifrontal factorization with a cached symbolic plan,
+    # reached through jax.pure_callback. Set by solve.py when the
+    # minimum-degree fill estimate beats the dense O(m^3) by a wide
+    # margin. Single-instance only (not vmappable).
+    sparse_chol: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -385,6 +393,33 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
                         Lb, Cb, rp2.reshape(-1, opts.band_nb)
                     ).reshape(-1)[: rhs.size]
                 return x
+
+            def hsolve(r):
+                return d * r if r.ndim == 1 else d[:, None] * r
+
+        elif separable and opts.sparse_chol is not None:
+            # general sparse G D G': host supernodal multifrontal Cholesky
+            # with a fixed symbolic plan (minimum degree + etree postorder
+            # + relaxed supernodes), re-factored each iteration with the
+            # new D through a pure_callback; device-side matvec refinement
+            # restores any accuracy the host f64 factor left behind
+            d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+            reg = opts.reg_dual + 1e-12
+
+            def matvec(v):
+                return G @ (d * (G.T @ v)) + reg * v
+
+            def _host(rhs):
+                return jax.pure_callback(
+                    opts.sparse_chol,
+                    jax.ShapeDtypeStruct(rhs.shape, rhs.dtype),
+                    d, rhs)
+
+            def nsolve(rhs):
+                dy = _host(rhs)
+                for _ in range(opts.refine_steps):
+                    dy = dy + _host(rhs - matvec(dy))
+                return dy
 
             def hsolve(r):
                 return d * r if r.ndim == 1 else d[:, None] * r

@@ -238,6 +238,22 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
             pj = jnp.asarray(perm)
             lp = _dc.replace(lp, G=lp.G[pj, :], b=lp.b[pj])
             opts = _dc.replace(opts, band_nb=nb)
+        else:
+            # general (unbanded) sparse normal equations: minimum-degree +
+            # supernodal multifrontal plan, used when its fill estimate
+            # beats the dense O(m^3) by a wide margin (ClpCholeskyBase
+            # ordering/symbolic/dense-window roles, .cpp:638/1982/3640)
+            import scipy.sparse as _sp
+
+            from .ops.sparse_chol import make_normal_solver
+
+            Gh = np.asarray(lp.G)
+            m_ = Gh.shape[0]
+            if m_ >= 512 and np.count_nonzero(Gh) < 0.02 * Gh.size:
+                solver = make_normal_solver(
+                    _sp.csr_matrix(Gh), reg=float(opts.reg_dual) + 1e-12)
+                if solver is not None:
+                    opts = _dc.replace(opts, sparse_chol=solver)
     res = ipm_solve_jit(lp, opts)
     from .events import get_handler
 
