@@ -422,6 +422,9 @@ def parametrics_exact(
             Binv = np.linalg.inv(G[:, basic])
         refresh_basics()
         record()
+        from .events import Event, fire_event
+
+        fire_event(model, Event.THETA, theta=theta, pivots=pivots)
 
     # exact values at the final theta
     refresh_basics()
@@ -444,6 +447,10 @@ def parametrics_exact(
         column_status=stat[:n].astype(np.int8),
         row_status=stat[n:].astype(np.int8),
     )
+    if status == ProblemStatus.OPTIMAL:
+        from .events import Event, fire_event
+
+        fire_event(model, Event.NO_THETA, theta=theta)  # end: no more pivots
     return ParametricsResult(
         thetas=thetas, objectives=objs, pivots=pivots,
         theta_reached=theta, status=status, solution=sol,

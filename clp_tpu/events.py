@@ -20,23 +20,72 @@ from typing import Callable, Optional
 
 
 class Event(enum.IntEnum):
-    """Hook points (subset of ClpEventHandler's 43; grows as needed)."""
+    """Hook points — the full ClpEventHandler enum (ClpEventHandler.hpp:
+    32-76, values 100..141 match the reference so handlers written
+    against Clp's numbering port unchanged) plus TPU-build extras below
+    100.
 
-    END_OF_ITERATION = 0
-    END_OF_FACTORIZATION = 1
-    END_OF_VALUES_PASS = 2
-    NODE = 3
-    TREE_STATUS = 4
-    SOLUTION = 5
-    THETA = 6
-    PRESOLVE_START = 7
-    PRESOLVE_END = 8
+    Granularity note: the jitted device engines trace whole pivot CHUNKS,
+    so per-pivot reference hooks (PIVOT_ROW, BEFORE/AFTER_CHOOSE_INCOMING,
+    START_OF_ITERATION_IN_DUAL, UPDATE_DUALS_IN_DUAL, COMPLICATED_PIVOT_*)
+    fire at chunk boundaries where the information exists, and per-pivot
+    only inside host-side engines; the remaining hooks fire at the exact
+    structural analogue of the reference site (listed per member).
+    """
+
+    # --- TPU-build extras (no reference analogue) ---
     POSTSOLVE_START = 9
     POSTSOLVE_END = 10
     START_SOLVE = 11
     END_SOLVE = 12
     BARRIER_ITERATION = 13
-    CROSSOVER_START = 14
+
+    # --- ClpEventHandler.hpp enum, reference values ---
+    END_OF_ITERATION = 100  # chunk boundary in the chunked loop
+    END_OF_FACTORIZATION = 101  # chunk boundary (>=1 refactor per chunk)
+    END_OF_VALUES_PASS = 102  # after the values-pass warmed solve
+    NODE = 103  # B&B node processed (mip.py)
+    TREE_STATUS = 104  # B&B tree stats (mip.py)
+    SOLUTION = 105  # incumbent / final solution stored
+    THETA = 106  # parametrics breakpoint (analysis.parametrics_exact)
+    PIVOT_ROW = 107  # per-pivot: host engines only (see class docstring)
+    PRESOLVE_START = 108
+    PRESOLVE_SIZE = 109  # after presolve, with the size delta
+    PRESOLVE_INFEASIBLE = 110  # presolve proves infeasible/unbounded
+    PRESOLVE_BEFORE_SOLVE = 111  # presolved model about to be solved
+    PRESOLVE_AFTER_FIRST_SOLVE = 112  # first inner solve done
+    PRESOLVE_AFTER_SOLVE = 113  # after postsolve cleanup solve decision
+    PRESOLVE_END = 114
+    GOOD_FACTORIZATION = 115  # before a recompute (gutsOfSolution site)
+    COMPLICATED_PIVOT_IN = 116  # chunk-level (see class docstring)
+    NO_CANDIDATE_IN_PRIMAL = 117  # engine claims optimal, pre-verification
+    LOOKS_END_IN_PRIMAL = 118  # about to declare victory (or defeat)
+    END_IN_PRIMAL = 119  # final primal status settled
+    BEFORE_STATUS_OF_PROBLEM_IN_PRIMAL = 120
+    START_OF_STATUS_OF_PROBLEM_IN_PRIMAL = 121
+    COMPLICATED_PIVOT_OUT = 122  # chunk-level (see class docstring)
+    NO_CANDIDATE_IN_DUAL = 123  # engine claims optimal, pre-verification
+    LOOKS_END_IN_DUAL = 124
+    END_IN_DUAL = 125
+    BEFORE_STATUS_OF_PROBLEM_IN_DUAL = 126
+    START_OF_STATUS_OF_PROBLEM_IN_DUAL = 127
+    START_OF_ITERATION_IN_DUAL = 128  # chunk-level (see class docstring)
+    UPDATE_DUALS_IN_DUAL = 129  # chunk-level (see class docstring)
+    BEFORE_DELETE_RIM = 130  # before unbuilding the standard form
+    END_OF_CREATE_RIM = 131  # after to_standard_form
+    SLIGHTLY_INFEASIBLE = 132  # postsolved point needs a cleanup solve
+    MODIFY_MATRIX_IN_MINI_PRESOLVE = 133  # declared: no mini-presolve here
+    MORE_MINI_PRESOLVE = 134  # declared: no mini-presolve here
+    MODIFY_MATRIX_IN_MINI_POSTSOLVE = 135  # declared: no mini-presolve
+    BEFORE_CHOOSE_INCOMING = 136  # chunk-level (see class docstring)
+    AFTER_CHOOSE_INCOMING = 137  # chunk-level (see class docstring)
+    BEFORE_CREATE_NON_LINEAR = 138  # solve_piecewise entry
+    AFTER_CREATE_NON_LINEAR = 139  # solve_piecewise exit
+    START_OF_CROSSOVER = 140  # barrier -> simplex crossover start
+    NO_THETA = 141  # parametrics ends with no further pivot
+
+    # legacy alias (round-1 name for the same hook)
+    CROSSOVER_START = 140
 
 
 class EventHandler:
@@ -44,6 +93,20 @@ class EventHandler:
 
     def event(self, which: Event, model=None, **info) -> int:
         return -1
+
+
+def fire_event(model, which: Event, **info) -> bool:
+    """Fire a hook on the model's handler; True means abort requested
+    (reference: handler return >= 0 -> ClpModel::status() = 5,
+    ClpEventHandler.hpp:81-84)."""
+    h = getattr(model, "event_handler", None)
+    if h is None:
+        return False
+    if isinstance(h, EventHandler):
+        rc = h.event(which, model, **info)
+    else:
+        rc = h(which, model)
+    return rc is not None and rc >= 0
 
 
 @dataclasses.dataclass

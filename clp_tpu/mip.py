@@ -74,6 +74,17 @@ def fathom(
         sol = simplex_solve(work, options, dual=True, warm=warm)
         nodes += 1
         total_iters += sol.iterations
+        from .events import Event, fire_event
+
+        if fire_event(model, Event.NODE, node=nodes, bound=bound,
+                      status=sol.status):
+            break
+        if nodes % 16 == 0 and fire_event(
+            model, Event.TREE_STATUS, nodes=nodes, open=len(heap),
+            incumbent=None if incumbent_x is None
+            else incumbent_obj * sense,
+        ):
+            break
         if sol.status == ProblemStatus.PRIMAL_INFEASIBLE:
             continue
         if sol.status != ProblemStatus.OPTIMAL:
@@ -88,6 +99,11 @@ def fathom(
         if frac.max(initial=0.0) <= integrality_tol:
             incumbent_obj = relax_obj
             incumbent_x = x.copy()
+            from .events import Event, fire_event
+
+            if fire_event(model, Event.SOLUTION,
+                          objective=incumbent_obj * sense, node=nodes):
+                break
             continue
         j = int(int_idx[int(np.argmax(frac))])
         v = x[j]

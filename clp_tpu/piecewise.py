@@ -201,7 +201,11 @@ def solve_piecewise(
     costs mid-step (ClpSimplexPrimal.cpp:1874 mini-iterations), and
     nonbasic variables may rest at kinks (ClpNonLinearCost state model).
     """
+    from .events import Event, fire_event
+
     t0 = time.time()
+    fire_event(model, Event.BEFORE_CREATE_NON_LINEAR,
+               columns=sorted(piecewise))
     sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
     A = np.asarray(model.matrix.todense())
     m, n = A.shape
@@ -495,4 +499,5 @@ def solve_piecewise(
         sol.unbounded_ray = ray[:n]
     sol.solve_time = time.time() - t0
     model.solution = sol
+    fire_event(model, Event.AFTER_CREATE_NON_LINEAR, status=status)
     return sol

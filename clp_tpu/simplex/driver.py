@@ -432,14 +432,27 @@ def _demote_fakes_to_free(lp, state: SimplexState) -> SimplexState:
     return dataclasses.replace(state, vstat=vstat)
 
 
+class _EventAbort(Exception):
+    """An event handler returned >= 0: stop and report USER_STOPPED."""
+
+    def __init__(self, state):
+        self.state = state
+
+
 def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
-                 max_seconds: Optional[float], progress=None, mh=None):
+                 max_seconds: Optional[float], progress=None, mh=None,
+                 fire=None):
     """Host-driven chunk loop: wall-clock limits + per-chunk progress.
 
     Same protocol as the fully-jitted loop (verified-optimality, stall
-    escalation) with the outer iteration on the host.
+    escalation) with the outer iteration on the host.  Event hooks fire
+    at chunk boundaries (endOfIteration/endOfFactorization granularity —
+    each chunk contains >= 1 refactorization); a handler abort raises
+    _EventAbort with the current state.
     """
     import time as _time
+
+    from ..events import Event
 
     from .engine import dual_chunk, primal_chunk
 
@@ -459,6 +472,19 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
         obj_f = float(obj)
         if progress is not None:
             progress(int(state.iterations), obj_f)
+        if fire is not None:
+            abort = fire(Event.END_OF_ITERATION,
+                         iterations=int(state.iterations), objective=obj_f)
+            abort |= fire(Event.END_OF_FACTORIZATION,
+                          iterations=int(state.iterations))
+            if st == engine.OPTIMAL and not bool(verified):
+                # the engine found no entering candidate; the next chunk
+                # re-derives the claim on fresh factors
+                fire(Event.NO_CANDIDATE_IN_DUAL if dual
+                     else Event.NO_CANDIDATE_IN_PRIMAL,
+                     iterations=int(state.iterations))
+            if abort:
+                raise _EventAbort(state)
         if bool(verified):
             break
         if st in (engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
@@ -551,13 +577,21 @@ def simplex_solve(
     m, nt = lp.G.shape
     n = nt - m
 
-    from ..events import get_handler
+    from ..events import Event, fire_event, get_handler
 
     mh = get_handler(model, options)
 
     def _msg(name, **kw):
         if mh is not None:
             mh.message(name, **kw)
+
+    have_handler = getattr(model, "event_handler", None) is not None
+    aborted = {"flag": False}
+
+    def ev(which, **info_kw) -> bool:
+        return have_handler and fire_event(model, which, **info_kw)
+
+    ev(Event.END_OF_CREATE_RIM, rows=m, cols=n)
 
     # chunked host loop when wall-clock limits or a progress table are
     # wanted (reference -progress/-progressIter; log level >= 3 implies a
@@ -684,25 +718,52 @@ def simplex_solve(
 
     opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))
     if warm is not None:
+        if warm.column_status is None and warm.primal is not None:
+            # values-only warm point: the crossover basis construction
+            ev(Event.START_OF_CROSSOVER)
         state = _warm_state(lp, opts, warm, n, m)
     else:
         state = initial_state(lp, opts)
 
     def dsolve(lp_, state_, opts_):
-        if use_chunked:
-            return _run_chunked(lp_, state_, opts_, True, options.max_seconds, progress, mh)
+        if aborted["flag"]:
+            return state_
+        if use_chunked or have_handler:
+            try:
+                return _run_chunked(lp_, state_, opts_, True,
+                                    options.max_seconds, progress, mh,
+                                    fire=ev if have_handler else None)
+            except _EventAbort as e:
+                aborted["flag"] = True
+                return e.state
         return dual_solve(lp_, state_, opts_)
 
     def psolve(lp_, state_, opts_):
-        if use_chunked:
-            return _run_chunked(lp_, state_, opts_, False, options.max_seconds, progress, mh)
+        if aborted["flag"]:
+            return state_
+        if use_chunked or have_handler:
+            try:
+                return _run_chunked(lp_, state_, opts_, False,
+                                    options.max_seconds, progress, mh,
+                                    fire=ev if have_handler else None)
+            except _EventAbort as e:
+                aborted["flag"] = True
+                return e.state
         return primal_solve(lp_, state_, opts_)
 
     if dual:
+        ev(Event.GOOD_FACTORIZATION)
+        ev(Event.BEFORE_STATUS_OF_PROBLEM_IN_DUAL)
         state = recompute(lp, state, opts.dual_bound)
+        ev(Event.START_OF_STATUS_OF_PROBLEM_IN_DUAL)
         state = make_dual_feasible(lp, state, opts)
         state = dsolve(lp, state, opts)
         st = int(state.status)
+        if warm is not None and warm.column_status is None \
+                and warm.primal is not None:
+            ev(Event.END_OF_VALUES_PASS, iterations=int(state.iterations))
+        if st == engine.OPTIMAL:
+            ev(Event.LOOKS_END_IN_DUAL, iterations=int(state.iterations))
         # fake-bound escalation (resetFakeBounds analogue) — only worthwhile
         # when a fake-bounded variable is actually pressed against its fake
         # bound (nonzero dj); degenerate parks go straight to the primal
@@ -740,8 +801,15 @@ def simplex_solve(
             state = psolve(lp, state, opts)
             st = int(state.status)
     else:
+        ev(Event.BEFORE_STATUS_OF_PROBLEM_IN_PRIMAL)
+        ev(Event.START_OF_STATUS_OF_PROBLEM_IN_PRIMAL)
         state = psolve(lp, state, opts)
         st = int(state.status)
+        if warm is not None and warm.column_status is None \
+                and warm.primal is not None:
+            ev(Event.END_OF_VALUES_PASS, iterations=int(state.iterations))
+        if st == engine.OPTIMAL:
+            ev(Event.LOOKS_END_IN_PRIMAL, iterations=int(state.iterations))
         attempts = 0
         while (
             st == engine.OPTIMAL
@@ -870,7 +938,15 @@ def simplex_solve(
             )
             st = engine.NUMERICAL
 
+    ev(Event.END_IN_DUAL if dual else Event.END_IN_PRIMAL, status=st)
+    ev(Event.BEFORE_DELETE_RIM)
     sol = _extract(model, lp, state, opts, st)
+    if aborted["flag"]:
+        from ..constants import ProblemStatus as _PS
+
+        sol.status = _PS.USER_STOPPED
+        _msg("CLP_SIMPLEX_INTERRUPT")
+        return sol
     if st == engine.OPTIMAL:
         _msg(
             "CLP_SIMPLEX_FINISHED" if dual else "CLP_PRIMAL_OPTIMAL",

@@ -124,3 +124,165 @@ def test_sanity_check_rejects_nan_matrix():
     sol2 = m2.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
     assert sol2.status == ProblemStatus.ERRORS
     assert "CLP_BAD_BOUNDS" in h2.messages_seen
+
+
+# --- event-hook surface (ClpEventHandler.hpp:32-76, full 43-hook enum) ---
+
+
+class _Recorder:
+    """EventHandler that records every hook; optionally aborts on one."""
+
+    def __init__(self, abort_on=None, abort_after=0):
+        from clp_tpu.events import EventHandler
+
+        self.seen = []
+        self.abort_on = abort_on
+        self.abort_after = abort_after
+
+    def __call__(self, which, model):
+        return self.event(which, model)
+
+    def event(self, which, model=None, **info):
+        self.seen.append((which, info))
+        if self.abort_on is not None and which == self.abort_on:
+            if sum(1 for w, _ in self.seen if w == which) > self.abort_after:
+                return 0
+        return -1
+
+
+def test_event_enum_matches_reference_numbering():
+    from clp_tpu.events import Event
+
+    # reference values (ClpEventHandler.hpp: endOfIteration = 100, ...)
+    assert Event.END_OF_ITERATION == 100
+    assert Event.NO_THETA == 141
+    ref_hooks = [e for e in Event if 100 <= int(e) <= 141]
+    assert len(set(int(e) for e in ref_hooks)) == 42  # all 42 values present
+    assert Event.CROSSOVER_START is Event.START_OF_CROSSOVER  # legacy alias
+
+
+def test_simplex_hooks_fire_in_order():
+    from clp_tpu.events import Event, EventHandler
+
+    class H(_Recorder, EventHandler):
+        pass
+
+    model = random_lp(12, 20, seed=2)
+    h = H()
+    model.event_handler = h
+    opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts.presolve.enabled = False
+    sol = model.initial_solve(opts)
+    assert sol.status == ProblemStatus.OPTIMAL
+    names = [w for w, _ in h.seen]
+    for must in (Event.START_SOLVE, Event.END_OF_CREATE_RIM,
+                 Event.BEFORE_STATUS_OF_PROBLEM_IN_DUAL,
+                 Event.START_OF_STATUS_OF_PROBLEM_IN_DUAL,
+                 Event.END_OF_ITERATION, Event.END_OF_FACTORIZATION,
+                 Event.LOOKS_END_IN_DUAL, Event.END_IN_DUAL,
+                 Event.BEFORE_DELETE_RIM, Event.SOLUTION, Event.END_SOLVE):
+        assert must in names, must
+    # ordering sanity: create-rim before iterations before delete-rim
+    assert names.index(Event.END_OF_CREATE_RIM) < names.index(
+        Event.END_OF_ITERATION) < names.index(Event.BEFORE_DELETE_RIM)
+
+
+def test_presolve_hooks_fire():
+    from clp_tpu.events import Event, EventHandler
+
+    class H(_Recorder, EventHandler):
+        pass
+
+    model = random_lp(12, 20, seed=3)
+    h = H()
+    model.event_handler = h
+    sol = model.initial_solve()  # presolve ON by default
+    names = [w for w, _ in h.seen]
+    for must in (Event.PRESOLVE_START, Event.PRESOLVE_SIZE,
+                 Event.PRESOLVE_END, Event.PRESOLVE_BEFORE_SOLVE,
+                 Event.PRESOLVE_AFTER_FIRST_SOLVE,
+                 Event.PRESOLVE_AFTER_SOLVE):
+        assert must in names, must
+
+
+def test_abort_from_end_of_iteration():
+    from clp_tpu.events import Event, EventHandler
+
+    class H(_Recorder, EventHandler):
+        pass
+
+    model = random_lp(40, 64, seed=4)
+    h = H(abort_on=Event.END_OF_ITERATION)
+    model.event_handler = h
+    opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts.presolve.enabled = False
+    sol = model.initial_solve(opts)
+    assert sol.status == ProblemStatus.USER_STOPPED
+
+
+def test_theta_hooks_in_parametrics():
+    from clp_tpu.analysis import parametrics_exact
+    from clp_tpu.events import Event, EventHandler
+
+    class H(_Recorder, EventHandler):
+        pass
+
+    model = random_lp(8, 14, seed=5)
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.enabled = False
+    model.initial_solve(o)
+    h = H()
+    model.event_handler = h
+    dc = np.zeros(model.num_cols)
+    dc[0] = 1.0
+    res = parametrics_exact(model, 2.0, dc=dc)
+    names = [w for w, _ in h.seen]
+    if res.pivots:
+        assert Event.THETA in names
+    assert Event.NO_THETA in names
+
+
+def test_node_and_solution_hooks_in_fathom():
+    import scipy.sparse as sp
+
+    from clp_tpu.events import Event, EventHandler
+    from clp_tpu.mip import fathom
+
+    class H(_Recorder, EventHandler):
+        pass
+
+    # tiny knapsack MIP
+    model = Model()
+    model.load_problem(
+        sp.csc_matrix(np.array([[3.0, 5.0, 4.0, 6.0]])),
+        np.zeros(4), np.ones(4), np.array([-5.0, -8.0, -7.0, -9.0]),
+        np.array([-INF]), np.array([9.0]))
+    model.set_integer(range(4))
+    h = H()
+    model.event_handler = h
+    res = fathom(model)
+    names = [w for w, _ in h.seen]
+    assert Event.NODE in names
+    assert res.status == ProblemStatus.OPTIMAL
+    assert Event.SOLUTION in names
+
+
+def test_nonlinear_hooks_in_piecewise():
+    import scipy.sparse as sp
+
+    from clp_tpu.events import Event, EventHandler
+    from clp_tpu.piecewise import solve_piecewise
+
+    class H(_Recorder, EventHandler):
+        pass
+
+    m = Model()
+    m.load_problem(sp.csc_matrix(np.array([[1.0]])), np.array([0.0]),
+                   np.array([10.0]), np.array([0.0]),
+                   np.array([-INF]), np.array([INF]))
+    h = H()
+    m.event_handler = h
+    solve_piecewise(m, {0: ([0.0, 4.0, 10.0], [-2.0, 3.0])})
+    names = [w for w, _ in h.seen]
+    assert Event.BEFORE_CREATE_NON_LINEAR in names
+    assert Event.AFTER_CREATE_NON_LINEAR in names
