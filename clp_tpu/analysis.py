@@ -398,6 +398,12 @@ def parametrics_exact(
                 x[basic] += t_own * dxb
                 stat[q] = AT_UP if sigma > 0 else AT_LO
             else:
+                piv = abar[rr]
+                if abs(piv) < 1e-11:
+                    # bail BEFORE mutating statuses/values: the current
+                    # basis stays internally consistent for the report
+                    status = ProblemStatus.STOPPED
+                    break
                 leave = int(basic[rr])
                 went_up = dxb[rr] > 0
                 x[q] += sigma * t_blk
@@ -406,10 +412,6 @@ def parametrics_exact(
                 in_basis[leave] = False
                 x[leave] = (up[leave] + theta * du[leave] if went_up
                             else lo[leave] + theta * dl[leave])
-                piv = abar[rr]
-                if abs(piv) < 1e-11:
-                    status = ProblemStatus.STOPPED
-                    break
                 basic[rr] = q
                 in_basis[q] = True
                 stat[q] = BASIC
@@ -437,7 +439,11 @@ def parametrics_exact(
     from .model import Solution
 
     sol = Solution(
-        status=ProblemStatus.OPTIMAL,  # optimal AT theta_reached
+        # optimal AT theta_reached — except when the walk stalled
+        # (degenerate cycling guard / tiny pivot), where optimality at
+        # the final theta is NOT established
+        status=(ProblemStatus.STOPPED if status == ProblemStatus.STOPPED
+                else ProblemStatus.OPTIMAL),
         objective_value=objs[-1],
         primal=x[:n] * 1.0,
         duals=(Binv.T @ (c0 + theta * dcost)[basic]) * sense,

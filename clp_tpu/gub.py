@@ -61,8 +61,20 @@ class GubSet:
 
 
 def detect_gub(model: Model, min_size: int = 2) -> list[GubSet]:
-    """Find disjoint GUB rows: all-unit coefficient rows whose columns
-    appear in no other GUB row (first-come keeps the row)."""
+    """Find disjoint GUB rows: all-unit coefficient rows with at least one
+    finite bound whose columns appear in no other GUB row (first-come
+    keeps the row).  A free all-unit row is not a constraint and must NOT
+    become a set (its convexity equality would have no rhs).
+
+    Memoized on the identity of the model's matrix + bound arrays: the
+    automatic dispatcher and solve_gub both detect, so one solve would
+    otherwise pay the row scan twice.
+    """
+    key = (id(model.matrix), id(model.row_lower), id(model.row_upper),
+           min_size)
+    cached = getattr(model, "_gub_detect_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     A = model.matrix.tocsr()
     taken = np.zeros(model.num_cols, dtype=bool)
     sets: list[GubSet] = []
@@ -70,6 +82,8 @@ def detect_gub(model: Model, min_size: int = 2) -> list[GubSet]:
         s, e = A.indptr[i], A.indptr[i + 1]
         if e - s < min_size:
             continue
+        if model.row_lower[i] <= -INF and model.row_upper[i] >= INF:
+            continue  # free row: no convexity constraint to exploit
         if not np.allclose(A.data[s:e], 1.0):
             continue
         cols = A.indices[s:e]
@@ -84,6 +98,7 @@ def detect_gub(model: Model, min_size: int = 2) -> list[GubSet]:
             )
         )
         taken[cols] = True
+    model._gub_detect_cache = (key, sets)
     return sets
 
 
@@ -255,6 +270,9 @@ class _GubState:
         wsum = np.zeros(f.n_sets)
         np.add.at(wsum, ws[in_set], w[in_set])
         self.x[self.key] = key_load - wsum
+        if not np.all(np.isfinite(self.x[self.wpos])) or not np.all(
+                np.isfinite(self.x[self.key])):
+            return False  # NaN/inf basics: callers escalate, never report
         self.refactors += 1
         return True
 
@@ -292,6 +310,7 @@ def gub_simplex(
     warm: Optional[_GubState] = None,
     max_iterations: int = 0,
     refactor_frequency: int = 100,
+    max_seconds: Optional[float] = None,
 ):
     """Primal simplex over the reduced working basis with key accounting.
 
@@ -313,6 +332,7 @@ def gub_simplex(
     if max_iterations <= 0:
         max_iterations = 200 * (N + m_g + K) + 20000
 
+    deadline = None if max_seconds is None else time.time() + max_seconds
     fixed = f.lo == f.up
     status = ProblemStatus.UNKNOWN
     y = np.zeros(m_g)
@@ -325,6 +345,10 @@ def gub_simplex(
     last_merit = np.inf
 
     while st.iterations < max_iterations:
+        if deadline is not None and st.iterations % 32 == 0 \
+                and time.time() > deadline:
+            status = ProblemStatus.STOPPED
+            break
         phase1 = _infeasibility(st) > _FTOL * (1.0 + np.abs(st.x).max(initial=0.0))
         if phase1:
             cc = np.where(st.x < f.lo - _FTOL, -1.0,
@@ -456,7 +480,9 @@ def gub_simplex(
             # (a) a working basic leaves: product-form rank-1 update
             r = leave
             if np.abs(abar[r]) < _PIVTOL:
-                st.refactor()
+                if not st.refactor():
+                    status = ProblemStatus.ERRORS
+                    break
                 since_refactor = 0
                 continue
             out = int(st.wpos[r])
@@ -524,8 +550,9 @@ def gub_simplex(
         status = ProblemStatus.STOPPED
 
     if status == ProblemStatus.OPTIMAL:
-        st.refactor()  # exact basic values for the claim
-        if _infeasibility(st) > 1e-6 * (1.0 + np.abs(st.x).max(initial=0.0)):
+        if not st.refactor():  # exact basic values for the claim
+            status = ProblemStatus.ERRORS
+        elif _infeasibility(st) > 1e-6 * (1.0 + np.abs(st.x).max(initial=0.0)):
             status = ProblemStatus.ERRORS
     return st, status, {"y": y, "mu": mu, "d": d, "ray": ray}
 
@@ -713,13 +740,16 @@ def solve_gub(model: Model, options=None,
             form, warm.column_status, warm.row_status)
     max_it = 0
     freq = 100
+    max_sec = None
     if options is not None:
         if getattr(options, "max_iterations", None):
             max_it = int(options.max_iterations)
         if getattr(options, "refactor_frequency", None):
             freq = int(options.refactor_frequency)
+        max_sec = getattr(options, "max_seconds", None)
     st, status, extras = gub_simplex(
-        form, warm=state, max_iterations=max_it, refactor_frequency=freq)
+        form, warm=state, max_iterations=max_it, refactor_frequency=freq,
+        max_seconds=max_sec)
     sol = _gub_solution(model, form, st, status, extras)
     if status == ProblemStatus.OPTIMAL:
         from .validate import check_kkt

@@ -427,6 +427,31 @@ class SparseCholesky:
         return x[self.iperm]
 
 
+class _NormalSolverToken:
+    """Hashable wrapper for the host callback held in the jit-static
+    IPMOptions: hash/eq come from a digest of the matrix CONTENT (+reg),
+    so re-solving the byte-identical LP hits the jit cache (the cached
+    executable's embedded callback computes identical results), while a
+    different matrix gets a different token and recompiles — identity
+    hashing would recompile every solve and pin every closure forever.
+    """
+
+    def __init__(self, key: bytes, fn):
+        self._key = key
+        self._fn = fn
+        self.plan = getattr(fn, "plan", None)
+
+    def __call__(self, *args):
+        return self._fn(*args)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return (isinstance(other, _NormalSolverToken)
+                and other._key == self._key)
+
+
 def make_normal_solver(G_sp: sp.spmatrix, reg: float,
                        max_density: float = 0.08,
                        min_flop_win: float = 4.0):
@@ -474,4 +499,13 @@ def make_normal_solver(G_sp: sp.spmatrix, reg: float,
         return plan.solve(rhs)
 
     solver.plan = plan  # introspection for tests/telemetry
-    return solver
+    import hashlib
+
+    h = hashlib.sha256()
+    Gc = sp.csr_matrix(G_sp)
+    h.update(np.asarray(Gc.shape, dtype=np.int64).tobytes())
+    h.update(Gc.indptr.tobytes())
+    h.update(Gc.indices.tobytes())
+    h.update(Gc.data.tobytes())
+    h.update(np.float64(reg).tobytes())
+    return _NormalSolverToken(h.digest(), solver)

@@ -226,6 +226,13 @@ def solve_piecewise(
         if np.any(np.diff(s) < -1e-12):
             raise ValueError("slopes must be nondecreasing in the "
                              "minimization sense (convex cost)")
+        # same contract as set_piecewise_linear_cost: the first breakpoint
+        # IS the column's lower bound — silently relaxing a tighter model
+        # bound would let the engine violate the stated domain
+        if abs(b[0] - lo[j]) > 1e-9 * (1.0 + abs(b[0])):
+            raise ValueError(
+                f"first breakpoint {b[0]} must equal column {j}'s lower "
+                f"bound {lo[j]}")
         lo[j] = b[0]
         if np.isfinite(b[-1]):
             up[j] = min(up[j], b[-1])
@@ -425,11 +432,12 @@ def solve_piecewise(
                 # pivot: v leaves resting AT its kink
                 stat[v] = _PW_KINK
             else:
+                # status by WHICH bound was reached, not by direction: a
+                # phase-1 basic can reach its lower bound moving UP (from
+                # below) or its upper bound moving DOWN (from above)
                 x[v] = pt
-                stat[v] = (_PW_UP if dxb[r_best] > 0 else _PW_LO)
-                if phase1 and (pt == lo[v] and x[v] <= lo[v] + _PTOL
-                               and dxb[r_best] > 0):
-                    stat[v] = _PW_LO
+                stat[v] = (_PW_UP if (np.isfinite(up[v]) and pt == up[v])
+                           else _PW_LO)
             piv = abar[r_best]
             if abs(piv) < 1e-11:
                 Binv = np.linalg.inv(G[:, basic])

@@ -480,9 +480,9 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
             if st == engine.OPTIMAL and not bool(verified):
                 # the engine found no entering candidate; the next chunk
                 # re-derives the claim on fresh factors
-                fire(Event.NO_CANDIDATE_IN_DUAL if dual
-                     else Event.NO_CANDIDATE_IN_PRIMAL,
-                     iterations=int(state.iterations))
+                abort |= fire(Event.NO_CANDIDATE_IN_DUAL if dual
+                              else Event.NO_CANDIDATE_IN_PRIMAL,
+                              iterations=int(state.iterations))
             if abort:
                 raise _EventAbort(state)
         if bool(verified):
@@ -589,7 +589,13 @@ def simplex_solve(
     aborted = {"flag": False}
 
     def ev(which, **info_kw) -> bool:
-        return have_handler and fire_event(model, which, **info_kw)
+        ab = have_handler and fire_event(model, which, **info_kw)
+        if ab:
+            # any hook may abort (ClpEventHandler contract: return >= 0);
+            # dsolve/psolve short-circuit once the flag is set and the
+            # final status becomes USER_STOPPED
+            aborted["flag"] = True
+        return ab
 
     ev(Event.END_OF_CREATE_RIM, rows=m, cols=n)
 

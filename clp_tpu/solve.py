@@ -103,7 +103,8 @@ def _auto_idiot(model: Model) -> bool:
     return float(np.mean(np.abs(A.data) == 1.0)) >= 0.8
 
 
-def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
+def _auto_method(model: Model, options: SolveOptions,
+                 idiot_hint: Optional[bool] = None) -> SolveMethod:
     """Automatic method choice from shape statistics.
 
     Policy modeled on the reference's doIdiot/doSprint heuristics
@@ -133,7 +134,8 @@ def _auto_method(model: Model, options: SolveOptions) -> SolveMethod:
         if (K >= 8 and K >= m // 2 and covered >= n // 2
                 and m_g * (n + K + m_g) * 8 <= 1 << 30):
             return SolveMethod.GUB
-    if _auto_idiot(model):
+    wants_idiot = _auto_idiot(model) if idiot_hint is None else idiot_hint
+    if wants_idiot:
         # wide + unit-heavy: idiot-crash values-pass dual (doIdiot role)
         return SolveMethod.DUAL_SIMPLEX
     if n > 6 * m and n > 2000:
@@ -451,10 +453,17 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     presolved = None
     pinfo = None
     work = model
+    def _stop_now():
+        sol = Solution(status=ProblemStatus.USER_STOPPED)
+        sol.solve_time = time.time() - t0
+        model.solution = sol
+        return sol
+
     if options.presolve.enabled:
         from .presolve import presolve as run_presolve
 
-        _fire(model, Event.PRESOLVE_START)
+        if _fire(model, Event.PRESOLVE_START):
+            return _stop_now()
         t_phase = time.time()
         presolved, pinfo = run_presolve(model, options.presolve)
         # the inner solve runs on the presolved model: carry the handler so
@@ -462,18 +471,18 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         presolved.message_handler = model.message_handler
         presolved.log_level = model.log_level
         timings = {"presolve": time.time() - t_phase}
-        _fire(
+        if _fire(
             model,
             Event.PRESOLVE_SIZE,
             rows=presolved.num_rows,
             cols=presolved.num_cols,
-        )
-        _fire(
+        ) | _fire(
             model,
             Event.PRESOLVE_END,
             rows_dropped=model.num_rows - presolved.num_rows,
             cols_dropped=model.num_cols - presolved.num_cols,
-        )
+        ):
+            return _stop_now()
         if pinfo.status in (ProblemStatus.PRIMAL_INFEASIBLE, ProblemStatus.DUAL_INFEASIBLE):
             _fire(model, Event.PRESOLVE_INFEASIBLE, status=pinfo.status)
             sol = Solution(
@@ -484,16 +493,17 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             model.solution = sol
             return sol
         work = presolved
-        _fire(model, Event.PRESOLVE_BEFORE_SOLVE)
+        if _fire(model, Event.PRESOLVE_BEFORE_SOLVE):
+            return _stop_now()
 
     if presolved is None:
         timings = {}
     method = options.method
     auto_idiot_dual = False
     if method == SolveMethod.AUTOMATIC:
-        method = _auto_method(work, options)
-        auto_idiot_dual = (method == SolveMethod.DUAL_SIMPLEX
-                           and _auto_idiot(work))
+        ai = _auto_idiot(work)
+        method = _auto_method(work, options, idiot_hint=ai)
+        auto_idiot_dual = method == SolveMethod.DUAL_SIMPLEX and ai
 
     t_phase = time.time()
     # --- scaling (reference: ClpModel::scaling modes, applied pre-solve) ---
@@ -645,9 +655,10 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             sol = solve_gub(work, options)
         except ValueError:
             sol = None  # no GUB rows / unverifiable claim: dense path
-        if sol is None or sol.status in (
-            ProblemStatus.ERRORS, ProblemStatus.STOPPED,
-        ):
+        # ERRORS falls back to the dense engine; STOPPED does NOT — it
+        # means a user limit was hit, and a from-scratch dense re-solve
+        # would double the spent budget
+        if sol is None or sol.status == ProblemStatus.ERRORS:
             sol = _solve_simplex(work, options, dual=True)
     else:
         raise NotImplementedError(f"method {method}")

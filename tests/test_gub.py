@@ -190,3 +190,37 @@ def test_gub_infeasible():
     m.row_lower[-1] = m.row_upper[-1] = 3 * 2.0 + 1.0  # > per * up
     sol = initial_solve(m, SolveOptions(method=SolveMethod.GUB))
     assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
+
+
+def test_free_unit_row_is_not_a_set():
+    """A free all-unit row is not a constraint: treating it as a GUB set
+    would put -inf on a convexity equality (review regression)."""
+    m = make_gub_lp(K=10, per=5, mg=4, seed=0)
+    A = m.matrix.tolil()
+    # append a free all-unit row over the first set's columns
+    import scipy.sparse as _sp
+
+    extra = np.zeros((1, m.num_cols))
+    extra[0, :5] = 1.0
+    m2 = Model()
+    m2.load_problem(
+        _sp.vstack([m.matrix, _sp.csr_matrix(extra)]).tocsc(),
+        m.col_lower, m.col_upper, m.objective,
+        np.concatenate([m.row_lower, [-INF]]),
+        np.concatenate([m.row_upper, [INF]]))
+    sets = detect_gub(m2)
+    assert all(int(gs.row) != m.num_rows for gs in sets)
+    res = highs_objective(m2)
+    sol = solve_gub(m2)
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - res.fun) < 1e-6 * (1 + abs(res.fun))
+
+
+def test_gub_respects_max_seconds():
+    m = make_gub_lp(K=60, per=8, mg=12, seed=11)
+    o = SolveOptions(method=SolveMethod.GUB, max_seconds=0.0)
+    o.presolve.enabled = False
+    sol = initial_solve(m, o)
+    # a zero budget stops immediately and does NOT re-run the dense engine
+    assert sol.status == ProblemStatus.STOPPED
+    assert sol.iterations == 0

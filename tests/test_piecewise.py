@@ -153,3 +153,19 @@ def test_inengine_infinite_domain_finite_optimum():
     sol = solve_piecewise(m, {0: ([0.0, 2.0, np.inf], [-1.5, 0.25])})
     assert sol.status == ProblemStatus.OPTIMAL
     assert abs(sol.primal[0] - 2.0) < 1e-8
+
+
+def test_inengine_rejects_breakpoint_bound_mismatch():
+    """The first breakpoint must equal the column lower bound — silently
+    relaxing a tighter model bound would violate the stated domain
+    (review regression; same contract as the reformulation)."""
+    from clp_tpu.piecewise import solve_piecewise
+
+    m = Model()
+    m.load_problem(sp.csc_matrix(np.array([[1.0]])), np.array([2.0]),
+                   np.array([10.0]), np.array([0.0]),
+                   np.array([-INF]), np.array([INF]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower"):
+        solve_piecewise(m, {0: ([0.0, 4.0, 10.0], [-2.0, 3.0])})
