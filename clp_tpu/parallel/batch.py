@@ -71,12 +71,16 @@ def stack_models_simplex(models: Sequence[Model]) -> tuple[StandardLP, list]:
             raise ValueError("all models in a batch must share shape")
         lps.append(lp)
         infos.append(info)
+    has_q = any(lp.Q is not None for lp in lps)
+    if has_q and not all(lp.Q is not None for lp in lps):
+        raise ValueError("mixing QP and LP instances in one batch")
     batched = StandardLP(
         G=jnp.stack([lp.G for lp in lps]),
         b=jnp.stack([lp.b for lp in lps]),
         c=jnp.stack([lp.c for lp in lps]),
         l=jnp.stack([lp.l for lp in lps]),
         u=jnp.stack([lp.u for lp in lps]),
+        Q=jnp.stack([lp.Q for lp in lps]) if has_q else None,
     )
     return batched, infos
 
@@ -394,6 +398,131 @@ def solve_batch_ipm(
     for i, (mod, info) in enumerate(zip(models, infos)):
         one = jax.tree.map(lambda a: a[i], res_host)
         sol = _ipm_to_solution(mod, one, info, options)
+        mod.solution = sol
+        out.append(sol)
+    return out
+
+
+def solve_batch_qp_simplex(
+    models: Sequence[Model],
+    options: Optional[SolveOptions] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> list[Solution]:
+    """Batched QP active-set simplex: same-shape QPs as ONE device program.
+
+    The scenario shape this serves is the warm parametric sweep (portfolio
+    rebalancing: one structure, many risk aversions / return targets).
+    Phase 1 (zero-cost dual LP to a feasible vertex) and the jitted
+    reduced-gradient active-set loop (simplex/qp.py) are both vmapped over
+    the batch; the scenario axis shards over `mesh` exactly like the
+    batched IPM / dual-simplex paths.  Instances the batch cannot finish
+    cleanly fall back to the single-instance QP driver.
+    """
+    import dataclasses as _dc
+
+    from ..simplex import engine
+    from ..simplex.qp import QPState, _gradient, qp_simplex_solve, qp_solve
+
+    options = options or SolveOptions()
+    batched, infos = stack_models_simplex(models)
+    if batched.Q is None:
+        raise ValueError("solve_batch_qp_simplex needs quadratic objectives"
+                         " (use solve_batch_dual_simplex for LPs)")
+    m0, nt0 = batched.G.shape[1:]
+    n0 = nt0 - m0
+    opts = engine.SimplexOptions(
+        refactor_frequency=options.refactor_frequency or 100,
+        max_iterations=int(min(options.max_iterations or 10 ** 9,
+                               50 * (m0 + n0) + 10000)),
+    )
+    if mesh is not None:
+        sh = scenario_sharding(mesh, options.mesh_axis)
+        batched = jax.tree.map(
+            lambda a: jax.device_put(a, sh) if a is not None else None,
+            batched)
+
+    lp0 = _dc.replace(batched, c=jnp.zeros_like(batched.c), Q=None)
+
+    @partial(jax.jit, static_argnames=("o",))
+    def _phase1(lp, o):
+        def one(lp1):
+            st = engine.initial_state(lp1, o)
+            st = engine.recompute(lp1, st, o.dual_bound)
+            st = engine.make_dual_feasible(lp1, st, o)
+            return engine.dual_solve(lp1, st, o)
+
+        return jax.vmap(one)(lp)
+
+    st0 = _phase1(lp0, opts)
+
+    @partial(jax.jit, static_argnames=("o",))
+    def _qp_batched(lp, lp_zero, st, o):
+        def one(lp1, lpz1, st1):
+            xn = engine.nonbasic_values(lpz1, st1.vstat, o.dual_bound)
+            x_full = jnp.asarray(xn).at[st1.basis].set(st1.xb)
+            q0 = QPState(
+                basis=st1.basis, vstat=st1.vstat, binv=st1.binv, x=x_full,
+                iterations=jnp.asarray(0, jnp.int32),
+                status=jnp.asarray(engine.CONTINUE, jnp.int32),
+                refactor_now=jnp.asarray(False),
+            )
+            return qp_solve(lp1, q0, o)
+
+        return jax.vmap(one)(lp, lp_zero, st)
+
+    qstates = _qp_batched(batched, lp0, st0, opts)
+
+    from ..constants import ProblemStatus, VariableStatus
+    from ..model import Solution
+    from ..simplex.driver import _ENGINE_TO_VS
+
+    status_map = {
+        engine.OPTIMAL: ProblemStatus.OPTIMAL,
+        engine.DUAL_INFEASIBLE: ProblemStatus.DUAL_INFEASIBLE,
+        engine.ITER_LIMIT: ProblemStatus.STOPPED,
+    }
+    out = []
+    for i, (mod, info) in enumerate(zip(models, infos)):
+        p1 = int(np.asarray(st0.status)[i])
+        qs = jax.tree.map(lambda a: np.asarray(a)[i], qstates)
+        st = int(qs.status)
+        if p1 == engine.PRIMAL_INFEASIBLE:
+            sol = Solution(status=ProblemStatus.PRIMAL_INFEASIBLE)
+        elif p1 != engine.OPTIMAL or st not in status_map:
+            sol = qp_simplex_solve(mod, options)  # per-instance fallback
+        else:
+            lp_i = jax.tree.map(
+                lambda a: a[i] if a is not None else None, batched)
+            x = np.asarray(qs.x)
+            g = np.asarray(_gradient(lp_i, qs.x))
+            y = g[np.asarray(qs.basis)] @ np.asarray(qs.binv)
+            sense = info.sense
+            n = mod.num_cols
+            xs = x[:n]
+            obj = float(mod.objective @ xs) + mod.objective_offset
+            if mod.quadratic_objective is not None:
+                obj += 0.5 * float(xs @ (mod.quadratic_objective @ xs))
+            vstat = np.asarray(qs.vstat)
+            duals = y * sense
+            dj_user = (
+                mod.objective
+                + (mod.quadratic_objective @ xs
+                   if mod.quadratic_objective is not None else 0.0)
+                - mod.matrix.T @ duals
+            )
+            sol = Solution(
+                status=status_map[st],
+                objective_value=obj,
+                primal=xs,
+                duals=duals,
+                reduced_costs=np.asarray(dj_user),
+                row_activity=np.asarray(mod.matrix @ xs),
+                iterations=int(qs.iterations) + int(np.asarray(st0.iterations)[i]),
+                column_status=np.array(
+                    [_ENGINE_TO_VS[int(s)] for s in vstat[:n]], dtype=np.int8),
+                row_status=np.array(
+                    [_ENGINE_TO_VS[int(s)] for s in vstat[n:]], dtype=np.int8),
+            )
         mod.solution = sol
         out.append(sol)
     return out

@@ -96,3 +96,48 @@ def test_batch_qp():
     # objectives should improve monotonically as rows loosen
     objs = [s.objective_value for s in sols]
     assert objs[0] >= objs[1] >= objs[2]
+
+
+def _portfolio_qp(n, gamma, seed):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    F = rng.normal(size=(n, max(2, n // 4)))
+    S = F @ F.T / n + np.eye(n) * 0.05
+    mu = rng.uniform(0.01, 0.12, n)
+    m = Model()
+    m.load_problem(sp.csc_matrix(np.ones((1, n))), np.zeros(n),
+                   np.full(n, 0.3), -mu, np.array([1.0]), np.array([1.0]))
+    m.quadratic_objective = sp.csc_matrix(gamma * S)
+    return m
+
+
+def test_batch_qp_simplex_parametric_sweep():
+    """Batched QP ACTIVE-SET simplex (not the IPM): a risk-aversion sweep
+    of same-structure portfolio QPs as one vmapped device program, each
+    matching the single-instance reduced-gradient driver."""
+    from clp_tpu.parallel.batch import solve_batch_qp_simplex
+    from clp_tpu.simplex.qp import qp_simplex_solve
+
+    gammas = np.linspace(0.5, 8.0, 8)
+    models = [_portfolio_qp(16, g, seed=0) for g in gammas]
+    sols = solve_batch_qp_simplex([m.copy() for m in models])
+    for m, s in zip(models, sols):
+        ref = qp_simplex_solve(m.copy(), SolveOptions())
+        assert s.status == ref.status == ProblemStatus.OPTIMAL
+        assert abs(s.objective_value - ref.objective_value) < 1e-6 * (
+            1 + abs(ref.objective_value))
+    # the efficient frontier is monotone in gamma
+    risks = [float(s.primal @ (m.quadratic_objective @ s.primal)) / g
+             for s, m, g in zip(sols, models, gammas)]
+    assert all(risks[i + 1] <= risks[i] + 1e-9 for i in range(len(risks) - 1))
+
+
+def test_batch_qp_simplex_sharded_over_mesh():
+    from clp_tpu.parallel.batch import solve_batch_qp_simplex
+
+    models = [_portfolio_qp(12, g, seed=1)
+              for g in np.linspace(1.0, 4.0, 8)]
+    mesh = make_mesh()
+    sols = solve_batch_qp_simplex(models, mesh=mesh)
+    assert all(s.status == ProblemStatus.OPTIMAL for s in sols)
