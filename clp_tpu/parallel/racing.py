@@ -83,3 +83,90 @@ def racing_solve(
     sol = results[0][1] if results else Solution(status=ProblemStatus.ERRORS)
     model.solution = sol
     return sol
+
+
+def race_seeds(
+    model: Model,
+    options: Optional[SolveOptions] = None,
+    k: int = 8,
+    perturb: float = 1e-6,
+    max_chunks: int = 400,
+) -> Solution:
+    """On-device racing: K data-parameterized variants of ONE LP in ONE
+    vmapped program — the TPU-idiomatic replacement for thread racing.
+
+    The reference races structurally different configurations on threads
+    (ClpRacingSolver.hpp:12-26); a single chip cannot time-slice those
+    profitably.  What a chip CAN do is run K variants that differ only in
+    DATA — here K cost-perturbation seeds (variant 0 unperturbed), the
+    anti-degeneracy diversification of ClpSimplexDual::perturb — as one
+    batched dual-simplex program.  Chunks run in lockstep; the first
+    variant whose claim verifies wins, its basis warm-starts one cleanup
+    solve on the TRUE costs, and everything else is abandoned mid-chunk.
+    On degenerate LPs where one trajectory stalls, another seed's usually
+    does not.
+    """
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from ..forms import StandardLP, to_standard_form
+    from ..simplex import engine
+    from ..simplex.driver import _ENGINE_TO_VS, simplex_solve
+    from .batch import _bchunk, _bprep
+
+    import numpy as np
+
+    options = options or SolveOptions()
+    lp, _info = to_standard_form(model)
+    m, nt = lp.G.shape
+    n = nt - m
+    c = np.asarray(lp.c)
+    rng = np.random.default_rng(model.random_seed)
+    rows = [np.zeros(nt)]
+    for _ in range(k - 1):
+        rows.append(rng.uniform(0.5, 1.0, nt) * perturb * (1.0 + np.abs(c)))
+    c_k = jnp.asarray(c[None, :] + np.stack(rows))
+    tile = lambda a: jnp.broadcast_to(a, (k,) + a.shape)  # noqa: E731
+    batched = StandardLP(
+        G=jnp.stack([lp.G] * k), b=tile(lp.b), c=c_k,
+        l=tile(lp.l), u=tile(lp.u),
+    )
+    opts = engine.SimplexOptions(
+        refactor_frequency=options.refactor_frequency or 100,
+        max_iterations=options.max_iterations or 100000,
+    )
+    init = jax.vmap(lambda lp1: engine.initial_state(lp1, opts))(batched)
+    st = _bprep(batched, init, opts)
+    winner = -1
+    for _ in range(max_chunks):
+        st, verified, _obj = _bchunk(batched, st, opts)
+        ver = np.asarray(verified)
+        stat = np.asarray(st.status)
+        wins = np.flatnonzero(ver & (stat == engine.OPTIMAL))
+        if wins.size:
+            winner = int(wins[0])
+            break
+        # an OPTIMAL claim verifies in the NEXT chunk (fresh factors):
+        # keep going while any variant is running OR has a pending claim
+        pending = (stat == engine.CONTINUE) | (
+            (stat == engine.OPTIMAL) & ~ver)
+        if not np.any(pending):
+            break
+    if winner < 0:
+        # no perturbed variant verified: the plain driver adjudicates
+        # (its certificate checks also own infeasible/unbounded claims)
+        return simplex_solve(model, options, dual=True)
+    vstat = np.asarray(st.vstat)[winner]
+    warm = Solution(
+        column_status=np.array([_ENGINE_TO_VS[int(s)] for s in vstat[:n]],
+                               dtype=np.int8),
+        row_status=np.array([_ENGINE_TO_VS[int(s)] for s in vstat[n:]],
+                            dtype=np.int8),
+    )
+    # cleanup on TRUE costs from the winning basis (perturbation removal,
+    # ClpSimplexDual.cpp:6533 restore-and-clean step)
+    sol = simplex_solve(model, options, dual=True, warm=warm)
+    sol.winning_config = winner  # type: ignore[attr-defined]
+    model.solution = sol
+    return sol

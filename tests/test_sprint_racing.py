@@ -66,3 +66,36 @@ def test_sprint_unbounded_classified():
     o.presolve.enabled = False
     s = sprint_solve(m, o)
     assert s.status == ProblemStatus.DUAL_INFEASIBLE
+
+
+def test_race_seeds_on_device_batched():
+    """On-device racing: K perturbation-seed variants of one LP in one
+    vmapped program; the winner's basis warm-starts a true-cost cleanup
+    that verifies at (near-)zero extra iterations."""
+    from clp_tpu.parallel.racing import race_seeds
+    from clp_tpu.solve import _solve_simplex
+    from clp_tpu.utils.generators import random_lp, transport_lp
+
+    for make in (lambda: random_lp(24, 40, seed=3),
+                 lambda: transport_lp(5, 6, seed=1)):
+        m = make()
+        o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+        o.presolve.enabled = False
+        ref = _solve_simplex(make(), o, dual=True)
+        sol = race_seeds(m, o, k=6)
+        assert sol.status == ProblemStatus.OPTIMAL
+        assert getattr(sol, "winning_config", None) is not None
+        assert sol.iterations <= 3  # cleanup from the winning basis
+        assert abs(sol.objective_value - ref.objective_value) < 1e-7 * (
+            1 + abs(ref.objective_value))
+
+
+def test_race_seeds_infeasible_falls_back_to_driver():
+    from clp_tpu.parallel.racing import race_seeds
+    from clp_tpu.utils.generators import infeasible_lp
+
+    m = infeasible_lp()
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.enabled = False
+    sol = race_seeds(m, o, k=4)
+    assert sol.status == ProblemStatus.PRIMAL_INFEASIBLE
