@@ -29,6 +29,7 @@ ALL = [
     "iis.py",
     "modify.py",
     "markowitz_frontier.py",
+    "sparse_barrier.py",
 ]
 
 
