@@ -77,6 +77,13 @@ class SolveOptions:
     # (reference: ClpObjScale/ClpRhsScale dblParams, ClpModel.hpp:1124-1161)
     objective_scale: float = 1.0
     rhs_scale: float = 1.0
+    # serving-mode compile amortization (no reference analogue — XLA
+    # compiles one program per (rows, cols) shape, minutes per shape on a
+    # TPU): pad rows/cols up to multiples of this bucket with inert
+    # zero-row/zero-column padding so nearby shapes share one compiled
+    # program. 0 = off. The padding never pivots (fixed [0,0] bounds,
+    # decoupled rows) and is stripped from the Solution.
+    shape_bucket: int = 0
     # barrier knobs
     barrier_max_iterations: int = 200
     barrier_tolerance: float = 1e-8

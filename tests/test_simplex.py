@@ -418,3 +418,54 @@ def test_row_objective_folds():
     assert sol.status == ProblemStatus.OPTIMAL
     # max 2a+b s.t. a+b<=4, a+3b<=6: optimum at a=4,b=0 -> 8
     assert abs(sol.objective_value - 8.0) < 1e-9
+
+
+def test_shape_bucketing_shares_programs_and_strips_padding():
+    """SolveOptions.shape_bucket pads (rows, cols) to bucket multiples
+    with inert padding so nearby shapes share ONE compiled program; the
+    Solution is stripped back to model sizes and matches unbucketed."""
+    import time
+
+    from clp_tpu.simplex.driver import _bucket_shape, simplex_solve
+    from clp_tpu.utils.generators import random_lp
+
+    assert _bucket_shape(37, 61, 64) == (64, 64) == _bucket_shape(41, 59, 64)
+
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX, shape_bucket=64)
+    o.presolve.enabled = False
+    ob = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    ob.presolve.enabled = False
+    walls = []
+    for m_, n_ in [(37, 61), (41, 59)]:
+        mod = random_lp(m_, n_, seed=5)
+        ref = simplex_solve(random_lp(m_, n_, seed=5), ob, dual=True)
+        t0 = time.time()
+        sol = simplex_solve(mod, o, dual=True)
+        walls.append(time.time() - t0)
+        assert sol.status == ref.status == ProblemStatus.OPTIMAL
+        assert abs(sol.objective_value - ref.objective_value) < 1e-8 * (
+            1 + abs(ref.objective_value))
+        assert sol.primal.shape == (n_,)
+        assert sol.duals.shape == (m_,)
+        assert sol.column_status.shape == (n_,)
+    # the second (different) shape reuses the first bucket's program:
+    # no compile, so it must be much faster than the first
+    assert walls[1] < walls[0] / 3, walls
+
+
+def test_shape_bucketing_certificates():
+    from clp_tpu.simplex.driver import simplex_solve
+    from clp_tpu.utils.generators import infeasible_lp, unbounded_lp
+
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX, shape_bucket=64)
+    o.presolve.enabled = False
+    mi = infeasible_lp()
+    si = simplex_solve(mi, o, dual=True)
+    assert si.status == ProblemStatus.PRIMAL_INFEASIBLE
+    if si.infeasibility_ray is not None:
+        assert si.infeasibility_ray.shape == (mi.num_rows,)
+    mu = unbounded_lp()
+    su = simplex_solve(mu, o, dual=True)
+    assert su.status == ProblemStatus.DUAL_INFEASIBLE
+    if su.unbounded_ray is not None:
+        assert su.unbounded_ray.shape == (mu.num_cols,)
