@@ -454,7 +454,9 @@ class _NormalSolverToken:
 
 def make_normal_solver(G_sp: sp.spmatrix, reg: float,
                        max_density: float = 0.08,
-                       min_flop_win: float = 4.0):
+                       min_flop_win: float = 4.0,
+                       dense_col_frac: float = 0.1,
+                       max_dense_cols: int = 64):
     """Build the barrier's sparse normal-equations solver, or None.
 
     Returns a host callable (d, rhs) -> dy solving (G diag(d) G' + reg) dy
@@ -464,11 +466,33 @@ def make_normal_solver(G_sp: sp.spmatrix, reg: float,
     don't beat the dense O(m^3/3) by `min_flop_win` — the dense MXU
     Cholesky is the right kernel then (the same dense/sparse decision
     ClpCholeskyBase makes with its dense-window switch, :3640).
+
+    DENSE COLUMNS (the reference's denseColumn treatment): a handful of
+    columns touching > dense_col_frac of the rows would densify G G'
+    catastrophically (arrow/linking structure).  They are split out:
+    S = S_sparse + U diag(d_U) U', the sparse part gets the multifrontal
+    plan, and solves go through the Woodbury identity with a small
+    (k x k) capacitance factor.
     """
     m = G_sp.shape[0]
     if m < 512:
         return None
-    Gp = sp.csr_matrix(G_sp, copy=True)
+    Gc = sp.csc_matrix(G_sp)
+    col_nnz = np.diff(Gc.indptr)
+    dense_cols = np.flatnonzero(col_nnz > dense_col_frac * m)
+    U = None
+    if dense_cols.size:
+        if dense_cols.size > max_dense_cols:
+            return None  # too many coupling columns: dense is right
+        keep = np.ones(Gc.shape[1], dtype=bool)
+        keep[dense_cols] = False
+        U = np.asarray(Gc[:, dense_cols].todense())
+        G_use = Gc[:, keep].tocsr()
+        keep_idx = np.flatnonzero(keep)
+    else:
+        G_use = sp.csr_matrix(G_sp)
+        keep_idx = None
+    Gp = sp.csr_matrix(G_use, copy=True)
     Gp.data[:] = 1.0
     S_pat = (Gp @ Gp.T + sp.eye(m, format="csr")).tocsc()
     if S_pat.nnz > max_density * m * m:
@@ -479,14 +503,15 @@ def make_normal_solver(G_sp: sp.spmatrix, reg: float,
         return None
     reg_eye = reg * sp.eye(m, format="csr")
     scale = 1.0 + float(np.max(np.abs(G_sp.data), initial=0.0)) ** 2
-    state: dict = {"key": None}
+    state: dict = {"key": None, "cap": None, "W": None}
 
     def solver(d, rhs):
         d = np.asarray(d, dtype=np.float64)
         rhs = np.asarray(rhs, dtype=np.float64)
         key = d.tobytes()
         if state["key"] != key:
-            Sd = ((G_sp.multiply(d) @ G_sp.T) + reg_eye).tocsc()
+            d_sp = d[keep_idx] if keep_idx is not None else d
+            Sd = ((G_use.multiply(d_sp) @ G_use.T) + reg_eye).tocsc()
             shift = 0.0
             while not plan.factor(Sd, shift=shift):
                 shift = 1e-10 * scale if shift == 0.0 else shift * 100.0
@@ -495,8 +520,25 @@ def make_normal_solver(G_sp: sp.spmatrix, reg: float,
                     state["key"] = None
                     diag = np.maximum(Sd.diagonal(), 1e-30)
                     return rhs / diag
+            if U is not None:
+                # Woodbury capacitance: C = I + V' S_sp^{-1} V with
+                # V = U sqrt(d_U); W = S_sp^{-1} V solved column-wise on
+                # the fresh factor
+                V = U * np.sqrt(np.maximum(d[dense_cols], 0.0))
+                W = np.stack([plan.solve(V[:, j])
+                              for j in range(V.shape[1])], axis=1)
+                C = np.eye(V.shape[1]) + V.T @ W
+                import scipy.linalg as sla
+
+                state["cap"] = (sla.cho_factor(C), V, W)
             state["key"] = key
-        return plan.solve(rhs)
+        x = plan.solve(rhs)
+        if U is not None:
+            import scipy.linalg as sla
+
+            cf, V, W = state["cap"]
+            x = x - W @ sla.cho_solve(cf, V.T @ x)
+        return x
 
     solver.plan = plan  # introspection for tests/telemetry
     import hashlib

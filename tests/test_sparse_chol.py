@@ -174,3 +174,61 @@ def _timed(fn):
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def arrow_lp(m, ncols_local, win, nglob, seed):
+    """Local windows + a few global linking columns: the dense-column
+    case (G G' is ~50% dense unless the linking columns are split out)."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        base = int(i * (ncols_local - win) / m)
+        for j in base + rng.choice(win, 10, replace=False):
+            rows.append(i), cols.append(int(j)), vals.append(rng.normal())
+        for j in rng.choice(nglob, 2, replace=False):
+            rows.append(i), cols.append(ncols_local + int(j))
+            vals.append(rng.normal())
+    A = sp.csr_matrix((vals, (rows, cols)),
+                      shape=(m, ncols_local + nglob)).tocsc()
+    x0 = rng.random(A.shape[1])
+    b = A @ x0
+    mm = Model()
+    mm.load_problem(A, np.zeros(A.shape[1]), np.full(A.shape[1], 3.0),
+                    rng.normal(size=A.shape[1]), b - rng.random(m),
+                    b + rng.random(m))
+    return mm
+
+
+def test_dense_columns_split_via_woodbury():
+    """ClpCholeskyBase's denseColumn treatment: linking columns are split
+    out of the sparse plan and handled by a small Woodbury capacitance."""
+    m = arrow_lp(768, 1536, 30, 12, seed=3)
+    G = sp.hstack([m.matrix, sp.eye(m.num_rows)]).tocsr()
+    solver = make_normal_solver(G, reg=1e-10)
+    assert solver is not None  # would be None (too dense) without the split
+    rng = np.random.default_rng(0)
+    d = rng.random(G.shape[1]) + 0.1
+    rhs = rng.normal(size=m.num_rows)
+    x = solver(d, rhs)
+    S = (G.multiply(d) @ G.T + 1e-10 * sp.eye(m.num_rows)).tocsc()
+    assert np.linalg.norm(S @ x - rhs) < 1e-8 * np.linalg.norm(rhs)
+    # refactor with a different d (the IPM pattern)
+    d2 = rng.random(G.shape[1]) + 0.1
+    x2 = solver(d2, rhs)
+    S2 = (G.multiply(d2) @ G.T + 1e-10 * sp.eye(m.num_rows)).tocsc()
+    assert np.linalg.norm(S2 @ x2 - rhs) < 1e-8 * np.linalg.norm(rhs)
+
+
+def test_barrier_arrow_lp_end_to_end():
+    m = arrow_lp(640, 1280, 28, 10, seed=5)
+    opts = SolveOptions(method=SolveMethod.BARRIER_NO_CROSS)
+    opts.presolve.enabled = False
+    sol = initial_solve(m, opts)
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert check_kkt(m, tol=1e-5).ok
+    m2 = arrow_lp(640, 1280, 28, 10, seed=5)
+    o2 = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o2.presolve.enabled = False
+    s2 = initial_solve(m2, o2)
+    assert abs(sol.objective_value - s2.objective_value) < 1e-5 * (
+        1 + abs(s2.objective_value))
