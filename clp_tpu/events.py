@@ -16,7 +16,6 @@ import dataclasses
 import enum
 import sys
 import time
-from typing import Callable, Optional
 
 
 class Event(enum.IntEnum):

@@ -60,7 +60,6 @@ def minimum_degree(S: sp.spmatrix, dense_cutoff: float = 0.5) -> np.ndarray:
 
     heap = [(len(adj[v]), v) for v in range(n)]
     heapq.heapify(heap)
-    stamp = np.zeros(n, dtype=np.int64)  # lazy-heap validity by degree
     deg = np.array([len(adj[v]) for v in range(n)], dtype=np.int64)
     k = 0
     next_elem = 0

@@ -106,8 +106,6 @@ def race_seeds(
     On degenerate LPs where one trajectory stalls, another seed's usually
     does not.
     """
-    import dataclasses as _dc
-
     import jax.numpy as jnp
 
     from ..forms import StandardLP, to_standard_form

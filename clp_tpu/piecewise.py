@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Optional
 
 import numpy as np
 import scipy.sparse as sp
