@@ -203,6 +203,85 @@ def bench_batched_dual(jax, jnp):
     return {"instances_per_s": B / t, "batch": B, "shape": f"{M}x{N}"}
 
 
+def bench_gub(jax, jnp):
+    """In-engine key-variable GUB simplex vs the dense dual on a 100-set
+    GUB LP (round-3 capability; host-runtime engine, backend-neutral)."""
+    import scipy.sparse as sp
+
+    from clp_tpu.constants import ProblemStatus, SolveMethod
+    from clp_tpu.gub import solve_gub
+    from clp_tpu.model import Model
+    from clp_tpu.options import SolveOptions
+    from clp_tpu.solve import initial_solve
+
+    rng = np.random.default_rng(7)
+    K, per, mg = 100, 8, 20
+    n = K * per
+    Agen = sp.random(mg, n, density=0.3, random_state=7,
+                     data_rvs=lambda s: rng.normal(size=s)).tocsr()
+    gub = np.zeros((K, n))
+    for k in range(K):
+        gub[k, k * per:(k + 1) * per] = 1.0
+    A = sp.vstack([Agen, sp.csr_matrix(gub)]).tocsc()
+    m = Model()
+    m.load_problem(A, np.zeros(n), np.full(n, 2.0), rng.normal(size=n),
+                   np.concatenate([rng.normal(size=mg) - 2.0, np.full(K, 0.2)]),
+                   np.concatenate([rng.normal(size=mg) + 4.0, np.ones(K)]))
+    t0 = time.perf_counter()
+    sg = solve_gub(m.copy())
+    t_gub = time.perf_counter() - t0
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.enabled = False
+    t0 = time.perf_counter()
+    sd = initial_solve(m.copy(), o)
+    t_dense = time.perf_counter() - t0
+    assert sg.status == sd.status == ProblemStatus.OPTIMAL
+    return {"gub_wall_s": round(t_gub, 3), "dense_wall_s": round(t_dense, 3),
+            "speedup": round(t_dense / max(t_gub, 1e-9), 1),
+            "sets": K, "general_rows": mg}
+
+
+def bench_sparse_chol():
+    """Supernodal multifrontal vs dense Cholesky on 2048-row window
+    normal equations (round-3 capability; host numpy, backend-neutral)."""
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    from clp_tpu.ops.sparse_chol import SparseCholesky
+
+    rng = np.random.default_rng(7)
+    m, ncols, win = 2048, 4096, 40
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        base = int(i * (ncols - win) / m)
+        for j in base + rng.choice(win, 12, replace=False):
+            rows.append(i), cols.append(int(j)), vals.append(rng.normal())
+        if rng.random() < 0.15:
+            rows.append(i), cols.append(int(rng.integers(0, ncols)))
+            vals.append(rng.normal())
+    G = sp.csr_matrix((vals, (rows, cols)), shape=(m, ncols))
+    d = rng.random(ncols) + 0.1
+    S = (G.multiply(d) @ G.T + 1e-8 * sp.eye(m)).tocsc()
+    plan = SparseCholesky(S)
+    rhs = rng.normal(size=m)
+    plan.factor(S)
+    t_sp = min(_timeit(lambda: (plan.factor(S), plan.solve(rhs)))
+               for _ in range(5))
+    Sd = S.toarray()
+    t_d = min(_timeit(lambda: sla.cho_solve(
+        (np.linalg.cholesky(Sd), True), rhs)) for _ in range(3))
+    return {"multifrontal_ms": round(t_sp * 1e3, 1),
+            "dense_ms": round(t_d * 1e3, 1),
+            "speedup": round(t_d / max(t_sp, 1e-9), 1),
+            "fill_pct_of_dense": round(plan.nnz_L / (m * (m + 1) / 2) * 100, 1)}
+
+
+def _timeit(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -223,6 +302,14 @@ def main():
         bdual = bench_batched_dual(jax, jnp)
     except Exception as e:  # extras must not sink the headline
         bdual = {"error": str(e)[:200]}
+    try:
+        bgub = bench_gub(jax, jnp)
+    except Exception as e:
+        bgub = {"error": str(e)[:200]}
+    try:
+        bchol = bench_sparse_chol()
+    except Exception as e:
+        bchol = {"error": str(e)[:200]}
 
     # headline: geometric mean of per-instance wall-clock speedups vs the
     # honest HiGHS baseline (sparse ranged input). Time-to-verified-optimal,
@@ -257,6 +344,8 @@ def main():
                         ipm["batch_speedup_on_device"], 2
                     ),
                     "batched_dual_simplex": bdual,
+                    "gub_engine_vs_dense": bgub,
+                    "sparse_cholesky_vs_dense": bchol,
                 },
             }
         )
