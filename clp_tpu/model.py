@@ -89,6 +89,10 @@ class Model:
         self.objective_offset = 0.0
         self.optimization_direction = 1.0  # 1 min, -1 max, 0 ignore
         self.quadratic_objective: Optional[sp.csc_matrix] = None  # Q (sym.)
+        # convex piecewise-linear cost specs: {col: (breakpoints, slopes)}
+        # (ClpNonLinearCost attachment; consumed by initial_solve via
+        # piecewise.solve_piecewise — zero column expansion)
+        self.piecewise_costs: Optional[dict] = None
         self.integer_mask: Optional[np.ndarray] = None  # bool per column
         self.row_names: Optional[list] = None
         self.col_names: Optional[list] = None
@@ -245,6 +249,18 @@ class Model:
         self.optimization_direction = 1.0
 
     # --- integers (reference: ClpModel.hpp copyInIntegerInformation) ---
+    def set_piecewise_cost(self, column: int, breakpoints, slopes) -> None:
+        """Attach a convex piecewise-linear cost to a column
+        (ClpNonLinearCost role).  initial_solve routes models with
+        piecewise costs through the in-engine kink-aware primal simplex
+        (piecewise.solve_piecewise) — no columns are added."""
+        if self.piecewise_costs is None:
+            self.piecewise_costs = {}
+        self.piecewise_costs[int(column)] = (
+            np.asarray(breakpoints, dtype=np.float64),
+            np.asarray(slopes, dtype=np.float64),
+        )
+
     def set_integer(self, j) -> None:
         if self.integer_mask is None:
             self.integer_mask = np.zeros(self.num_cols, dtype=bool)

@@ -356,6 +356,19 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         model.solution = sol
         return sol
 
+    # --- piecewise-linear costs (ClpNonLinearCost attachment): route to
+    # the in-engine kink-aware primal simplex; presolve/scaling would
+    # invalidate the per-column breakpoint specs, so this path owns the
+    # whole solve (the reference's nonlinear-cost solves skip presolve
+    # the same way)
+    if getattr(model, "piecewise_costs", None):
+        from .piecewise import solve_piecewise
+
+        sol = solve_piecewise(model, model.piecewise_costs, options)
+        sol.timings = {"solve": sol.solve_time}
+        _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
+        return sol
+
     # --- dualize: solve the transposed model and map back (reference:
     # ClpSimplexOther::dualOfModel/restoreFromDual, ClpSimplexOther.cpp:1681).
     # Auto: very tall LPs transpose to wide ones the engines handle better

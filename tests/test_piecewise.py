@@ -169,3 +169,27 @@ def test_inengine_rejects_breakpoint_bound_mismatch():
 
     with _pytest.raises(ValueError, match="lower"):
         solve_piecewise(m, {0: ([0.0, 4.0, 10.0], [-2.0, 3.0])})
+
+
+def test_model_level_piecewise_attachment():
+    """Model.set_piecewise_cost + initial_solve routing (ClpNonLinearCost
+    attached to the model, consumed by the in-engine path)."""
+    m = Model()
+    m.load_problem(sp.csc_matrix(np.array([[1.0, 1.0]])), np.zeros(2),
+                   np.full(2, 10.0), np.array([0.0, 1.0]),
+                   np.array([-INF]), np.array([6.0]))
+    m.set_piecewise_cost(0, [0.0, 4.0, 10.0], [-2.0, 3.0])
+    sol = m.initial_solve()
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.primal[0] - 4.0) < 1e-8
+    # reformulation agreement
+    m2 = Model()
+    m2.load_problem(sp.csc_matrix(np.array([[1.0, 1.0]])), np.zeros(2),
+                    np.full(2, 10.0), np.array([0.0, 1.0]),
+                    np.array([-INF]), np.array([6.0]))
+    set_piecewise_linear_cost(m2, 0, [0.0, 4.0, 10.0], [-2.0, 3.0])
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.enabled = False
+    s2 = m2.initial_solve(o)
+    assert abs(sol.objective_value - s2.objective_value) < 1e-8 * (
+        1 + abs(s2.objective_value))
