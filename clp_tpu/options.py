@@ -103,8 +103,13 @@ class SolveOptions:
     inverse_dtype: str = "auto"  # "auto" | "float64" | "float32"
     # engine PRICE/FTRAN kernels: "auto" picks the multiply-free +-1 path
     # (gathers, O(n) PRICE) when the matrix qualifies (ClpPlusMinusOneMatrix
-    # / ClpNetworkMatrix role); "dense" forces the MXU contraction
-    price_mode: str = "auto"  # "auto" | "dense" | "pm1"
+    # / ClpNetworkMatrix role); "dense" forces the MXU contraction;
+    # "block" groups columns by row-support window into dense tiles so
+    # block-banded LPs (staircase/multi-period) price as batched small
+    # matmuls — tile area ~8x below m*nt on the bench staircase, exact
+    # same pivot sequence (falls back to dense when the structure isn't
+    # there)
+    price_mode: str = "auto"  # "auto" | "dense" | "pm1" | "block"
     # dual ratio test: "bfrt" = long-step bound-flipping ratio test (walk
     # past boxed breakpoints while the leaving row's infeasibility slope
     # stays positive — far fewer pivots on box-rich LPs), "harris" =

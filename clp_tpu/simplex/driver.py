@@ -709,6 +709,42 @@ def simplex_solve(
 
     price_mode = options.price_mode
     ell_kc = ell_kr = 0
+    blk_nb = blk_h = 0
+    if price_mode == "block":
+        # block-banded geometry from the host matrix: group standard-form
+        # columns (structurals + slacks) by row-support window, pick the
+        # block count minimizing total tile area, require a real win over
+        # the dense contraction and coverage H <= m/2
+        A = model.matrix.tocsc()
+        A.sort_indices()
+        lo_c = np.zeros(nt, dtype=np.int64)
+        hi_c = np.ones(nt, dtype=np.int64)
+        nnz_per = np.diff(A.indptr)
+        nzc = np.flatnonzero(nnz_per)
+        lo_c[nzc] = A.indices[A.indptr[nzc]]
+        hi_c[nzc] = A.indices[A.indptr[nzc + 1] - 1] + 1
+        lo_c[n:] = np.arange(m)
+        hi_c[n:] = np.arange(m) + 1
+        order = np.argsort(lo_c + hi_c, kind="stable")
+        best = None
+        for nb_try in (8, 16, 32, 64):
+            if nb_try >= nt:
+                continue
+            cb = -(-nt // nb_try)
+            pad = nb_try * cb - nt
+            lo_s = np.concatenate([lo_c[order], np.full(pad, lo_c[order[-1]])])
+            hi_s = np.concatenate([hi_c[order], np.full(pad, hi_c[order[-1]])])
+            spans = (hi_s.reshape(nb_try, cb).max(axis=1)
+                     - lo_s.reshape(nb_try, cb).min(axis=1))
+            H = int(-(-int(spans.max()) // 8) * 8)
+            H = min(H, m)
+            cost = nb_try * H * cb
+            if best is None or cost < best[0]:
+                best = (cost, nb_try, H)
+        if best is not None and best[2] <= m // 2 and best[0] <= 0.6 * m * nt:
+            blk_nb, blk_h = best[1], best[2]
+        else:
+            price_mode = "dense"  # structure not block-banded enough
     if price_mode == "auto":
         if not use_pallas and _pm1_eligible(model):
             price_mode = "pm1"
@@ -731,8 +767,8 @@ def simplex_solve(
                 ell_kr = (int(counts_r.max(initial=0)) + 1 + 7) // 8 * 8
                 if ell_kc <= m // 4 and ell_kr <= nt // 4:
                     price_mode = "ell"
-    if price_mode in ("pm1", "ell"):
-        use_pallas = False  # gathers beat the f32 MXU contraction here
+    if price_mode in ("pm1", "ell", "block"):
+        use_pallas = False  # these paths replace the dense contraction
 
     inv_dtype = getattr(options, "inverse_dtype", "auto")
     if inv_dtype == "auto":
@@ -787,6 +823,8 @@ def simplex_solve(
             price_mode=price_mode,
             price_ell_kc=ell_kc,
             price_ell_kr=ell_kr,
+            price_block_nb=blk_nb,
+            price_block_h=blk_h,
             inverse_dtype=inv_dtype,
             dual_ratio=dual_ratio,
             pe_psi=getattr(options, "pe_psi", 0.5),

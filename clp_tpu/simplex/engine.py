@@ -92,7 +92,7 @@ class SimplexOptions:
     # and the FTRAN column two binv column reads (reference:
     # ClpPlusMinusOneMatrix.hpp, ClpNetworkMatrix.hpp:12-16). The caller must
     # have verified the structure (Model.detect_structure / pm1_indexable).
-    price_mode: str = "dense"  # "dense" | "pm1" | "ell"
+    price_mode: str = "dense"  # "dense" | "pm1" | "ell" | "block"
     # sparse ELL pricing ("ell" mode): PRICE/flip-flow/PE matvecs run as
     # gather + multiply + row-sum over row-padded sparse forms of G instead
     # of dense contractions — HBM traffic O(nnz) instead of O(m*nt), the
@@ -103,6 +103,12 @@ class SimplexOptions:
     # is represented, padding entries carry value 0 at index 0.
     price_ell_kc: int = 0  # max nnz per column (0 = mode unavailable)
     price_ell_kr: int = 0  # max nnz per row
+    # "block" geometry (block-banded LPs: staircase/multi-period): nb
+    # column groups, each covered by an H-row window — PRICE/FTRAN/matvec
+    # become batched dense-tile ops (block_forms). Chosen by the driver
+    # from the host matrix so every column's support fits its window.
+    price_block_nb: int = 0  # 0 = mode unavailable
+    price_block_h: int = 0
     # dual ratio test. "harris" = two-pass Harris stopping at the first
     # breakpoint window. "bfrt" = long-step bound-flipping ratio test
     # (reference: dualColumn's candidate/flip accounting,
@@ -275,6 +281,78 @@ def _ell_matvec(x, ell):
     return jnp.sum(rval * x.astype(rval.dtype)[ridx], axis=1)
 
 
+def block_forms(G, nb: int, H: int):
+    """Column-window block forms: columns grouped by row-support window
+    into `nb` blocks of equal count, each a dense (H, CB) tile.
+
+    The TPU-idiomatic sparse PRICE for block-banded LPs (staircase /
+    multi-period structure): alpha = rho @ G becomes ONE batched matmul
+    over (nb, H, CB) tiles — MXU work proportional to the covered
+    windows, not m*nt — with no scalar gathers (the ELL path's random
+    gathers measured ~14x SLOWER than the dense contraction on v5e; tile
+    matmuls are the opposite trade).  The caller (driver) chooses nb/H
+    so every column's support fits its block window: starts_b =
+    min(min_lo_b, m-H) covers [min_lo_b, max_hi_b) whenever the block
+    span <= H.
+    """
+    m, nt = G.shape
+    CB = -(-nt // nb)
+    nz = jnp.abs(G) > 0
+    anyc = jnp.any(nz, axis=0)
+    lo = jnp.where(anyc, jnp.argmax(nz, axis=0), 0)
+    hi = jnp.where(anyc, m - jnp.argmax(nz[::-1, :], axis=0), 1)
+    perm = jnp.argsort((lo + hi).astype(jnp.float32))  # sorted -> orig col
+    pad = nb * CB - nt
+    if pad:
+        perm_p = jnp.concatenate(
+            [perm, jnp.full((pad,), perm[-1], perm.dtype)])
+        valid = jnp.concatenate(
+            [jnp.ones(nt, G.dtype), jnp.zeros(pad, G.dtype)])
+    else:
+        perm_p = perm
+        valid = jnp.ones(nt, G.dtype)
+    cols = perm_p.reshape(nb, CB)
+    lo_s = lo[perm_p].reshape(nb, CB)
+    starts = jnp.minimum(jnp.min(lo_s, axis=1), m - H).astype(jnp.int32)
+    rowidx = starts[:, None, None] + jnp.arange(H)[None, :, None]
+    W = G[rowidx, cols[:, None, :]] * valid.reshape(nb, 1, CB)
+    inv_pos = jnp.argsort(perm).astype(jnp.int32)  # orig col -> sorted pos
+    return starts, W, perm_p.astype(jnp.int32), inv_pos
+
+
+def _blk_price(rho, blk, dtype):
+    """alpha = rho @ G over block tiles: one (nb,H)x(nb,H,CB) batched
+    matmul + an nt un-permute gather."""
+    starts, W, _perm, inv_pos = blk
+    H = W.shape[1]
+    rho_w = rho[starts[:, None] + jnp.arange(H)[None, :]]
+    out = jnp.einsum("bh,bhc->bc", rho_w.astype(W.dtype), W,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(-1)[inv_pos].astype(dtype)
+
+
+def _blk_col(q, blk, m):
+    """Dense G[:, q] scattered from its block window."""
+    starts, W, _perm, inv_pos = blk
+    nb, H, CB = W.shape
+    p = inv_pos[q]
+    b, c = p // CB, p % CB
+    win = W[b, :, c]
+    return jnp.zeros((m,), W.dtype).at[starts[b] + jnp.arange(H)].set(win)
+
+
+def _blk_matvec(x, blk, m):
+    """G @ x: per-block (H, CB) @ (CB,) then overlapping scatter-add."""
+    starts, W, perm_p, _inv = blk
+    nb, H, CB = W.shape
+    xp = x[perm_p].reshape(nb, CB)
+    # padded slots replicate a real column; W zeroes them so no aliasing
+    contrib = jnp.einsum("bhc,bc->bh", W, xp.astype(W.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.zeros((m,), W.dtype).at[
+        starts[:, None] + jnp.arange(H)[None, :]].add(contrib)
+
+
 def pm1_indices(G):
     """Per-column (+1-row, -1-row) indices; m encodes "no such entry".
 
@@ -316,7 +394,7 @@ def _pm1_matvec(delta, pm1, m):
 
 
 def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
-                   G32=None, pm1=None, ell=None):
+                   G32=None, pm1=None, ell=None, blk=None):
     """One dual pivot: price row -> BTRAN -> ratio test -> FTRAN -> update.
 
     When opts.use_pallas_price, PRICE + the Harris pass-1 scan run fused in
@@ -364,6 +442,8 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             gz = _pm1_matvec(z, pm1, m)
         elif ell is not None:
             gz = _ell_matvec(z, ell)
+        elif blk is not None:
+            gz = _blk_matvec(z, blk, m).astype(G.dtype)
         else:
             gz = G @ z
         v = jnp.matmul(
@@ -412,6 +492,9 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         elif ell is not None:
             # sparse PRICE: HBM traffic O(nnz) instead of O(m*nt)
             alpha = _ell_price(rho, ell).astype(G.dtype)
+        elif blk is not None:
+            # block-banded PRICE: batched (nb,H)x(nb,H,CB) MXU tiles
+            alpha = _blk_price(rho, blk, G.dtype)
         elif G32 is not None and mixed:
             # HIGHEST: TPU f32 matmuls default to one bf16 MXU pass
             # (~1e-3 error) which would trip the accuracy check every pivot
@@ -529,6 +612,13 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             fdelta = jax.lax.cond(
                 jnp.any(flip),
                 lambda: _ell_matvec(flip_delta, ell),
+                lambda: jnp.zeros_like(Gq),
+            )
+        elif blk is not None:
+            Gq = _blk_col(q, blk, m).astype(G.dtype)
+            fdelta = jax.lax.cond(
+                jnp.any(flip),
+                lambda: _blk_matvec(flip_delta, blk, m).astype(G.dtype),
                 lambda: jnp.zeros_like(Gq),
             )
         else:
@@ -1061,6 +1151,13 @@ def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
         return partial(
             dual_iteration,
             ell=ell_forms(lp.G, opts.price_ell_kc, opts.price_ell_kr),
+        )
+    if opts.price_mode == "block" and opts.price_block_nb > 0:
+        Gb = (lp.G.astype(jnp.float32)
+              if opts.inverse_dtype == "float32" else lp.G)
+        return partial(
+            dual_iteration,
+            blk=block_forms(Gb, opts.price_block_nb, opts.price_block_h),
         )
     if opts.use_pallas_price or opts.inverse_dtype == "float32":
         G32 = lp.G.astype(jnp.float32)

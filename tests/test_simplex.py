@@ -469,3 +469,27 @@ def test_shape_bucketing_certificates():
     assert su.status == ProblemStatus.DUAL_INFEASIBLE
     if su.unbounded_ray is not None:
         assert su.unbounded_ray.shape == (mu.num_cols,)
+
+
+def test_block_price_mode_matches_dense_exactly():
+    """price_mode='block' (block-banded tiles: batched MXU matmuls instead
+    of the full m x nt contraction) reproduces the dense engine's pivot
+    sequence exactly in f64, and falls back to dense on unstructured
+    matrices."""
+    from clp_tpu.simplex.driver import simplex_solve
+    from clp_tpu.utils.generators import random_lp, staircase_lp
+
+    ob = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    ob.presolve.enabled = False
+    obl = SolveOptions(method=SolveMethod.DUAL_SIMPLEX, price_mode="block")
+    obl.presolve.enabled = False
+    stair = lambda: staircase_lp(nblocks=8, bm=32, bn=72, seed=0)  # noqa:E731
+    ref = simplex_solve(stair(), ob, dual=True)
+    sol = simplex_solve(stair(), obl, dual=True)
+    assert sol.status == ref.status == ProblemStatus.OPTIMAL
+    assert sol.iterations == ref.iterations  # identical pivot sequence
+    assert abs(sol.objective_value - ref.objective_value) < 1e-9 * (
+        1 + abs(ref.objective_value))
+    # unstructured: the geometry chooser declines and runs dense
+    r2 = simplex_solve(random_lp(30, 50, seed=1), obl, dual=True)
+    assert r2.status == ProblemStatus.OPTIMAL
