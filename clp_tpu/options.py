@@ -108,7 +108,10 @@ class SolveOptions:
     # block-banded LPs (staircase/multi-period) price as batched small
     # matmuls — tile area ~8x below m*nt on the bench staircase, exact
     # same pivot sequence (falls back to dense when the structure isn't
-    # there)
+    # there). MEASURED on the v5e: 0.76x the fused dense+Pallas path at
+    # 2048x4608 (64 batched 256x104 matmuls underfill the MXU and lose
+    # the fused Harris pass-1), so it stays opt-in; its compile is ~10x
+    # faster (19 s vs 191 s), which can win one-shot solves.
     price_mode: str = "auto"  # "auto" | "dense" | "pm1" | "block"
     # dual ratio test: "bfrt" = long-step bound-flipping ratio test (walk
     # past boxed breakpoints while the leaving row's infeasibility slope
