@@ -124,3 +124,93 @@ def test_fuzz_extreme_scaling(seed):
             assert sol.status == clp_tpu.ProblemStatus.OPTIMAL, (seed, method)
             obj_match = abs(sol.objective_value - ref.fun) < 1e-5 * (1 + abs(ref.fun))
             assert obj_match or check_kkt(mm).ok, (seed, method, sol.objective_value, ref.fun)
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_gub_engine_spicy_bounds(trial):
+    """GUB engine vs HiGHS under degenerate sets, fixed/free/duplicate
+    members, one-sided and equality GUB rows (trimmed from a 120-trial
+    battery run at zero failures)."""
+    from clp_tpu.gub import solve_gub
+
+    rng = np.random.default_rng(trial * 7 + 1)
+    K, per = int(rng.integers(3, 12)), int(rng.integers(2, 7))
+    mg = int(rng.integers(0, 6))
+    n = K * per
+    Agen = sp.random(mg, n, density=float(rng.uniform(0.1, 0.6)),
+                     random_state=trial,
+                     data_rvs=lambda s: rng.normal(size=s)).tocsr()
+    gub = np.zeros((K, n))
+    for k in range(K):
+        gub[k, k * per:(k + 1) * per] = 1.0
+    A = sp.vstack([Agen, sp.csr_matrix(gub)]).tocsc()
+    cl = rng.choice([0.0, 0.0, 0.5, -1.0], n)
+    cu = cl + rng.choice([0.0, 1.0, 2.0, INF], n, p=[0.1, 0.4, 0.4, 0.1])
+    kind = rng.random(K)
+    grl = np.where(kind < 0.3, rng.uniform(0.1, 1.0, K),
+                   np.where(kind < 0.5, -INF, 0.1))
+    gru = np.maximum(np.where(kind < 0.3, grl,
+                              np.where(kind < 0.7, 1.5, INF)), grl)
+    m = Model()
+    m.load_problem(A, cl, cu, rng.normal(size=n),
+                   np.concatenate([rng.normal(size=mg) - 2.0, grl]),
+                   np.concatenate([rng.normal(size=mg) + 3.0, gru]))
+    try:
+        sol = solve_gub(m)
+    except ValueError:
+        return  # unverifiable-claim fallback contract
+    ref = _linprog(m)
+    if ref.status == 0:
+        assert sol.status == clp_tpu.ProblemStatus.OPTIMAL, trial
+        assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    elif ref.status == 2:
+        assert sol.status == clp_tpu.ProblemStatus.PRIMAL_INFEASIBLE
+    elif ref.status == 3:
+        assert sol.status == clp_tpu.ProblemStatus.DUAL_INFEASIBLE
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_piecewise_engine_vs_reformulation(trial):
+    """In-engine piecewise vs the exact reformulation under random kink
+    counts incl. near-coincident kinks (trimmed from a 100-trial battery
+    run at zero failures)."""
+    from clp_tpu.piecewise import set_piecewise_linear_cost, solve_piecewise
+
+    rng = np.random.default_rng(trial + 500)
+    m_, n_ = int(rng.integers(2, 9)), int(rng.integers(4, 14))
+    A = sp.random(m_, n_, density=float(rng.uniform(0.3, 0.8)),
+                  random_state=trial,
+                  data_rvs=lambda s: rng.normal(size=s)).tocsc()
+    b = A @ (rng.random(n_) * 2)
+    lo_val = float(rng.choice([0.0, -1.0, 0.3]))
+    mdl = Model()
+    mdl.load_problem(A, np.full(n_, lo_val), np.full(n_, 3.0),
+                     rng.normal(size=n_), b - rng.random(m_),
+                     b + rng.random(m_))
+    pw = {}
+    for j in rng.choice(n_, int(rng.integers(1, min(5, n_) + 1)),
+                        replace=False):
+        k = int(rng.integers(1, 7))
+        if k == 1:
+            bps, slopes = np.array([lo_val, 3.0]), rng.normal(size=1)
+        else:
+            inner = np.sort(rng.uniform(lo_val + 1e-3, 3.0 - 1e-3, k - 1))
+            if rng.random() < 0.2 and k > 2:
+                inner[1] = inner[0] + 1e-7  # near-coincident kinks
+            bps = np.concatenate([[lo_val], inner, [3.0]])
+            slopes = np.sort(rng.normal(size=k))
+        pw[int(j)] = (bps, slopes)
+    mref = mdl.copy()
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o.presolve.enabled = False
+    try:
+        for j in pw:
+            set_piecewise_linear_cost(mref, j, *pw[j])
+        sref = mref.initial_solve(o)
+    except ValueError:
+        return
+    sol = solve_piecewise(mdl, pw)
+    assert sol.status == sref.status, trial
+    if sref.status == clp_tpu.ProblemStatus.OPTIMAL:
+        assert abs(sol.objective_value - sref.objective_value) < 1e-5 * (
+            1 + abs(sref.objective_value)), trial
