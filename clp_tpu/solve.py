@@ -152,6 +152,29 @@ def _auto_method(model: Model, options: SolveOptions,
         # plus a small dense finish (bigsolve.py)
         m >= 4096 and nnz < 0.01 * m * n
     ):
+        # ...unless the sparse NORMAL EQUATIONS factor in O(fill): then
+        # the multifrontal barrier reaches full accuracy directly —
+        # measured on a 4096x8192 window LP: 44 s no-cross barrier
+        # (KKT 5e-12) vs 172 s PDLP+polish vs 427 s with the dense-dual
+        # crossover, identical objectives. No-cross: at this scale the
+        # crossover's dense dual dominates; users needing a basis pick
+        # BARRIER explicitly.
+        if 4096 <= m <= 8192 and dense_bytes <= 4 << 30:
+            import scipy.sparse as _sp
+
+            from .ops.sparse_chol import make_normal_solver
+
+            try:
+                # routing probe only: _solve_barrier rebuilds the solver
+                # from the actual IPM form (columns may differ after
+                # fixed-column elimination)
+                probe = make_normal_solver(
+                    _sp.hstack([model.matrix, _sp.eye(m)]).tocsr(),
+                    reg=1e-10)
+            except Exception:
+                probe = None
+            if probe is not None:
+                return SolveMethod.BARRIER_NO_CROSS
         return SolveMethod.PDLP
     # backend-aware: on TPU the mixed-precision dual simplex is the
     # measured champion at netlib scale — 7.4 s end-to-end (incl. compile)
@@ -274,6 +297,9 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
             Gh = np.asarray(lp.G)
             m_ = Gh.shape[0]
             if m_ >= 512 and np.count_nonzero(Gh) < 0.02 * Gh.size:
+                # rebuilt from the ACTUAL IPM G (to_ipm_form may drop
+                # fixed columns, so _auto_method's routing probe cannot
+                # be reused — only its decision is)
                 solver = make_normal_solver(
                     _sp.csr_matrix(Gh), reg=float(opts.reg_dual) + 1e-12)
                 if solver is not None:
