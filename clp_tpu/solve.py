@@ -164,15 +164,21 @@ def _auto_method(model: Model, options: SolveOptions,
 
             from .ops.sparse_chol import make_normal_solver
 
-            try:
-                # routing probe only: _solve_barrier rebuilds the solver
-                # from the actual IPM form (columns may differ after
-                # fixed-column elimination)
-                probe = make_normal_solver(
-                    _sp.hstack([model.matrix, _sp.eye(m)]).tocsr(),
-                    reg=1e-10)
-            except Exception:
-                probe = None
+            key = (id(model.matrix), m, n)
+            cached = getattr(model, "_normal_probe_cache", None)
+            if cached is not None and cached[0] == key:
+                probe = cached[1]
+            else:
+                try:
+                    # routing probe only: _solve_barrier rebuilds the
+                    # solver from the actual IPM form (columns may differ
+                    # after fixed-column elimination)
+                    probe = make_normal_solver(
+                        _sp.hstack([model.matrix, _sp.eye(m)]).tocsr(),
+                        reg=1e-10)
+                except Exception:
+                    probe = None
+                model._normal_probe_cache = (key, probe)
             if probe is not None:
                 return SolveMethod.BARRIER_NO_CROSS
         return SolveMethod.PDLP
