@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .constants import INF, ProblemStatus, SecondaryStatus, SolveMethod
-from .forms import to_ipm_form, expand_ipm_solution
+from .forms import StandardLP, to_ipm_form, expand_ipm_solution
 from .model import Model, Solution
 from .options import SolveOptions
 
@@ -260,12 +260,59 @@ def _rcm_band_plan(G: np.ndarray):
     return perm, nb
 
 
+def _pad_ipm_lp(lp: StandardLP, bucket: int):
+    """Pad the IPM standard form (m, nt) up to shape-bucket multiples so
+    nearby shapes share ONE compiled barrier program — the IPM analogue
+    of the simplex driver's _bucketed_solve, addressing the per-shape
+    XLA compile cost that dominates one-shot QP/barrier solves on TPU.
+
+    to_ipm_form substitutes fixed variables out, so the padding must be
+    strictly interior-feasible rather than fixed (a [0, 0] pad column
+    would be stripped and a bare zero row would make the normal
+    equations lean on regularization):
+      - each pad ROW i carries a singleton +1 entry on its own pad
+        column with [-1, 1] bounds: the row reads x_pad = 0 (strictly
+        interior) and contributes a strictly positive diagonal to GDG';
+      - remaining pad COLUMNS are all-zero with cost 0 and [-1, 1]
+        bounds: reduced cost identically 0, no coupling to the LP.
+    Returns (padded_lp, (m, nt)) or (lp, None) when already aligned.
+    """
+    import jax.numpy as jnp
+
+    m, nt = lp.G.shape
+    m2 = -(-m // bucket) * bucket
+    k = m2 - m
+    nt2 = -(-(nt + k) // bucket) * bucket
+    p = nt2 - nt
+    if k == 0 and p == 0:
+        return lp, None
+    dtype = lp.G.dtype
+    G2 = jnp.zeros((m2, nt2), dtype).at[:m, :nt].set(lp.G)
+    if k:
+        G2 = G2.at[m + jnp.arange(k), nt + jnp.arange(k)].set(1.0)
+    pad1 = jnp.ones(p, dtype)
+    lp2 = StandardLP(
+        G=G2,
+        b=jnp.concatenate([lp.b, jnp.zeros(k, dtype)]),
+        c=jnp.concatenate([lp.c, jnp.zeros(p, dtype)]),
+        l=jnp.concatenate([lp.l, -pad1]),
+        u=jnp.concatenate([lp.u, pad1]),
+        Q=None if lp.Q is None else
+        jnp.zeros((nt2, nt2), dtype).at[:nt, :nt].set(lp.Q),
+    )
+    return lp2, (m, nt)
+
+
 def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
     import dataclasses as _dc
 
     from .interior.mehrotra import IPMOptions, ipm_solve_jit
 
     lp, info = to_ipm_form(model)
+    pad_dims = None
+    bucket = int(getattr(options, "shape_bucket", 0) or 0)
+    if bucket > 0:
+        lp, pad_dims = _pad_ipm_lp(lp, bucket)
     boost = 100.0 if options.barrier_regularize else 1.0
     opts = IPMOptions(
         tol=options.barrier_tolerance,
@@ -327,6 +374,15 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
         y_full = np.empty_like(np.asarray(res.y))
         y_full[perm] = np.asarray(res.y)
         res = _dc.replace(res, y=y_full)
+    if pad_dims is not None:
+        m0, nt0 = pad_dims
+        res = _dc.replace(
+            res,
+            x=np.asarray(res.x)[:nt0],
+            y=np.asarray(res.y)[:m0],
+            z=np.asarray(res.z)[:nt0],
+            w=np.asarray(res.w)[:nt0],
+        )
     sol = _ipm_to_solution(model, res, info, options)
     return sol
 

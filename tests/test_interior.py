@@ -315,3 +315,63 @@ def test_pdlp_classifies_infeasible_and_unbounded():
                   objective=[-float(m.objective[0]) - 1.0])
     s2 = m.initial_solve(o)
     assert s2.status == clp_tpu.ProblemStatus.DUAL_INFEASIBLE
+
+
+def test_ipm_shape_bucketing_shares_programs():
+    """SolveOptions.shape_bucket on the BARRIER path pads the IPM
+    standard form to bucket multiples with strictly-interior padding
+    (pad rows read x_pad = 0 through a singleton column; fixed padding
+    would be stripped by to_ipm_form) so nearby shapes share ONE
+    compiled barrier program; results match the unbucketed solve."""
+    import time
+
+    from clp_tpu.solve import _pad_ipm_lp, _solve_barrier
+    from clp_tpu.forms import to_ipm_form
+
+    # padding invariants on a model with a FIXED column (the tricky case)
+    mfix = random_lp(13, 21, seed=9)
+    mfix.col_lower = mfix.col_lower.copy()
+    mfix.col_upper = mfix.col_upper.copy()
+    mfix.col_lower[3] = mfix.col_upper[3] = 0.5
+    lp, _ = to_ipm_form(mfix)
+    lp2, dims = _pad_ipm_lp(lp, 64)
+    assert dims == (lp.G.shape[0], lp.G.shape[1])
+    assert lp2.G.shape[0] % 64 == 0 and lp2.G.shape[1] % 64 == 0
+    # pad rows are satisfied strictly interior at x_pad = 0
+    assert np.all(np.asarray(lp2.l)[lp.G.shape[1]:] < 0)
+    assert np.all(np.asarray(lp2.u)[lp.G.shape[1]:] > 0)
+
+    walls = []
+    for m_, n_ in [(37, 61), (41, 59)]:
+        mod = random_lp(m_, n_, seed=5)
+        ref = _solve_barrier(random_lp(m_, n_, seed=5),
+                             SolveOptions(method=SolveMethod.BARRIER))
+        o = SolveOptions(method=SolveMethod.BARRIER, shape_bucket=64)
+        t0 = time.time()
+        sol = _solve_barrier(mod, o)
+        walls.append(time.time() - t0)
+        assert sol.status == ref.status == clp_tpu.ProblemStatus.OPTIMAL
+        assert abs(sol.objective_value - ref.objective_value) < 1e-6 * (
+            1 + abs(ref.objective_value))
+        assert sol.primal.shape == (n_,)
+        assert sol.duals.shape == (m_,)
+        rep = check_kkt(mod, x=sol.primal, y=sol.duals, tol=1e-5)
+        assert rep.ok, rep
+    # the second odd shape lands in the same bucket: no recompile
+    assert walls[1] < walls[0] / 2, walls
+
+
+def test_ipm_shape_bucketing_qp():
+    """Bucketed barrier on a separable QP: padded diagonal Q stays
+    diagonal so the q_diag fast branches still apply."""
+    import scipy.sparse as sp
+
+    m = random_lp(11, 17, seed=31)
+    m.load_quadratic_objective(sp.diags(np.linspace(0.5, 2.0, 17)).tocsc())
+    ref = _solve_barrier(m)
+    o = SolveOptions(method=SolveMethod.BARRIER, shape_bucket=32)
+    from clp_tpu.solve import _solve_barrier as sb
+    sol = sb(m, o)
+    assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.objective_value) < 1e-6 * (
+        1 + abs(ref.objective_value))
