@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .constants import INF
+from .constants import INF, VariableStatus
 from .model import Model, Solution
 from .options import SolveOptions
 
@@ -84,3 +84,95 @@ def idiot_crash(model: Model, options: SolveOptions) -> Solution:
     cscale = 1.0 + float(jnp.max(jnp.abs(c), initial=0.0))
     x = _idiot_descend(A, c, rl, ru, cl, cu, x0, 10.0 / cscale, majors, minors)
     return Solution(primal=np.asarray(x))
+
+
+def triangular_crash(model: Model, options: SolveOptions = None) -> Solution:
+    """Structural triangular crash basis (reference: ClpSimplex::crash,
+    ClpSimplex.hpp:562 / ClpSimplex.cpp — Bixby-style column selection).
+
+    Greedily assigns columns to pivot rows so that, ordered by assignment
+    time, each selected column has its pivot as the ONLY nonzero in
+    not-yet-assigned rows. The selected columns plus the remaining slacks
+    then form a permuted-triangular basis: guaranteed nonsingular, no
+    factorization risk, and on structured LPs (staircase, transport) it
+    captures a large fraction of the rows so the simplex starts far from
+    the all-slack corner.
+
+    Host-side and O(passes * nnz): this is setup work, not compute-path
+    work, mirroring where the reference runs it (before startup()).
+    Returns a status-only warm Solution consumed by simplex_solve.
+
+    Measured (CPU, staircase 640x1360): captures 382/640 rows but COSTS
+    iterations vs the all-slack start (dual 1079 -> 1202, primal 3838 ->
+    5362) — steepest-edge pricing from the clean all-slack corner beats
+    a structural basis whose nonbasic slacks park dual-infeasibly. Kept
+    as opt-in capability parity (`crash="triangular"`), not auto-wired,
+    same rationale as the idiot-primal measurement in _auto_idiot.
+    """
+    A = model.matrix.tocsc()
+    m, n = A.shape
+    cl = np.asarray(model.col_lower, dtype=np.float64)
+    cu = np.asarray(model.col_upper, dtype=np.float64)
+    rl = np.asarray(model.row_lower, dtype=np.float64)
+    ru = np.asarray(model.row_upper, dtype=np.float64)
+    obj = np.asarray(model.objective, dtype=np.float64)
+    sense = model.optimization_direction if model.optimization_direction != 0 else 1.0
+
+    counts = np.diff(A.indptr)
+    has_lo = cl > -INF
+    has_up = cu < INF
+    fixed = has_lo & has_up & (cu - cl < 1e-12)
+    # preference: free columns first (they should be basic in any optimal
+    # basis), then single-bound, then boxed; fewer nonzeros break ties
+    type_score = np.where(~has_lo & ~has_up, 0,
+                          np.where(has_lo ^ has_up, 1, 2))
+    type_score = np.where(fixed | (counts == 0), 9, type_score)
+    order = np.lexsort((counts, type_score))
+    order = order[type_score[order] < 9]
+
+    indptr, indices, data = A.indptr, A.indices, A.data
+    row_done = np.zeros(m, dtype=bool)
+    col_row = np.full(n, -1, dtype=np.int64)
+    # rows whose slack has no finite bound must keep it basic
+    row_eligible = (rl > -INF) | (ru < INF)
+    changed = True
+    while changed:
+        changed = False
+        for j in order:
+            if col_row[j] >= 0:
+                continue
+            s, e = indptr[j], indptr[j + 1]
+            rows = indices[s:e]
+            vals = data[s:e]
+            live = ~row_done[rows] & row_eligible[rows]
+            if np.count_nonzero(live) != 1:
+                continue
+            k = np.flatnonzero(live)[0]
+            if abs(vals[k]) < 1e-2 * np.max(np.abs(vals)):
+                continue  # pivot too small relative to its column
+            row_done[rows[k]] = True
+            col_row[j] = rows[k]
+            changed = True
+
+    col_status = np.empty(n, dtype=np.int8)
+    csense = obj * sense
+    for j in range(n):
+        if col_row[j] >= 0:
+            col_status[j] = int(VariableStatus.BASIC)
+        elif fixed[j]:
+            col_status[j] = int(VariableStatus.FIXED)
+        elif has_lo[j] and (csense[j] >= 0 or not has_up[j]):
+            col_status[j] = int(VariableStatus.AT_LOWER)
+        elif has_up[j]:
+            col_status[j] = int(VariableStatus.AT_UPPER)
+        else:
+            col_status[j] = int(VariableStatus.FREE)
+    row_status = np.empty(m, dtype=np.int8)
+    for i in range(m):
+        if not row_done[i]:
+            row_status[i] = int(VariableStatus.BASIC)
+        elif rl[i] > -INF:
+            row_status[i] = int(VariableStatus.AT_LOWER)
+        else:
+            row_status[i] = int(VariableStatus.AT_UPPER)
+    return Solution(column_status=col_status, row_status=row_status)

@@ -54,7 +54,7 @@ class SolveOptions:
     # ClpFactorization::timeToRefactorize)
     refactor_frequency: Optional[int] = None
     dual_bound: float = 1e10  # fake bound magnitude (dualBound param)
-    crash: str = "none"  # "none" | "idiot" | "allslack"
+    crash: str = "none"  # "none" | "idiot" | "triangular" | "allslack"
     idiot_passes: int = 0
     sprint_passes: int = 100
     slp_passes: int = 0

@@ -202,7 +202,7 @@ _reg(Param("scaling", "kwd", "automatic", "off/equilibrium/geometric/automatic/d
            ("off", "equilibrium", "geometric", "automatic", "dynamic")))
 _reg(Param("presolve", "kwd", "on", "on/off/more", _presolve_kwd, ("on", "off", "more")))
 _reg(Param("crash", "kwd", "off", "initial basis heuristic", lambda cli, v: _set_opts("crash")(cli, str(v).lower()),
-           ("off", "idiot", "allslack")))
+           ("off", "idiot", "triangular", "allslack")))
 _reg(Param("dualPivot", "kwd", "steepest", "dual pricing rule", _set_opts("dual_pivot"),
            ("steepest", "dantzig", "pesteepest")))
 _reg(Param("primalPivot", "kwd", "devex", "primal pricing rule", _set_opts("primal_pivot"),

@@ -683,6 +683,10 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             from .crash import idiot_crash
 
             warm = idiot_crash(work, options)
+        elif options.crash == "triangular":
+            from .crash import triangular_crash
+
+            warm = triangular_crash(work, options)
         sol = _solve_simplex(work, options, dual=True, warm=warm)
     elif method in (SolveMethod.PRIMAL_SIMPLEX, SolveMethod.PRIMAL_IDIOT):
         warm = None
@@ -690,6 +694,10 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             from .crash import idiot_crash
 
             warm = idiot_crash(work, options)
+        elif options.crash == "triangular":
+            from .crash import triangular_crash
+
+            warm = triangular_crash(work, options)
         sol = _solve_simplex(work, options, dual=False, warm=warm)
     elif method == SolveMethod.SPRINT:
         from .sprint import sprint_solve

@@ -493,3 +493,27 @@ def test_block_price_mode_matches_dense_exactly():
     # unstructured: the geometry chooser declines and runs dense
     r2 = simplex_solve(random_lp(30, 50, seed=1), obl, dual=True)
     assert r2.status == ProblemStatus.OPTIMAL
+
+
+def test_triangular_crash_basis_is_valid_and_matches():
+    """crash="triangular" builds a permuted-triangular structural basis
+    (ClpSimplex::crash role): exactly #captured-rows columns basic, the
+    warm solve reaches the same optimum as the all-slack start. Opt-in
+    only — measured to cost iterations vs all-slack (see crash.py)."""
+    from clp_tpu.crash import triangular_crash
+    from clp_tpu.utils.generators import staircase_lp
+
+    m = staircase_lp(6, 12, 20, seed=3)
+    w = triangular_crash(m)
+    nbc = int((np.asarray(w.column_status) == 1).sum())
+    nbr = int((np.asarray(w.row_status) == 1).sum())
+    assert nbc + nbr == m.num_rows  # exactly m basics
+    assert nbc > 0  # staircase structure must capture some rows
+
+    o0 = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    o1 = SolveOptions(method=SolveMethod.DUAL_SIMPLEX, crash="triangular")
+    a = staircase_lp(6, 12, 20, seed=3).initial_solve(o0)
+    b = staircase_lp(6, 12, 20, seed=3).initial_solve(o1)
+    assert a.status == b.status == ProblemStatus.OPTIMAL
+    assert abs(a.objective_value - b.objective_value) < 1e-7 * (
+        1 + abs(a.objective_value))
