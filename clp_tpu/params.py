@@ -157,6 +157,9 @@ _reg(Param("progress", "dbl", 1.0, "progress display: 0 = deterministic table mo
 # integer parameters
 # ---------------------------------------------------------------------------
 _reg(Param("maxIterations", "int", 2**31 - 1, "iteration limit", _set_opts("max_iterations")))
+_reg(Param("shapeBucket", "int", 0, "pad shapes to this multiple so nearby"
+           " shapes share one compiled program (serving lever; 0 = off)",
+           _set_opts("shape_bucket")))
 _reg(Param("maxFactor", "int", 100, "refactorization frequency", _set_opts("refactor_frequency")))
 _reg(Param("logLevel", "int", 1, "verbosity 0-4",
            lambda cli, v: (setattr(cli, "log_level", int(v)), setattr(cli.options, "log_level", int(v)))))
