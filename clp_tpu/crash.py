@@ -176,3 +176,24 @@ def triangular_crash(model: Model, options: SolveOptions = None) -> Solution:
         else:
             row_status[i] = int(VariableStatus.AT_UPPER)
     return Solution(column_status=col_status, row_status=row_status)
+
+
+def apply_idiot_crash(model: Model, passes: int = 30) -> int:
+    """C-API/CLI helper (Clp_idiot role, Clp_C_Interface.h): run the
+    idiot descent and leave the point on model.solution so a values-pass
+    solve (dual(1)/primal(1)) starts from it."""
+    from .options import SolveOptions
+
+    sol = idiot_crash(model, SolveOptions(idiot_passes=int(passes)))
+    model.solution.primal = np.asarray(sol.primal, dtype=np.float64)
+    model.solution.row_activity = np.asarray(
+        model.matrix @ model.solution.primal, dtype=np.float64)
+    return 0
+
+
+def apply_triangular_crash(model: Model) -> int:
+    """C-API helper (Clp_crash with pivot != 0): build the structural
+    triangular basis and load it as the pending warm start."""
+    w = triangular_crash(model)
+    model.set_basis_status(w.column_status, w.row_status)
+    return 0

@@ -496,6 +496,11 @@ class Model:
     def set_basis_status(self, column_status, row_status) -> None:
         self.solution.column_status = np.asarray(column_status, dtype=np.int8)
         self.solution.row_status = np.asarray(row_status, dtype=np.int8)
+        # an explicitly loaded basis (readBasis / C setBasisStatus / crash)
+        # warm-starts the NEXT simplex solve (reference: statusCopy is the
+        # starting basis of dual()/primal(), ClpModel.hpp:910-914);
+        # consumed once by initial_solve
+        self.warm_start_pending = True
 
     # --- structure detection (replaces ClpPlusMinusOneMatrix / Network classes) ---
     def detect_structure(self) -> dict:

@@ -545,6 +545,36 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
         return sol
 
+    # --- pending warm basis (reference: a basis loaded via readBasis /
+    # setBasisStatus is the simplex starting basis, ClpModel statusCopy).
+    # Presolve would invalidate the status arrays (sizes change), so a
+    # warm-basis solve goes straight to the engine — the basis is worth
+    # far more than presolve on a re-solve.
+    if (
+        getattr(model, "warm_start_pending", False)
+        and options.method in (SolveMethod.DUAL_SIMPLEX,
+                               SolveMethod.PRIMAL_SIMPLEX,
+                               SolveMethod.AUTOMATIC)
+        and model.solution.column_status is not None
+        and model.solution.row_status is not None
+        and np.asarray(model.solution.column_status).size == model.num_cols
+        and np.asarray(model.solution.row_status).size == model.num_rows
+    ):
+        model.warm_start_pending = False
+        warm = Solution(
+            column_status=np.asarray(model.solution.column_status).copy(),
+            row_status=np.asarray(model.solution.row_status).copy(),
+        )
+        sol = _solve_simplex(
+            model, options,
+            dual=options.method != SolveMethod.PRIMAL_SIMPLEX,
+            warm=warm,
+        )
+        sol.solve_time = time.time() - t0
+        model.solution = sol
+        _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
+        return sol
+
     # --- presolve ---
     # QP: Q-aware transforms only (fixed columns fold Q terms into the rim;
     # variable-eliminating transforms are gated off inside presolve() —

@@ -1103,26 +1103,50 @@ int ClpTpu_primalWithValuesPass(ClpTpuModel *m, int v) {
 }
 
 void ClpTpu_idiot(ClpTpuModel *m, int tryhard) {
-  // run the idiot crash to produce a warm starting point
+  // run the idiot crash and leave the point on the model so the next
+  // values-pass solve starts from it (Clp_idiot semantics)
   Gil gil;
   PyObject *mod = PyImport_ImportModule("clp_tpu.crash");
   if (!mod) {
     PyErr_Clear();
     return;
   }
-  PyObject *fn = PyObject_GetAttrString(mod, "idiot_crash");
+  PyObject *fn = PyObject_GetAttrString(mod, "apply_idiot_crash");
   Py_DECREF(mod);
   if (fn) {
     PyObject *r =
         PyObject_CallFunction(fn, "Oi", H(m)->model, tryhard > 0 ? tryhard : 50);
+    if (!r) PyErr_Clear();
     Py_XDECREF(r);
     Py_DECREF(fn);
   }
   PyErr_Clear();
 }
 
-int ClpTpu_crash(ClpTpuModel *m, double, int) {
-  ClpTpu_idiot(m, 30);
+int ClpTpu_crash(ClpTpuModel *m, double, int pivot) {
+  // Clp_crash: pivot selects the variant — 0 keeps the idiot penalty
+  // descent, nonzero builds the structural triangular basis and loads
+  // it as the pending warm start (ClpSimplex::crash role)
+  if (pivot == 0) {
+    ClpTpu_idiot(m, 30);
+    return 0;
+  }
+  Gil gil;
+  PyObject *mod = PyImport_ImportModule("clp_tpu.crash");
+  if (!mod) {
+    PyErr_Clear();
+    return -1;
+  }
+  PyObject *fn = PyObject_GetAttrString(mod, "apply_triangular_crash");
+  Py_DECREF(mod);
+  if (!fn) {
+    PyErr_Clear();
+    return -1;
+  }
+  PyObject *r = PyObject_CallFunction(fn, "O", H(m)->model);
+  if (!r) PyErr_Clear();
+  Py_XDECREF(r);
+  Py_DECREF(fn);
   return 0;
 }
 

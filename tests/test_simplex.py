@@ -517,3 +517,29 @@ def test_triangular_crash_basis_is_valid_and_matches():
     assert a.status == b.status == ProblemStatus.OPTIMAL
     assert abs(a.objective_value - b.objective_value) < 1e-7 * (
         1 + abs(a.objective_value))
+
+
+def test_loaded_basis_warm_starts_next_solve():
+    """A basis loaded via set_basis_status (readBasis / Osi setWarmStart /
+    C Clp_setBasisStatus all route here) is the starting basis of the
+    next solve (reference: statusCopy is dual()/primal()'s start) — the
+    re-solve takes ~0 iterations instead of a cold count."""
+    from clp_tpu.utils.generators import random_lp
+
+    o = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    m1 = random_lp(100, 160, seed=11, density=0.1)
+    s1 = m1.initial_solve(o)
+    assert s1.status == ProblemStatus.OPTIMAL and s1.iterations > 20
+    cs, rs = m1.get_basis_status()
+
+    m2 = random_lp(100, 160, seed=11, density=0.1)
+    m2.set_basis_status(cs, rs)
+    s2 = m2.initial_solve(o)
+    assert s2.status == ProblemStatus.OPTIMAL
+    assert abs(s1.objective_value - s2.objective_value) < 1e-8 * (
+        1 + abs(s1.objective_value))
+    assert s2.iterations <= max(5, s1.iterations // 10), (
+        s1.iterations, s2.iterations)
+    # the pending flag is one-shot: a THIRD solve of the same model goes
+    # through the normal (presolved) path again
+    assert not getattr(m2, "warm_start_pending", False)
