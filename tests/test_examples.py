@@ -30,6 +30,7 @@ ALL = [
     "modify.py",
     "markowitz_frontier.py",
     "sparse_barrier.py",
+    "serving.py",
 ]
 
 
