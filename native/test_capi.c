@@ -242,6 +242,31 @@ int main(void) {
     ClpTpu_deleteModel(m5);
   }
 
+  /* crash hooks: triangular crash loads a pending warm basis (pivot!=0),
+     idiot leaves a values-pass point; both must leave the model solvable */
+  {
+    ClpTpuModel *m6 = ClpTpu_newModel();
+    long long st6[3] = {0, 1, 2};
+    int ix6[2] = {0, 1};
+    double vv6[2] = {1.0, 1.0};
+    double cub6[2] = {4.0, 4.0};
+    double obj6[2] = {-1.0, -2.0};
+    double rub6[2] = {3.0, 3.0};
+    if (ClpTpu_loadProblem(m6, 2, 2, st6, ix6, vv6, NULL, cub6, obj6, NULL,
+                           rub6) != 0)
+      return 1;
+    if (ClpTpu_crash(m6, 0.0, 1) != 0) {
+      fprintf(stderr, "triangular crash failed\n");
+      return 1;
+    }
+    if (ClpTpu_dual(m6) != 0 || ClpTpu_status(m6) != 0) {
+      fprintf(stderr, "post-crash dual solve failed\n");
+      return 1;
+    }
+    ClpTpu_idiot(m6, 10); /* values-pass point; must not error */
+    ClpTpu_deleteModel(m6);
+  }
+
   printf("C API test OK (extended surface)\n");
   return 0;
 }
