@@ -547,33 +547,26 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
 
     # --- pending warm basis (reference: a basis loaded via readBasis /
     # setBasisStatus is the simplex starting basis, ClpModel statusCopy).
-    # Presolve would invalidate the status arrays (sizes change), so a
-    # warm-basis solve goes straight to the engine — the basis is worth
-    # far more than presolve on a re-solve.
+    # Presolve would invalidate the status arrays (sizes change) and is
+    # worth far less than the basis on a re-solve, so it is skipped;
+    # scaling still applies (basis STATUSES are scale-invariant).
+    pending_warm = None
     if (
         getattr(model, "warm_start_pending", False)
         and options.method in (SolveMethod.DUAL_SIMPLEX,
                                SolveMethod.PRIMAL_SIMPLEX,
                                SolveMethod.AUTOMATIC)
+        and model.quadratic_objective is None
         and model.solution.column_status is not None
         and model.solution.row_status is not None
         and np.asarray(model.solution.column_status).size == model.num_cols
         and np.asarray(model.solution.row_status).size == model.num_rows
     ):
         model.warm_start_pending = False
-        warm = Solution(
+        pending_warm = Solution(
             column_status=np.asarray(model.solution.column_status).copy(),
             row_status=np.asarray(model.solution.row_status).copy(),
         )
-        sol = _solve_simplex(
-            model, options,
-            dual=options.method != SolveMethod.PRIMAL_SIMPLEX,
-            warm=warm,
-        )
-        sol.solve_time = time.time() - t0
-        model.solution = sol
-        _fire(model, Event.END_SOLVE, status=sol.status, time=sol.solve_time)
-        return sol
 
     # --- presolve ---
     # QP: Q-aware transforms only (fixed columns fold Q terms into the rim;
@@ -590,7 +583,7 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         model.solution = sol
         return sol
 
-    if options.presolve.enabled:
+    if options.presolve.enabled and pending_warm is None:
         from .presolve import presolve as run_presolve
 
         if _fire(model, Event.PRESOLVE_START):
@@ -631,7 +624,13 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         timings = {}
     method = options.method
     auto_idiot_dual = False
-    if method == SolveMethod.AUTOMATIC:
+    if pending_warm is not None:
+        # a loaded basis pins the engine: specialized routings (network/
+        # GUB/sprint/PDLP) cannot consume it
+        method = (SolveMethod.PRIMAL_SIMPLEX
+                  if method == SolveMethod.PRIMAL_SIMPLEX
+                  else SolveMethod.DUAL_SIMPLEX)
+    elif method == SolveMethod.AUTOMATIC:
         ai = _auto_idiot(work)
         method = _auto_method(work, options, idiot_hint=ai)
         auto_idiot_dual = method == SolveMethod.DUAL_SIMPLEX and ai
@@ -706,25 +705,26 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
 
         sol = qp_simplex_solve(work, options)
     elif method == SolveMethod.DUAL_SIMPLEX:
-        warm = None
-        if auto_idiot_dual or options.crash == "idiot":
+        warm = pending_warm
+        if warm is None and (auto_idiot_dual or options.crash == "idiot"):
             # idiot point -> values-pass dual (doIdiot auto-invocation;
             # see _auto_idiot for the measured primal-vs-dual deviation)
             from .crash import idiot_crash
 
             warm = idiot_crash(work, options)
-        elif options.crash == "triangular":
+        elif warm is None and options.crash == "triangular":
             from .crash import triangular_crash
 
             warm = triangular_crash(work, options)
         sol = _solve_simplex(work, options, dual=True, warm=warm)
     elif method in (SolveMethod.PRIMAL_SIMPLEX, SolveMethod.PRIMAL_IDIOT):
-        warm = None
-        if method == SolveMethod.PRIMAL_IDIOT or options.crash == "idiot":
+        warm = pending_warm
+        if warm is None and (method == SolveMethod.PRIMAL_IDIOT
+                             or options.crash == "idiot"):
             from .crash import idiot_crash
 
             warm = idiot_crash(work, options)
-        elif options.crash == "triangular":
+        elif warm is None and options.crash == "triangular":
             from .crash import triangular_crash
 
             warm = triangular_crash(work, options)
