@@ -109,6 +109,54 @@ def fire_event(model, which: Event, **info) -> bool:
 
 
 @dataclasses.dataclass
+class DisasterSnapshot:
+    """State handed to a DisasterHandler when a solve hits a terminal
+    numerical failure: the model, which engine failed, the engine status
+    code, iterations spent, and the basis statuses at the failure point
+    (standard-form vstat: structurals then slacks)."""
+
+    model: object
+    algorithm: str  # "dual" | "primal"
+    status: int  # engine status code (simplex.engine.NUMERICAL etc.)
+    iterations: int
+    vstat: object  # np.ndarray int32[n + m] at the failure point
+    # the handler may adjust these before the recovery retry fires;
+    # recognised keys: primal_tolerance, dual_tolerance, pivot_tolerance,
+    # dual_bound, refactor_frequency, max_iterations
+    retry_options: dict = dataclasses.field(default_factory=dict)
+
+
+class DisasterHandler:
+    """Pluggable catastrophic-recovery callback — the ClpDisasterHandler
+    analogue (ClpEventHandler.hpp:154-205, attached via
+    ClpSimplex::setDisasterHandler, ClpSimplex.hpp:992-1001).
+
+    Attach with ``model.disaster_handler = handler``. When a simplex solve
+    reaches a terminal numerical-failure state AFTER the driver's built-in
+    escalation chain (algorithm switch -> full-f64 -> perturbation retry),
+    the driver calls ``save_info(snapshot)`` then ``check(snapshot)``. If
+    check returns True and ``type_of_disaster()`` is 0 ("can fix"), the
+    driver runs ONE recovery retry: a fresh all-slack full-f64 solve with
+    any tolerance adjustments the handler left in
+    ``snapshot.retry_options``. Type 1 ("abort") accepts the failure.
+    """
+
+    def into_simplex(self, model) -> None:
+        """Called when the simplex driver takes over the model."""
+
+    def check(self, snapshot: DisasterSnapshot) -> bool:
+        """Return True if this failure should trigger a recovery retry."""
+        return False
+
+    def save_info(self, snapshot: DisasterSnapshot) -> None:
+        """Record state for the next attempt (reference saveInfo)."""
+
+    def type_of_disaster(self) -> int:
+        """0 = recoverable (retry fires), 1 = abort (reference contract)."""
+        return 0
+
+
+@dataclasses.dataclass
 class Message:
     number: int
     level: int

@@ -533,7 +533,7 @@ class Model:
         m = Model()
         # handlers are shared by reference, not deep-copied: they can hold
         # streams/closures (reference: handlers are pointers on ClpModel)
-        shared = ("event_handler", "message_handler")
+        shared = ("event_handler", "message_handler", "disaster_handler")
         m.__dict__ = {
             k: (
                 v

@@ -669,6 +669,13 @@ def simplex_solve(
 
     ev(Event.END_OF_CREATE_RIM, rows=m, cols=n)
 
+    # pluggable catastrophic-recovery callback (ClpDisasterHandler,
+    # ClpSimplex.hpp:992-1001): announce the takeover; the recovery hook
+    # itself fires at the terminal-failure exit below
+    disaster = getattr(model, "disaster_handler", None)
+    if disaster is not None:
+        disaster.into_simplex(model)
+
     # chunked host loop when wall-clock limits or a progress table are
     # wanted (reference -progress/-progressIter; log level >= 3 implies a
     # live table at every chunk)
@@ -1051,6 +1058,54 @@ def simplex_solve(
                 state, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
             )
             st = engine.NUMERICAL
+
+    # disaster handler: pluggable last-resort recovery, fired only after
+    # EVERY built-in escalation (algorithm switch -> full-f64 ->
+    # perturbation) failed (ClpDisasterHandler contract: check() then
+    # typeOfDisaster() 0 = can fix, 1 = abort; ClpEventHandler.hpp:154-167)
+    if disaster is not None and st in (engine.NUMERICAL, engine.CONTINUE):
+        from ..events import DisasterSnapshot
+
+        snap = DisasterSnapshot(
+            model=model,
+            algorithm="dual" if dual else "primal",
+            status=st,
+            iterations=int(state.iterations),
+            vstat=np.asarray(state.vstat).copy(),
+        )
+        disaster.save_info(snap)
+        if disaster.check(snap) and disaster.type_of_disaster() == 0:
+            _msg("CLP_SINGULAR_FACTOR", n=1)
+            allowed = {
+                "primal_tolerance", "dual_tolerance", "pivot_tolerance",
+                "dual_bound", "refactor_frequency", "max_iterations",
+            }
+            adj = {k: v for k, v in snap.retry_options.items() if k in allowed}
+            opts_r = dataclasses.replace(
+                opts, inverse_dtype="float64", use_pallas_price=False,
+                use_pallas_pivot=False, **adj,
+            )
+            state_r = initial_state(lp, opts_r)
+            state_r = recompute(lp, state_r, opts_r.dual_bound)
+            if dual:
+                state_r = make_dual_feasible(lp, state_r, opts_r)
+                state_r = dsolve(lp, state_r, opts_r)
+            else:
+                state_r = psolve(lp, state_r, opts_r)
+            st_r = int(state_r.status)
+            # the recovery claim passes the same exact-certificate gates
+            # as every other path
+            if st_r == engine.DUAL_INFEASIBLE and not _unbounded_certificate_ok(
+                lp, state_r
+            ):
+                st_r = engine.NUMERICAL
+            if st_r == engine.PRIMAL_INFEASIBLE and not _infeasibility_certificate_ok(
+                lp, state_r
+            ):
+                st_r = engine.NUMERICAL
+            if st_r in (engine.OPTIMAL, engine.PRIMAL_INFEASIBLE,
+                        engine.DUAL_INFEASIBLE):
+                state, st, opts = state_r, st_r, opts_r
 
     ev(Event.END_IN_DUAL if dual else Event.END_IN_PRIMAL, status=st)
     ev(Event.BEFORE_DELETE_RIM)

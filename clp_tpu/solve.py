@@ -349,7 +349,13 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
 
             Gh = np.asarray(lp.G)
             m_ = Gh.shape[0]
-            if m_ >= 512 and np.count_nonzero(Gh) < 0.02 * Gh.size:
+            # shape bucketing exists to share ONE compiled program across
+            # nearby shapes; make_normal_solver embeds a per-PATTERN
+            # numeric callback in IPMOptions, which would recompile per
+            # model and defeat the bucket — so the bucketed path sticks
+            # to the dense/banded branches (trade-off: bucketed sparse
+            # models factor dense; pick sparse_chol OR shape_bucket)
+            if bucket == 0 and m_ >= 512 and np.count_nonzero(Gh) < 0.02 * Gh.size:
                 # rebuilt from the ACTUAL IPM G (to_ipm_form may drop
                 # fixed columns, so _auto_method's routing probe cannot
                 # be reused — only its decision is)
@@ -443,6 +449,14 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         sol.solve_time = time.time() - t0
         model.solution = sol
         return sol
+
+    # A pending warm basis is consumed by THIS solve, whatever route it
+    # takes: capture the flag and clear it now, so an early-return route
+    # (piecewise / dualize / values pass / barrier-family methods) that
+    # cannot use the basis drops it explicitly instead of leaving it set
+    # for a LATER solve to misinterpret.
+    warm_basis_pending = bool(getattr(model, "warm_start_pending", False))
+    model.warm_start_pending = False
 
     # --- piecewise-linear costs (ClpNonLinearCost attachment): route to
     # the in-engine kink-aware primal simplex; presolve/scaling would
@@ -552,9 +566,10 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     # scaling still applies (basis STATUSES are scale-invariant).
     pending_warm = None
     if (
-        getattr(model, "warm_start_pending", False)
+        warm_basis_pending
         and options.method in (SolveMethod.DUAL_SIMPLEX,
                                SolveMethod.PRIMAL_SIMPLEX,
+                               SolveMethod.PRIMAL_IDIOT,
                                SolveMethod.AUTOMATIC)
         and model.quadratic_objective is None
         and model.solution.column_status is not None
@@ -562,7 +577,6 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
         and np.asarray(model.solution.column_status).size == model.num_cols
         and np.asarray(model.solution.row_status).size == model.num_rows
     ):
-        model.warm_start_pending = False
         pending_warm = Solution(
             column_status=np.asarray(model.solution.column_status).copy(),
             row_status=np.asarray(model.solution.row_status).copy(),
@@ -626,9 +640,12 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
     auto_idiot_dual = False
     if pending_warm is not None:
         # a loaded basis pins the engine: specialized routings (network/
-        # GUB/sprint/PDLP) cannot consume it
+        # GUB/sprint/PDLP) cannot consume it; a PRIMAL_IDIOT request keeps
+        # the primal engine (the basis replaces the idiot point — the
+        # dispatch below only runs the idiot crash when warm is None)
         method = (SolveMethod.PRIMAL_SIMPLEX
-                  if method == SolveMethod.PRIMAL_SIMPLEX
+                  if method in (SolveMethod.PRIMAL_SIMPLEX,
+                                SolveMethod.PRIMAL_IDIOT)
                   else SolveMethod.DUAL_SIMPLEX)
     elif method == SolveMethod.AUTOMATIC:
         ai = _auto_idiot(work)

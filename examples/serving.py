@@ -45,4 +45,7 @@ perturbed.set_basis_status(cs, rs)  # pending warm start
 warm = perturbed.initial_solve(opts)
 print(f"perturbed re-solve: {warm.status.name} obj {warm.objective_value:.8g} "
       f"its {warm.iterations} (cold was {sol.iterations})")
-assert warm.iterations <= sol.iterations
+# the warm re-solve should need far fewer pivots than the cold solve; a
+# tolerant bound keeps the example robust to seed/platform pricing noise
+# (the strict 0-iteration round-trip check lives in tests/test_simplex.py)
+assert warm.iterations <= sol.iterations // 2 + 5

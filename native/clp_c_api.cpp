@@ -1104,7 +1104,11 @@ int ClpTpu_primalWithValuesPass(ClpTpuModel *m, int v) {
 
 void ClpTpu_idiot(ClpTpuModel *m, int tryhard) {
   // run the idiot crash and leave the point on the model so the next
-  // values-pass solve starts from it (Clp_idiot semantics)
+  // values-pass solve starts from it. Clp_idiot encodes its argument as
+  // (passes << 3) | lightweight-mode (ClpMain's -idiotCrash plumbing),
+  // so reference-conditioned values above 7 are decoded the same way
+  // here; small raw values are taken as pass counts directly.
+  int passes = tryhard > 7 ? (tryhard >> 3) : tryhard;
   Gil gil;
   PyObject *mod = PyImport_ImportModule("clp_tpu.crash");
   if (!mod) {
@@ -1115,7 +1119,7 @@ void ClpTpu_idiot(ClpTpuModel *m, int tryhard) {
   Py_DECREF(mod);
   if (fn) {
     PyObject *r =
-        PyObject_CallFunction(fn, "Oi", H(m)->model, tryhard > 0 ? tryhard : 50);
+        PyObject_CallFunction(fn, "Oi", H(m)->model, passes > 0 ? passes : 50);
     if (!r) PyErr_Clear();
     Py_XDECREF(r);
     Py_DECREF(fn);
@@ -1124,13 +1128,12 @@ void ClpTpu_idiot(ClpTpuModel *m, int tryhard) {
 }
 
 int ClpTpu_crash(ClpTpuModel *m, double, int pivot) {
-  // Clp_crash: pivot selects the variant — 0 keeps the idiot penalty
-  // descent, nonzero builds the structural triangular basis and loads
-  // it as the pending warm start (ClpSimplex::crash role)
-  if (pivot == 0) {
-    ClpTpu_idiot(m, 30);
-    return 0;
-  }
+  // Clp_crash: `pivot` selects the PIVOTING strategy in the reference,
+  // not the algorithm — every value builds a crash basis. Here all
+  // values build the structural triangular basis and load it as the
+  // pending warm start (ClpSimplex::crash role); the idiot descent
+  // stays behind ClpTpu_idiot, matching the reference split.
+  (void)pivot;
   Gil gil;
   PyObject *mod = PyImport_ImportModule("clp_tpu.crash");
   if (!mod) {

@@ -286,3 +286,109 @@ def test_nonlinear_hooks_in_piecewise():
     names = [w for w, _ in h.seen]
     assert Event.BEFORE_CREATE_NON_LINEAR in names
     assert Event.AFTER_CREATE_NON_LINEAR in names
+
+
+# ---------------------------------------------------------------------------
+# Disaster handler (ClpDisasterHandler analogue, ClpSimplex.hpp:992-1001)
+# ---------------------------------------------------------------------------
+
+
+def test_disaster_handler_fires_and_recovers(monkeypatch):
+    """Poison the engine so every built-in escalation fails, then verify
+    the attached DisasterHandler fires (into_simplex / save_info / check)
+    and its recovery retry — on the healed engine — reaches OPTIMAL."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from clp_tpu.simplex import driver as drv, engine as eng
+    from clp_tpu.events import DisasterHandler
+
+    ref = random_lp(12, 20, seed=3).initial_solve(
+        SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert ref.status == ProblemStatus.OPTIMAL
+
+    real_dual, real_primal = drv.dual_solve, drv.primal_solve
+    healed = {"flag": False}
+
+    def poisoned_dual(lp, state, opts):
+        if healed["flag"]:
+            return real_dual(lp, state, opts)
+        return dataclasses.replace(
+            state, status=jnp.asarray(eng.NUMERICAL, jnp.int32))
+
+    def poisoned_primal(lp, state, opts):
+        if healed["flag"]:
+            return real_primal(lp, state, opts)
+        return dataclasses.replace(
+            state, status=jnp.asarray(eng.NUMERICAL, jnp.int32))
+
+    monkeypatch.setattr(drv, "dual_solve", poisoned_dual)
+    monkeypatch.setattr(drv, "primal_solve", poisoned_primal)
+
+    class Recovery(DisasterHandler):
+        def __init__(self):
+            self.entered = False
+            self.saved = None
+            self.checked = 0
+
+        def into_simplex(self, model):
+            self.entered = True
+
+        def save_info(self, snapshot):
+            self.saved = snapshot
+
+        def check(self, snapshot):
+            self.checked += 1
+            healed["flag"] = True  # the "fix": recovery runs on a good engine
+            snapshot.retry_options["refactor_frequency"] = 50
+            return True
+
+    model = random_lp(12, 20, seed=3)
+    h = Recovery()
+    model.disaster_handler = h
+    sol = model.initial_solve(SolveOptions(method=SolveMethod.DUAL_SIMPLEX))
+    assert h.entered
+    assert h.checked >= 1
+    assert h.saved is not None
+    assert h.saved.algorithm == "dual"
+    assert h.saved.status in (eng.NUMERICAL, eng.CONTINUE)
+    assert h.saved.vstat.size == 12 + 20
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.objective_value) <= 1e-6 * (
+        1 + abs(ref.objective_value))
+
+
+def test_disaster_handler_abort_type_accepts_failure(monkeypatch):
+    """typeOfDisaster() == 1 means abort: no recovery retry fires."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from clp_tpu.simplex import driver as drv, engine as eng
+    from clp_tpu.events import DisasterHandler
+
+    def poisoned(lp, state, opts):
+        return dataclasses.replace(
+            state, status=jnp.asarray(eng.NUMERICAL, jnp.int32))
+
+    monkeypatch.setattr(drv, "dual_solve", poisoned)
+    monkeypatch.setattr(drv, "primal_solve", poisoned)
+
+    class Abort(DisasterHandler):
+        def __init__(self):
+            self.checked = 0
+
+        def check(self, snapshot):
+            self.checked += 1
+            return True
+
+        def type_of_disaster(self):
+            return 1  # abort
+
+    model = random_lp(10, 16, seed=1)
+    h = Abort()
+    model.disaster_handler = h
+    opts = SolveOptions(method=SolveMethod.DUAL_SIMPLEX)
+    opts.presolve.enabled = False
+    sol = model.initial_solve(opts)
+    assert h.checked >= 1
+    assert sol.status != ProblemStatus.OPTIMAL
