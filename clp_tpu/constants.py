@@ -95,6 +95,11 @@ class SolveMethod(enum.IntEnum):
     NETWORK = 8  # spanning-tree-basis network simplex (ClpNetworkBasis)
     GUB = 9  # key-variable GUB simplex over the general-row working basis
     #         (ClpGubMatrix analogue, clp_tpu/gub.py)
+    DECOMPOSE = 10  # auto-detected block structure -> Benders/DW
+    #               (reference: ClpSimplex::solve(CoinStructuredModel*)
+    #               decomposeType dispatch, ClpSolve.cpp:4910-4924 — here
+    #               the blocks are DETECTED from the flat model first,
+    #               clp_tpu/structure.py)
 
 
 class ScalingMode(enum.IntEnum):

@@ -134,6 +134,26 @@ def _auto_method(model: Model, options: SolveOptions,
         if (K >= 8 and K >= m // 2 and covered >= n // 2
                 and m_g * (n + K + m_g) * 8 <= 1 << 30):
             return SolveMethod.GUB
+    # block-structured models: detected two-stage scenario structure routes
+    # to Benders with the batched-IPM scenario sweep (reference: the
+    # CoinStructuredModel decomposeType dispatch, ClpSolve.cpp:4910-4924 —
+    # detection from the FLAT model is ours, structure.py). Probe only at
+    # sizes where the decomposition can win and cache per matrix.
+    if m >= 192 and n >= 192 and model.num_elements >= 512:
+        from .structure import detect_two_stage
+
+        key = (id(model.matrix), m, n)
+        cached = getattr(model, "_two_stage_probe_cache", None)
+        if cached is not None and cached[0] == key:
+            det = cached[1]
+        else:
+            try:
+                det = detect_two_stage(model)
+            except Exception:
+                det = None
+            model._two_stage_probe_cache = (key, det)
+        if det is not None:
+            return SolveMethod.DECOMPOSE
     wants_idiot = _auto_idiot(model) if idiot_hint is None else idiot_hint
     if wants_idiot:
         # wide + unit-heavy: idiot-crash values-pass dual (doIdiot role)
@@ -803,6 +823,14 @@ def initial_solve(model: Model, options: Optional[SolveOptions] = None) -> Solut
             sol = solve_network(work, options)
         else:
             # presolve/user edits broke the +-1 structure: general dual path
+            sol = _solve_simplex(work, options, dual=True)
+    elif method == SolveMethod.DECOMPOSE:
+        from .structure import auto_decompose_solve
+
+        sol = auto_decompose_solve(work, options)
+        if sol is None:
+            # detection mis-fire / decomposition failure: standard route
+            # (decomposeType == 0 -> dual(), ClpSolve.cpp:4914-4916)
             sol = _solve_simplex(work, options, dual=True)
     elif method == SolveMethod.GUB:
         from .gub import solve_gub

@@ -1,0 +1,407 @@
+"""Block-structure detection on FLAT models + auto-decomposition routing.
+
+The reference solves structured models via ClpSimplex::solve(
+CoinStructuredModel*), which inspects the block layout and dispatches
+dual / Dantzig-Wolfe / Benders (ClpSolve.cpp:4910-4924; master block
+identification :5323-5352) — but the caller must hand it the blocks.
+Here the blocks are DETECTED from a flat Model first:
+
+  * two-stage (Benders) shape — a small set of LINKING COLUMNS whose
+    removal splits the rows into many identically-shaped scenario
+    blocks, plus first-stage rows touching only the linking columns:
+
+        [ A   0   0  ... ]   <- first-stage rows  (x only)
+        [ T_1 W_1 0  ... ]   <- scenario 1 rows   (x + y_1)
+        [ T_2 0  W_2 ... ]   <- scenario 2 rows   (x + y_2)
+
+  * block-angular (Dantzig-Wolfe) shape — a small set of LINKING ROWS
+    whose removal splits the columns into independent blocks.
+
+Detection is a union-find pass over the sparsity pattern after removing
+the highest-degree columns (resp. rows) at a few trial thresholds —
+O(nnz alpha) per trial, run only from the AUTOMATIC method chooser.
+
+The auto-route is self-validating: the decomposition solve assembles a
+full primal point for the FLAT model and finishes it with a values-pass
+dual simplex (dense scale) or the crunch working-set polish (beyond
+dense scale), so the returned solution carries the engines' own
+verified-optimality guarantees; any detection mis-fire falls back to
+the standard route.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from .constants import INF, ProblemStatus, SolveMethod
+from .model import Model, Solution
+from .options import SolveOptions
+
+
+# ---------------------------------------------------------------------------
+# union-find
+# ---------------------------------------------------------------------------
+
+
+class _UF:
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        root = i
+        while p[root] != root:
+            root = p[root]
+        while p[i] != root:
+            p[i], i = root, p[i]
+        return root
+
+    def union(self, i: int, j: int) -> None:
+        ri, rj = self.find(i), self.find(j)
+        if ri != rj:
+            self.parent[rj] = ri
+
+
+def _row_components(A_csc: sp.csc_matrix, removed_cols: np.ndarray):
+    """Join rows sharing a surviving column; return (labels, n_components).
+
+    Rows touching ONLY removed columns keep their own singleton label and
+    are reported separately (they are first-stage candidates)."""
+    m = A_csc.shape[0]
+    uf = _UF(m)
+    indptr, indices = A_csc.indptr, A_csc.indices
+    for j in np.flatnonzero(~removed_cols):
+        rows = indices[indptr[j]:indptr[j + 1]]
+        for r in rows[1:]:
+            uf.union(int(rows[0]), int(r))
+    labels = np.fromiter((uf.find(i) for i in range(m)), dtype=np.int64, count=m)
+    return labels
+
+
+def _col_components(A_csr: sp.csr_matrix, removed_rows: np.ndarray):
+    n = A_csr.shape[1]
+    uf = _UF(n)
+    indptr, indices = A_csr.indptr, A_csr.indices
+    for i in np.flatnonzero(~removed_rows):
+        cols = indices[indptr[i]:indptr[i + 1]]
+        for c in cols[1:]:
+            uf.union(int(cols[0]), int(c))
+    labels = np.fromiter((uf.find(j) for j in range(n)), dtype=np.int64, count=n)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# two-stage (Benders) detection
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TwoStageDetection:
+    """Mapping from a flat model onto the TwoStageLP scenario form."""
+
+    x_cols: np.ndarray  # linking (first-stage) column indices
+    stage1_rows: np.ndarray  # rows touching only x columns
+    scenario_rows: list  # per scenario: row indices (sorted)
+    scenario_cols: list  # per scenario: column indices (sorted)
+
+
+def detect_two_stage(
+    model: Model,
+    min_scenarios: int = 4,
+    max_link_frac: float = 0.25,
+    max_bytes: int = 1 << 30,
+) -> Optional[TwoStageDetection]:
+    """Detect the two-stage scenario shape on a flat model.
+
+    Tries removing the k highest-degree columns at a few thresholds; a
+    hit must produce >= min_scenarios identically-shaped row components
+    covering every non-first-stage row, with scenario rows equalities
+    and scenario columns bounded [0, inf) (the TwoStageLP contract,
+    decompose.py). Returns None when no clean split exists.
+    """
+    m, n = model.num_rows, model.num_cols
+    if m < 64 or n < 8 or model.num_elements == 0:
+        return None
+    if model.quadratic_objective is not None:
+        return None
+    A = model.matrix.tocsc()
+    A.sort_indices()
+    degree = np.diff(A.indptr)
+    order = np.argsort(degree, kind="stable")[::-1]  # high degree first
+    A_csr = A.tocsr()
+
+    indptr, indices = A.indptr, A.indices
+    for frac in (1 / 64, 1 / 32, 1 / 16, 1 / 8, max_link_frac):
+        k = max(1, int(n * frac))
+        if k > n * max_link_frac:
+            break
+        removed = np.zeros(n, dtype=bool)
+        removed[order[:k]] = True
+        labels = _row_components(A, removed)
+        # refinement: an over-removed column whose rows all share one
+        # label is not really linking — return it to that component.
+        # (Over-removal happens because k is a trial threshold, not the
+        # true first-stage width; true x columns span several scenario
+        # components and stay linking.)
+        linking = removed.copy()
+        for j in order[:k]:
+            rows = indices[indptr[j]:indptr[j + 1]]
+            if rows.size and np.unique(labels[rows]).size == 1:
+                linking[j] = False
+        # rows whose every entry is in a linking column = first stage
+        row_nnz_surviving = np.asarray(
+            (sp.csr_matrix(A_csr[:, ~linking])).getnnz(axis=1)
+        ).ravel()
+        stage1 = row_nnz_surviving == 0
+        comp_ids, counts = np.unique(labels[~stage1], return_counts=True)
+        S = comp_ids.size
+        if S < min_scenarios or np.unique(counts).size != 1:
+            continue
+        m2 = int(counts[0])
+        # map columns to components: a non-linking column's rows all share
+        # one label (the union pass + refinement guarantee it)
+        col_label = np.full(n, -1, dtype=np.int64)
+        surv = np.flatnonzero(~linking)
+        first_row = np.full(n, -1, dtype=np.int64)
+        nz = np.flatnonzero(np.diff(A.indptr) > 0)
+        first_row[nz] = A.indices[A.indptr[nz]]
+        # empty (no-row) columns can't be scenario columns
+        if np.any(first_row[surv] < 0):
+            continue
+        col_label[surv] = labels[first_row[surv]]
+        # every component must have identical column counts
+        cc_ids, cc_counts = np.unique(col_label[surv], return_counts=True)
+        if cc_ids.size != S or np.unique(cc_counts).size != 1:
+            continue
+        n2 = int(cc_counts[0])
+        n1 = int(np.count_nonzero(linking))
+        # the TwoStageLP form is dense per scenario: budget the memory
+        if S * m2 * (n1 + n2) * 8 > max_bytes:
+            continue
+        # contract checks: scenario rows are equalities, scenario columns
+        # are [0, inf)
+        rl, ru = model.row_lower, model.row_upper
+        cl, cu = model.col_lower, model.col_upper
+        scen_rows_mask = ~stage1
+        if not np.all(
+            np.abs(rl[scen_rows_mask] - ru[scen_rows_mask]) <= 1e-12
+        ):
+            continue
+        if not (
+            np.all(np.abs(cl[surv]) <= 1e-12) and np.all(cu[surv] >= INF)
+        ):
+            continue
+        scenario_rows = []
+        scenario_cols = []
+        ok = True
+        for cid in comp_ids:
+            r_idx = np.flatnonzero((labels == cid) & ~stage1)
+            c_idx = surv[col_label[surv] == cid]
+            if r_idx.size != m2 or c_idx.size != n2:
+                ok = False
+                break
+            scenario_rows.append(r_idx)
+            scenario_cols.append(c_idx)
+        if not ok:
+            continue
+        return TwoStageDetection(
+            x_cols=np.flatnonzero(linking),
+            stage1_rows=np.flatnonzero(stage1),
+            scenario_rows=scenario_rows,
+            scenario_cols=scenario_cols,
+        )
+    return None
+
+
+def build_two_stage(model: Model, det: TwoStageDetection):
+    """Materialize the TwoStageLP from the flat model + detection map."""
+    from .decompose import TwoStageLP
+
+    A = model.matrix.tocsc()
+    x = det.x_cols
+    S = len(det.scenario_rows)
+    m2 = det.scenario_rows[0].size
+    n1 = x.size
+    n2 = det.scenario_cols[0].size
+    T = np.zeros((S, m2, n1))
+    W = np.zeros((S, m2, n2))
+    h = np.zeros((S, m2))
+    q = np.zeros((S, n2))
+    for s in range(S):
+        r, c = det.scenario_rows[s], det.scenario_cols[s]
+        T[s] = A[r][:, x].toarray()
+        W[s] = A[r][:, c].toarray()
+        h[s] = model.row_lower[r]
+        q[s] = model.objective[c]
+    A1 = sp.csc_matrix(A[det.stage1_rows][:, x])
+    return TwoStageLP(
+        c=model.objective[x],
+        A=A1,
+        row_lower=model.row_lower[det.stage1_rows],
+        row_upper=model.row_upper[det.stage1_rows],
+        col_lower=model.col_lower[x],
+        col_upper=model.col_upper[x],
+        T=T,
+        W=W,
+        h=h,
+        q=q,
+        prob=np.ones(S),  # flat objective already carries p_s * q_s
+    )
+
+
+# ---------------------------------------------------------------------------
+# block-angular (Dantzig-Wolfe) detection
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BlockAngularDetection:
+    linking_rows: np.ndarray
+    block_rows: list  # per block: row indices
+    block_cols: list  # per block: column indices
+
+
+def detect_block_angular(
+    model: Model,
+    min_blocks: int = 2,
+    max_link_frac: float = 0.25,
+) -> Optional[BlockAngularDetection]:
+    """Detect linking rows whose removal splits the columns into
+    independent blocks (the solveDW shape: one master row block touching
+    every column block, ClpSolve.cpp:5323-5352)."""
+    m, n = model.num_rows, model.num_cols
+    if m < 16 or n < 16 or model.num_elements == 0:
+        return None
+    if model.quadratic_objective is not None:
+        return None
+    A_csr = model.matrix.tocsr()
+    A_csr.sort_indices()
+    degree = np.asarray(A_csr.getnnz(axis=1)).ravel()
+    order = np.argsort(degree, kind="stable")[::-1]
+    A_csc = A_csr.tocsc()
+
+    for frac in (1 / 64, 1 / 32, 1 / 16, 1 / 8, max_link_frac):
+        k = max(1, int(m * frac))
+        if k > m * max_link_frac:
+            break
+        removed = np.zeros(m, dtype=bool)
+        removed[order[:k]] = True
+        labels = _col_components(A_csr, removed)
+        col_nnz_surv = np.asarray(
+            sp.csc_matrix(A_csc[~removed, :]).getnnz(axis=0)
+        ).ravel()
+        # columns appearing only in linking rows break the block form
+        if np.any(col_nnz_surv == 0):
+            continue
+        comp_ids = np.unique(labels)
+        if comp_ids.size < min_blocks:
+            continue
+        # rows (non-removed) belong to the component of their columns
+        first_col = np.full(m, -1, dtype=np.int64)
+        nzr = np.flatnonzero(np.diff(A_csr.indptr) > 0)
+        first_col[nzr] = A_csr.indices[A_csr.indptr[nzr]]
+        block_rows, block_cols = [], []
+        ok = True
+        for cid in comp_ids:
+            c_idx = np.flatnonzero(labels == cid)
+            r_mask = ~removed & (first_col >= 0)
+            r_idx = np.flatnonzero(r_mask & np.isin(first_col, c_idx))
+            if r_idx.size == 0:
+                ok = False
+                break
+            block_rows.append(r_idx)
+            block_cols.append(c_idx)
+        if not ok:
+            continue
+        return BlockAngularDetection(
+            linking_rows=np.sort(order[:k]),
+            block_rows=block_rows,
+            block_cols=block_cols,
+        )
+    return None
+
+
+# ---------------------------------------------------------------------------
+# auto-decomposition solve
+# ---------------------------------------------------------------------------
+
+
+def auto_decompose_solve(
+    model: Model, options: SolveOptions
+) -> Optional[Solution]:
+    """Detect structure, run the matching decomposition, assemble a full
+    flat-model point, and FINISH it with the engines' verified path.
+
+    Returns None whenever detection, the decomposition, or the verified
+    finish does not pan out — the caller falls back to the standard
+    method (mirrors decomposeType == 0 -> dual(), ClpSolve.cpp:4914-4916).
+    """
+    det = detect_two_stage(model)
+    if det is None:
+        return None
+    from .decompose import benders_solve
+
+    try:
+        ts = build_two_stage(model, det)
+        bsol, x = benders_solve(ts, options)
+        if bsol.status != ProblemStatus.OPTIMAL or x is None:
+            return None
+        # recover the scenario recourse at the final x in one batched call
+        import jax
+        import jax.numpy as jnp
+        from .forms import StandardLP
+        from .interior.mehrotra import IPMOptions, ipm_solve
+
+        S, m2, n2 = ts.W.shape
+        rhs = ts.h - np.einsum("smn,n->sm", ts.T, x)
+        lp = StandardLP(
+            G=jnp.asarray(ts.W),
+            b=jnp.asarray(rhs),
+            c=jnp.asarray(ts.q),
+            l=jnp.zeros((S, n2)),
+            u=jnp.full((S, n2), jnp.inf),
+        )
+        opts = IPMOptions(tol=max(options.barrier_tolerance, 1e-9), max_iter=100)
+        res = jax.jit(jax.vmap(lambda one: ipm_solve(one, opts)))(lp)
+        if not bool(np.asarray(res.converged).all()):
+            return None
+        ys = np.asarray(res.x)  # (S, n2)
+    except RuntimeError:
+        return None
+
+    # assemble the flat primal point
+    primal = np.zeros(model.num_cols)
+    primal[det.x_cols] = x
+    for s in range(S):
+        primal[det.scenario_cols[s]] = ys[s]
+
+    # verified finish from the assembled point (the PDLP-polish pattern,
+    # solve.py): values-pass dual at dense scale, crunch polish beyond
+    warm = Solution(primal=primal, row_activity=model.matrix @ primal)
+    dense_fits = 4 * model.num_rows * (model.num_rows + model.num_cols) <= 4 << 30
+    import dataclasses as _dc
+
+    inner = _dc.replace(options, method=SolveMethod.DUAL_SIMPLEX)
+    if model.num_rows < 2048 and dense_fits:
+        from .simplex.driver import simplex_solve
+
+        fin = simplex_solve(model, inner, dual=True, warm=warm)
+        if fin.status == ProblemStatus.OPTIMAL:
+            return fin
+        return None
+    from .bigsolve import crunch_polish
+
+    approx = Solution(
+        status=ProblemStatus.OPTIMAL,
+        objective_value=float(model.objective @ primal) + model.objective_offset,
+        primal=primal,
+        row_activity=np.asarray(model.matrix @ primal),
+    )
+    fin = crunch_polish(model, inner, approx)
+    if fin is not None and fin.status == ProblemStatus.OPTIMAL:
+        return fin
+    return None

@@ -101,3 +101,74 @@ def test_dantzig_wolfe_matches_direct():
     ref = _linprog(direct)
     assert ref.status == 0
     assert abs(sol.objective_value - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+
+
+# ---------------------------------------------------------------------------
+# Auto-decomposition from a FLAT model (ClpSolve.cpp:4910-4924 dispatch +
+# master detection :5323-5352 — detection from the flat model is ours)
+# ---------------------------------------------------------------------------
+
+
+def _flat_two_stage(S=16, n1=4, m2=16, n2=40, seed=2):
+    ts = _two_stage(S=S, n1=n1, m2=m2, n2=n2, seed=seed)
+    return ts, extensive_form(ts)
+
+
+def test_detect_two_stage_on_flat_model():
+    from clp_tpu.structure import detect_two_stage, build_two_stage
+
+    ts, flat = _flat_two_stage()
+    det = detect_two_stage(flat)
+    assert det is not None
+    S, m2, _ = ts.W.shape
+    n1 = ts.c.size
+    assert det.x_cols.size == n1
+    assert np.array_equal(det.x_cols, np.arange(n1))  # x first in ext form
+    assert len(det.scenario_rows) == S
+    assert all(r.size == m2 for r in det.scenario_rows)
+    ts2 = build_two_stage(flat, det)
+    # round-trip: the rebuilt scenario data must match (scenario ORDER may
+    # permute; match on sorted h row-sums as a cheap signature)
+    assert np.allclose(
+        np.sort(ts2.h.sum(axis=1)), np.sort(ts.h.sum(axis=1)), atol=1e-12
+    )
+
+
+def test_detect_rejects_unstructured():
+    from clp_tpu.structure import detect_two_stage
+    from clp_tpu.utils.generators import random_lp
+
+    assert detect_two_stage(random_lp(96, 160, seed=0)) is None
+
+
+def test_auto_method_routes_flat_two_stage_to_decompose():
+    from clp_tpu.solve import _auto_method
+
+    _, flat = _flat_two_stage()
+    assert _auto_method(flat, SolveOptions()) == SolveMethod.DECOMPOSE
+
+
+def test_flat_two_stage_auto_solves_via_benders(monkeypatch):
+    import clp_tpu.structure as structure
+
+    ts, flat = _flat_two_stage()
+    ref = _linprog(extensive_form(ts))
+    assert ref.status == 0
+
+    calls = {"n": 0}
+    real = structure.auto_decompose_solve
+
+    def spy(model, options):
+        calls["n"] += 1
+        return real(model, options)
+
+    monkeypatch.setattr(structure, "auto_decompose_solve", spy)
+    sol = flat.initial_solve(SolveOptions())
+    assert calls["n"] >= 1, "AUTOMATIC did not take the DECOMPOSE route"
+    assert sol.status == ProblemStatus.OPTIMAL
+    assert abs(sol.objective_value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    # the finish is the verified simplex path: KKT must hold on the flat model
+    from clp_tpu.validate import check_kkt
+
+    rep = check_kkt(flat, x=sol.primal, y=sol.duals, tol=1e-6)
+    assert rep.ok
