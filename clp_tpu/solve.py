@@ -85,22 +85,59 @@ def _empty_solution(model: Model) -> Solution:
 
 
 def _auto_idiot(model: Model) -> bool:
-    """doIdiot analogue (ClpSolve.cpp:1276-1726): wide, unit-heavy
-    (combinatorial, hence degenerate) LPs benefit from an idiot crash
-    point.  Deviation from the reference, by measurement: the reference
-    warms its PRIMAL with the idiot point; in this engine the mixed dual
-    with DSE + long-step BFRT is the stronger finisher, so the idiot
-    point feeds the DUAL's values pass instead — measured 1.5x vs cold
-    dual and 3.6x vs the barrier on 0/1 covering LPs at 512x2048-4096
+    """doIdiot analogue, built from the reference's decision surface
+    (ClpSolve.cpp:1276-1726):
+
+      * tryIt gate (:1663): rows > 200, cols > 2000-ish, cols > 2*rows
+        — wide enough that the descent point pays for itself;
+      * free columns kill it (:1622-1623 ``if (nFree) doIdiot = 0``) —
+        the penalty descent has nothing to project them against;
+      * rhs statistics (:1628-1670): every finite nonzero rhs entry must
+        be (near-)integral, and the magnitude range must be tame
+        (ratio <= 10, and <= 2 when values exceed 50) — wild rhs ranges
+        mean the quadratic penalty surface is badly scaled;
+      * element structure (:1530-1568 plus-minus statistics, :1684
+        ``numberElements <= 3 * numberColumns``): mostly-unit entries OR
+        very sparse columns — the combinatorial shapes idiot was built
+        for. (The reference computes the same +-1 statistics to pick the
+        matrix class; here they gate the crash.)
+
+    Deviation from the reference, by measurement: the reference warms
+    its PRIMAL with the idiot point; in this engine the mixed dual with
+    DSE + long-step BFRT is the stronger finisher, so the idiot point
+    feeds the DUAL's values pass instead — measured 1.5x vs cold dual
+    and 3.6x vs the barrier on 0/1 covering LPs at 512x2048-4096
     (idiot-warm primal was tried and loses to cold dual here).
     """
     m, n = model.num_rows, model.num_cols
-    if m == 0 or n < 3 * m or n <= 1500 or n > 8 * m:
+    # tryIt gate, with our measured upper width cap (beyond ~8*m the
+    # sprint working-set route wins; reference reaches the same point via
+    # its doSprint arbitration, :1590-1596)
+    if m <= 200 or n <= 1500 or n <= 2 * m or n > 8 * m:
         return False
     A = model.matrix
     if A.nnz == 0:
         return False
-    return float(np.mean(np.abs(A.data) == 1.0)) >= 0.8
+    # free columns switch idiot off (:1622-1623)
+    cl, cu = model.col_lower, model.col_upper
+    if bool(np.any((cl < -1e10) & (cu > 1e10))):
+        return False
+    # rhs statistics: integrality + magnitude range (:1628-1670)
+    vals = []
+    for a in (model.row_lower, model.row_upper):
+        a = np.asarray(a, dtype=np.float64)
+        vals.append(a[(a != 0.0) & (np.abs(a) < 1e30)])
+    rhs = np.abs(np.concatenate(vals)) if vals else np.zeros(0)
+    if rhs.size:
+        if bool(np.any(np.abs(rhs - np.round(rhs)) > 1e-8)):
+            return False
+        largest = float(rhs.max())
+        smallest = float(rhs.min())
+        if largest / smallest > 10.0 or (largest / smallest > 2.0 and largest > 50.0):
+            return False
+    # element structure: unit-heavy or very sparse columns
+    unit_frac = float(np.mean(np.abs(A.data) == 1.0))
+    return unit_frac >= 0.8 or A.nnz <= 3 * n
 
 
 def _auto_method(model: Model, options: SolveOptions,

@@ -97,3 +97,111 @@ def test_auto_idiot_dual_for_wide_unit_lps():
     from clp_tpu.utils.generators import random_lp
 
     assert not _auto_idiot(random_lp(64, 512, seed=1))
+
+
+# ---------------------------------------------------------------------------
+# doIdiot decision-surface matrix (ClpSolve.cpp:1276-1726): on each family
+# where the broadened gate fires, AUTOMATIC must be at least as good as the
+# best fixed alternative; on the reference's kill conditions it must not fire
+# ---------------------------------------------------------------------------
+
+
+def _covering(m_, n_, k, seed, data_fn=None, eq=False):
+    import scipy.sparse as sp
+
+    from clp_tpu import INF, Model
+
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for j in range(n_):
+        for i in rng.choice(m_, k, replace=False):
+            rows.append(i), cols.append(j)
+    data = np.ones(len(rows)) if data_fn is None else data_fn(rng, len(rows))
+    A = sp.csr_matrix((data, (rows, cols)), shape=(m_, n_)).tocsc()
+    model = Model()
+    rl = np.ones(m_)
+    ru = np.ones(m_) if eq else np.full(m_, INF)
+    model.load_problem(A, np.zeros(n_), np.ones(n_), 1.0 + rng.random(n_),
+                       rl, ru)
+    return model
+
+
+IDIOT_FAMILIES = {
+    # 0/1 covering: the measured round-3 slot
+    "covering": lambda: _covering(256, 1600, 6, 3),
+    # unit-coefficient partitioning-like (equality rows)
+    "partitioning": lambda: _covering(256, 1600, 6, 7, eq=True),
+    # very sparse non-unit integral entries: fires via the
+    # numberElements <= 3*numberColumns branch (:1684)
+    "sparse_nonunit": lambda: _covering(
+        256, 1600, 3, 11,
+        data_fn=lambda rng, sz: rng.choice([1.0, 2.0], sz)),
+}
+
+
+@pytest.mark.parametrize("family", sorted(IDIOT_FAMILIES))
+def test_auto_idiot_beats_best_fixed(family):
+    from clp_tpu.solve import _auto_idiot, _solve_simplex, initial_solve
+
+    make = IDIOT_FAMILIES[family]
+    assert _auto_idiot(make()), family
+
+    fixed_iters = {}
+    ref_obj = None
+    for name, dual in (("dual", True), ("primal", False)):
+        o = SolveOptions(
+            method=SolveMethod.DUAL_SIMPLEX if dual else SolveMethod.PRIMAL_SIMPLEX
+        )
+        o.presolve.enabled = False
+        sol = _solve_simplex(make(), o, dual=dual)
+        assert sol.status == ProblemStatus.OPTIMAL, (family, name)
+        fixed_iters[name] = sol.iterations
+        ref_obj = sol.objective_value
+
+    auto = initial_solve(make(), SolveOptions())  # AUTOMATIC: idiot -> dual
+    assert auto.status == ProblemStatus.OPTIMAL
+    assert abs(auto.objective_value - ref_obj) < 1e-6 * (1 + abs(ref_obj))
+    best = min(fixed_iters.values())
+    # auto >= best-of-fixed: the idiot values-pass start must not lose to
+    # either cold engine (small slack for pricing noise)
+    assert auto.iterations <= best * 1.05 + 10, (family, auto.iterations, fixed_iters)
+
+
+def test_auto_idiot_kill_conditions():
+    """The reference's doIdiot kill switches (free columns :1622, wild rhs
+    range / non-integral rhs :1628-1670) must hold in the broadened gate."""
+    from clp_tpu.solve import _auto_idiot
+
+    # wild rhs range (largest/smallest > 10)
+    m = _covering(256, 1600, 6, 3)
+    rl = np.asarray(m.row_lower).copy()
+    rl[::2] = 100.0
+    m.row_lower = rl
+    assert not _auto_idiot(m)
+
+    # non-integral rhs
+    m = _covering(256, 1600, 6, 3)
+    rl = np.asarray(m.row_lower).copy()
+    rl[0] = 1.5
+    m.row_lower = rl
+    assert not _auto_idiot(m)
+
+    # free columns
+    m = _covering(256, 1600, 6, 3)
+    cl = np.asarray(m.col_lower).copy()
+    cu = np.asarray(m.col_upper).copy()
+    cl[:8], cu[:8] = -1e30, 1e30
+    m.col_lower, m.col_upper = cl, cu
+    assert not _auto_idiot(m)
+
+    # dense non-unit entries (neither +-1-heavy nor sparse)
+    import scipy.sparse as sp
+
+    from clp_tpu import INF, Model
+
+    rng = np.random.default_rng(5)
+    A = sp.csc_matrix(rng.uniform(0.2, 3.0, (256, 1600)))
+    m = Model()
+    m.load_problem(A, np.zeros(1600), np.ones(1600),
+                   1.0 + rng.random(1600), np.ones(256), np.full(256, INF))
+    assert not _auto_idiot(m)
