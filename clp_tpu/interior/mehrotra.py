@@ -88,6 +88,14 @@ class IPMOptions:
     # minimum-degree fill estimate beats the dense O(m^3) by a wide
     # margin. Single-instance only (not vmappable).
     sparse_chol: object = None
+    # DEVICE-side multifrontal sparse Cholesky (round-4): a hashable
+    # ops/sparse_chol_device.DeviceNormalSolver whose factor/solve are
+    # jit-traceable batched POTRF/TRSM/SYRK tile ops on the MXU — the
+    # whole IPM stays ONE compiled program (no per-iteration
+    # pure_callback round trips). The factor dtype may be float32; the
+    # Newton solve wraps it in f64 matvec refinement. Takes precedence
+    # over sparse_chol when both are set.
+    sparse_chol_device: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -392,6 +400,39 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
                     x = x + block_tridiag_solve(
                         Lb, Cb, rp2.reshape(-1, opts.band_nb)
                     ).reshape(-1)[: rhs.size]
+                return x
+
+            def hsolve(r):
+                return d * r if r.ndim == 1 else d[:, None] * r
+
+        elif separable and opts.sparse_chol_device is not None:
+            # general sparse G D G': DEVICE multifrontal Cholesky — the
+            # same symbolic plan as the host path, but the numeric runs
+            # as batched POTRF/TRSM/SYRK tiles on the MXU inside this
+            # jitted program (ClpCholeskyBase.cpp:2767 factorize role).
+            # Factor once per IPM iteration; f32 factors are wrapped in
+            # f64 matvec refinement (mixed-precision contract).
+            d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+            reg = opts.reg_dual + 1e-12
+            dev = opts.sparse_chol_device
+            f32 = dev.dev.dtype == jnp.float32
+            f_try, f_ok = dev.factor(d)
+            # breakdown fallback: one diagonal-shifted refactor (the
+            # host path's escalating-shift loop, single static step)
+            fstate = jax.lax.cond(
+                f_ok,
+                lambda: f_try,
+                lambda: dev.factor_shifted(d, 1e-6)[0],
+            )
+
+            def matvec(v):
+                return G @ (d * (G.T @ v)) + reg * v
+
+            def nsolve(rhs):
+                x = dev.solve_with(fstate, rhs)
+                n_ref = opts.refine_steps + (3 if f32 else 0)
+                for _ in range(n_ref):
+                    x = x + dev.solve_with(fstate, rhs - matvec(x))
                 return x
 
             def hsolve(r):

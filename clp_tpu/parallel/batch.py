@@ -112,17 +112,32 @@ def engine_mod():
     return engine
 
 
-def _compacting_dual_loop(batched, init_states, opts):
+@partial(jax.jit, static_argnames=("o", "rounds"))
+def _brounds(lp, st, o, rounds: int):
+    """`rounds` refactor-chunks of the FULL claim protocol per dispatch:
+    vmapped bounded _run_loop (engine.dual_solve_rounds). Finished lanes
+    are masked by the vmapped while_loops, so early finishers cost ~no
+    FLOPs while the rest of the batch drains."""
+    eng = engine_mod()
+
+    def one(lp1, st1):
+        return eng.dual_solve_rounds(lp1, st1, o, rounds)
+
+    return jax.vmap(one)(lp, st)
+
+
+def _compacting_dual_loop(batched, init_states, opts, rounds_per_dispatch=6):
     """Chunked batched dual simplex with live-set compaction.
 
     The fully-vmapped `dual_solve` drags every finished instance through the
     slowest member's remaining pivots — batch throughput collapses to the
-    worst case. Instead: run one refactor-chunk at a time (the same
-    verified-claim protocol as the host-chunked single driver,
-    driver.py:_run_chunked), retire instances whose status is settled, and
-    repack the survivors into the next power-of-two bucket so later chunks
-    run on a shrinking batch. Shapes stay static per bucket, so at most
-    log2(B)+1 programs compile.
+    worst case. Instead: run a BOUNDED number of refactor-chunks per device
+    dispatch (the whole verified-claim protocol — chunk, refactor, verify,
+    stall escalation — runs inside the dispatch; round 3 paid one host
+    round trip per chunk, which dominated wall time through the tunnel at
+    small shapes), then retire instances whose status is settled and
+    repack the survivors into the next power-of-two bucket. Shapes stay
+    static per bucket, so at most log2(B)+1 programs compile.
     """
     from ..simplex import engine
 
@@ -132,44 +147,20 @@ def _compacting_dual_loop(batched, init_states, opts):
     done: dict[int, object] = {}
     live = np.arange(B)
     lp_cur, st_cur = batched, _bprep(batched, init_states, opts)
-    pending = np.full(B, -1, dtype=np.int64)   # terminal-claim protocol
-    stalls = np.zeros(B, dtype=np.int64)
-    pending_iters = np.asarray(st_cur.iterations, dtype=np.int64).copy()
-    max_chunks = int(opts.max_iterations) // max(1, int(opts.refactor_frequency)) + 8
+    max_disp = (
+        int(opts.max_iterations)
+        // max(1, int(opts.refactor_frequency) * rounds_per_dispatch)
+        + 8
+    )
 
-    for _ in range(max_chunks):
-        st_cur, verified, _obj = _bchunk(lp_cur, st_cur, opts)
+    for _ in range(max_disp):
+        st_cur, verified = _brounds(lp_cur, st_cur, opts, rounds_per_dispatch)
         k = live.size
         stat = np.asarray(st_cur.status)[:k]
-        iters = np.asarray(st_cur.iterations)[:k]
         ver = np.asarray(verified)[:k]
-
-        finish = ver.copy()
-        for j in range(k):
-            gi = live[j]
-            s = int(stat[j])
-            if ver[j]:
-                continue
-            if s in (engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
-                # accept only when a fresh-factor chunk re-derives the claim
-                # without managing a pivot (driver.py chunk protocol)
-                if pending[gi] == s and int(iters[j]) == int(pending_iters[gi]):
-                    finish[j] = True
-                else:
-                    pending[gi] = s
-            elif s in (engine.NUMERICAL, engine.ITER_LIMIT):
-                finish[j] = True
-            else:
-                pending[gi] = -1
-                if s == engine.CONTINUE:
-                    # stall: chunks without pivots right after refactorization
-                    if int(iters[j]) == int(pending_iters[gi]):
-                        stalls[gi] += 1
-                        if stalls[gi] >= 3:
-                            finish[j] = True
-                    else:
-                        stalls[gi] = 0
-        pending_iters[live] = iters
+        # settled: verified claims (OPTIMAL / reclaimed terminal) and hard
+        # stops; CONTINUE or an unverified claim gets another dispatch
+        finish = ver | np.isin(stat, (engine.NUMERICAL, engine.ITER_LIMIT))
 
         if finish.any():
             for j in np.flatnonzero(finish):
@@ -187,8 +178,8 @@ def _compacting_dual_loop(batched, init_states, opts):
             lp_cur = jax.tree.map(lambda a: jnp.take(a, gather, axis=0), lp_cur)
             st_cur = jax.tree.map(lambda a: jnp.take(a, gather, axis=0), st_cur)
     else:
-        # chunk budget exhausted: whatever is left goes to the per-instance
-        # fallback as NUMERICAL
+        # dispatch budget exhausted: whatever is left goes to the
+        # per-instance fallback as NUMERICAL
         for j in range(live.size):
             st_j = jax.tree.map(lambda a: a[int(j)], st_cur)
             st_j = _dc.replace(

@@ -717,6 +717,7 @@ def simplex_solve(
     price_mode = options.price_mode
     ell_kc = ell_kr = 0
     blk_nb = blk_h = 0
+    blk_perm = blk_inv = None
     if price_mode == "block":
         # block-banded geometry from the host matrix: group standard-form
         # columns (structurals + slacks) by row-support window, pick the
@@ -750,6 +751,12 @@ def simplex_solve(
                 best = (cost, nb_try, H)
         if best is not None and best[2] <= m // 2 and best[0] <= 0.6 * m * nt:
             blk_nb, blk_h = best[1], best[2]
+            # sort the standard form's columns by window position ONCE so
+            # each block's columns are contiguous: block PRICE results land
+            # in place (round 3's per-pivot nt un-permute gather measured
+            # 0.76x dense — gathers, not tiles, were the cost)
+            blk_perm = np.ascontiguousarray(order)
+            blk_inv = np.argsort(blk_perm)
         else:
             price_mode = "dense"  # structure not block-banded enough
     if price_mode == "auto":
@@ -838,13 +845,44 @@ def simplex_solve(
         )
 
     opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))
+    # block price mode: sort the standard-form columns by window position
+    # once; the engines run entirely in sorted space (binv/xb/weights are
+    # row-space and untouched; basis entries / vstat / dj / rim relabel)
+    lp0 = lp
+    if blk_perm is not None:
+        pj = jnp.asarray(blk_perm)
+        lp = dataclasses.replace(
+            lp, G=lp.G[:, pj], c=lp.c[pj], l=lp.l[pj], u=lp.u[pj]
+        )
+
+    def _to_sorted(st):
+        if blk_perm is None:
+            return st
+        inv = jnp.asarray(blk_inv)
+        return dataclasses.replace(
+            st,
+            vstat=st.vstat[jnp.asarray(blk_perm)],
+            dj=st.dj[jnp.asarray(blk_perm)],
+            basis=inv[st.basis].astype(st.basis.dtype),
+        )
+
+    def _to_orig(st):
+        if blk_perm is None:
+            return st
+        return dataclasses.replace(
+            st,
+            vstat=st.vstat[jnp.asarray(blk_inv)],
+            dj=st.dj[jnp.asarray(blk_inv)],
+            basis=jnp.asarray(blk_perm)[st.basis].astype(st.basis.dtype),
+        )
+
     if warm is not None:
         if warm.column_status is None and warm.primal is not None:
             # values-only warm point: the crossover basis construction
             ev(Event.START_OF_CROSSOVER)
-        state = _warm_state(lp, opts, warm, n, m)
+        state = _to_sorted(_warm_state(lp0, opts, warm, n, m))
     else:
-        state = initial_state(lp, opts)
+        state = _to_sorted(initial_state(lp0, opts))
 
     def dsolve(lp_, state_, opts_):
         if aborted["flag"]:
@@ -1071,7 +1109,7 @@ def simplex_solve(
             algorithm="dual" if dual else "primal",
             status=st,
             iterations=int(state.iterations),
-            vstat=np.asarray(state.vstat).copy(),
+            vstat=np.asarray(_to_orig(state).vstat).copy(),
         )
         disaster.save_info(snap)
         if disaster.check(snap) and disaster.type_of_disaster() == 0:
@@ -1109,7 +1147,7 @@ def simplex_solve(
 
     ev(Event.END_IN_DUAL if dual else Event.END_IN_PRIMAL, status=st)
     ev(Event.BEFORE_DELETE_RIM)
-    sol = _extract(model, lp, state, opts, st)
+    sol = _extract(model, lp0, _to_orig(state), opts, st)
     if aborted["flag"]:
         from ..constants import ProblemStatus as _PS
 

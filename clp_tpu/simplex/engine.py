@@ -282,71 +282,64 @@ def _ell_matvec(x, ell):
 
 
 def block_forms(G, nb: int, H: int):
-    """Column-window block forms: columns grouped by row-support window
-    into `nb` blocks of equal count, each a dense (H, CB) tile.
+    """Column-window block forms over a PRE-SORTED G: contiguous runs of
+    CB columns share one (H, CB) dense tile covering their row window.
 
     The TPU-idiomatic sparse PRICE for block-banded LPs (staircase /
     multi-period structure): alpha = rho @ G becomes ONE batched matmul
-    over (nb, H, CB) tiles — MXU work proportional to the covered
-    windows, not m*nt — with no scalar gathers (the ELL path's random
-    gathers measured ~14x SLOWER than the dense contraction on v5e; tile
-    matmuls are the opposite trade).  The caller (driver) chooses nb/H
-    so every column's support fits its block window: starts_b =
-    min(min_lo_b, m-H) covers [min_lo_b, max_hi_b) whenever the block
-    span <= H.
+    over (nb, H, CB) tiles — MXU work and HBM traffic proportional to the
+    covered windows, not m*nt. The DRIVER permutes the standard form's
+    columns by window position once per solve (and un-permutes the final
+    state), so block results land contiguously: no per-pivot nt-gather,
+    which is what sank the round-3 un-permuted variant (0.76x dense).
+    The caller chooses nb/H so every column's support fits its block
+    window: starts_b = min(min_lo_b, m-H) covers [min_lo_b, max_hi_b)
+    whenever the block span <= H.
     """
     m, nt = G.shape
     CB = -(-nt // nb)
-    nz = jnp.abs(G) > 0
-    anyc = jnp.any(nz, axis=0)
-    lo = jnp.where(anyc, jnp.argmax(nz, axis=0), 0)
-    hi = jnp.where(anyc, m - jnp.argmax(nz[::-1, :], axis=0), 1)
-    perm = jnp.argsort((lo + hi).astype(jnp.float32))  # sorted -> orig col
     pad = nb * CB - nt
     if pad:
-        perm_p = jnp.concatenate(
-            [perm, jnp.full((pad,), perm[-1], perm.dtype)])
-        valid = jnp.concatenate(
-            [jnp.ones(nt, G.dtype), jnp.zeros(pad, G.dtype)])
-    else:
-        perm_p = perm
-        valid = jnp.ones(nt, G.dtype)
-    cols = perm_p.reshape(nb, CB)
-    lo_s = lo[perm_p].reshape(nb, CB)
+        G = jnp.concatenate([G, jnp.zeros((m, pad), G.dtype)], axis=1)
+    nz = jnp.abs(G) > 0
+    anyc = jnp.any(nz, axis=0)
+    # pad / empty columns must not drag a block's window start to 0
+    lo = jnp.where(anyc, jnp.argmax(nz, axis=0), m)
+    lo_s = lo.reshape(nb, CB)
     starts = jnp.minimum(jnp.min(lo_s, axis=1), m - H).astype(jnp.int32)
     rowidx = starts[:, None, None] + jnp.arange(H)[None, :, None]
-    W = G[rowidx, cols[:, None, :]] * valid.reshape(nb, 1, CB)
-    inv_pos = jnp.argsort(perm).astype(jnp.int32)  # orig col -> sorted pos
-    return starts, W, perm_p.astype(jnp.int32), inv_pos
+    cols = jnp.arange(nb * CB).reshape(nb, CB)
+    W = G[rowidx, cols[:, None, :]]
+    return starts, W
 
 
-def _blk_price(rho, blk, dtype):
+def _blk_price(rho, blk, dtype, nt):
     """alpha = rho @ G over block tiles: one (nb,H)x(nb,H,CB) batched
-    matmul + an nt un-permute gather."""
-    starts, W, _perm, inv_pos = blk
+    matmul; output is already in (sorted) column order."""
+    starts, W = blk
     H = W.shape[1]
     rho_w = rho[starts[:, None] + jnp.arange(H)[None, :]]
     out = jnp.einsum("bh,bhc->bc", rho_w.astype(W.dtype), W,
                      precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(-1)[inv_pos].astype(dtype)
+    return out.reshape(-1)[:nt].astype(dtype)
 
 
 def _blk_col(q, blk, m):
     """Dense G[:, q] scattered from its block window."""
-    starts, W, _perm, inv_pos = blk
+    starts, W = blk
     nb, H, CB = W.shape
-    p = inv_pos[q]
-    b, c = p // CB, p % CB
+    b, c = q // CB, q % CB
     win = W[b, :, c]
     return jnp.zeros((m,), W.dtype).at[starts[b] + jnp.arange(H)].set(win)
 
 
 def _blk_matvec(x, blk, m):
     """G @ x: per-block (H, CB) @ (CB,) then overlapping scatter-add."""
-    starts, W, perm_p, _inv = blk
+    starts, W = blk
     nb, H, CB = W.shape
-    xp = x[perm_p].reshape(nb, CB)
-    # padded slots replicate a real column; W zeroes them so no aliasing
+    nt = x.shape[0]
+    xp = jnp.concatenate(
+        [x, jnp.zeros(nb * CB - nt, x.dtype)]).reshape(nb, CB)
     contrib = jnp.einsum("bhc,bc->bh", W, xp.astype(W.dtype),
                          precision=jax.lax.Precision.HIGHEST)
     return jnp.zeros((m,), W.dtype).at[
@@ -494,7 +487,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             alpha = _ell_price(rho, ell).astype(G.dtype)
         elif blk is not None:
             # block-banded PRICE: batched (nb,H)x(nb,H,CB) MXU tiles
-            alpha = _blk_price(rho, blk, G.dtype)
+            alpha = _blk_price(rho, blk, G.dtype, nt)
         elif G32 is not None and mixed:
             # HIGHEST: TPU f32 matmuls default to one bf16 MXU pass
             # (~1e-3 error) which would trip the accuracy check every pivot
@@ -1038,13 +1031,20 @@ def _verify_primal_claim(lp, state, opts):
 
 
 def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iteration_fn,
-              verify_fn):
+              verify_fn, max_chunks: int = 0):
     """outer refactorize loop + inner pivot loop (gutsOfDual structure).
 
     An OPTIMAL claim from the inner loop is only accepted after a fresh
     refactorization confirms it (`verify_fn`) — incremental state drifts,
     and the reference re-verifies the same way before finishing
     (statusOfProblemInDual, ClpSimplexDual.cpp:4996).
+
+    max_chunks > 0 bounds the OUTER loop: the solve returns after that
+    many refactor-chunks even if unfinished (status CONTINUE, claims
+    unverified). Used by the batched compacting loop to run several
+    chunk+verify rounds per device dispatch (vmapped while_loops mask
+    finished lanes, so early finishers cost ~nothing while the batch
+    drains) instead of paying one host round trip per chunk.
     """
 
     chunk = opts.refactor_frequency
@@ -1064,17 +1064,20 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
         return st, k + 1
 
     def outer_cond(carry):
-        st, stalls, verified = carry
+        st, stalls, verified, rounds = carry
         claim = (
             (st.status == OPTIMAL)
             | (st.status == PRIMAL_INFEASIBLE)
             | (st.status == DUAL_INFEASIBLE)
         )
         running = (st.status == CONTINUE) | (claim & ~verified)
-        return running & (st.iterations < opts.max_iterations) & (stalls < 3)
+        ok = running & (st.iterations < opts.max_iterations) & (stalls < 3)
+        if max_chunks > 0:
+            ok = ok & (rounds < max_chunks)
+        return ok
 
     def outer_body(carry):
-        st, stalls, _ = carry
+        st, stalls, _, rounds = carry
         iters_before = st.iterations
         claimed_optimal = st.status == OPTIMAL
         claimed_terminal = (st.status == PRIMAL_INFEASIBLE) | (
@@ -1114,11 +1117,12 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
         # ClpFactorization.hpp:227, ClpSimplex flagged variables)
         made_progress = (st.iterations > iters_before) | verified
         stalls = jnp.where(made_progress, 0, stalls + 1).astype(stalls.dtype)
-        return st, stalls, verified
+        return st, stalls, verified, rounds + 1
 
-    state, stalls, verified = jax.lax.while_loop(
+    state, stalls, verified, _rounds = jax.lax.while_loop(
         outer_cond, outer_body,
-        (state, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+        (state, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+         jnp.asarray(0, jnp.int32)),
     )
     state = dataclasses.replace(
         state,
@@ -1126,6 +1130,23 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
             (state.status == CONTINUE) & (stalls >= 3), NUMERICAL, state.status
         ).astype(state.status.dtype),
     )
+    if max_chunks > 0:
+        # bounded mode: report verification to the caller; an unfinished
+        # solve keeps CONTINUE (the ITER_LIMIT stamp below still applies)
+        state = jax.lax.cond(
+            verified, lambda s: s, lambda s: recompute(lp, s, opts.dual_bound),
+            state,
+        )
+        state = dataclasses.replace(
+            state,
+            status=jnp.where(
+                (state.status == CONTINUE)
+                & (state.iterations >= opts.max_iterations),
+                ITER_LIMIT,
+                state.status,
+            ).astype(state.status.dtype),
+        )
+        return state, verified
     # final consistency pass (already on fresh factors if the claim verified)
     state = jax.lax.cond(
         verified, lambda s: s, lambda s: recompute(lp, s, opts.dual_bound), state
@@ -1176,6 +1197,15 @@ def _primal_iteration_fn(lp: StandardLP, opts: SimplexOptions):
 @partial(jax.jit, static_argnames=("opts",))
 def dual_solve(lp: StandardLP, state: SimplexState, opts: SimplexOptions) -> SimplexState:
     return _run_loop(lp, state, opts, _dual_iteration_fn(lp, opts), _verify_dual_claim)
+
+
+def dual_solve_rounds(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
+                      rounds: int):
+    """Bounded dual solve: at most `rounds` refactor-chunks, full claim
+    protocol inside. Returns (state, verified). Not jitted here — the
+    batched loop vmaps + jits it per bucket shape."""
+    return _run_loop(lp, state, opts, _dual_iteration_fn(lp, opts),
+                     _verify_dual_claim, max_chunks=rounds)
 
 
 @partial(jax.jit, static_argnames=("opts",))

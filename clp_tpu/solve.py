@@ -416,10 +416,30 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
                 # rebuilt from the ACTUAL IPM G (to_ipm_form may drop
                 # fixed columns, so _auto_method's routing probe cannot
                 # be reused — only its decision is)
-                solver = make_normal_solver(
-                    _sp.csr_matrix(Gh), reg=float(opts.reg_dual) + 1e-12)
-                if solver is not None:
-                    opts = _dc.replace(opts, sparse_chol=solver)
+                G_csr = _sp.csr_matrix(Gh)
+                reg_ = float(opts.reg_dual) + 1e-12
+                dev_solver = None
+                if jax.default_backend() == "tpu":
+                    # device multifrontal numeric: the whole IPM stays one
+                    # compiled program, frontal POTRF/TRSM/SYRK tiles run
+                    # on the MXU in f32 + f64 refinement (round-4; the
+                    # host-callback path remains for CPU and for arrow
+                    # structures needing the Woodbury dense-column split)
+                    from .ops.sparse_chol_device import (
+                        make_device_normal_solver,
+                    )
+
+                    try:
+                        dev_solver = make_device_normal_solver(
+                            G_csr, reg=reg_, dtype=jnp.float32)
+                    except Exception:
+                        dev_solver = None
+                if dev_solver is not None:
+                    opts = _dc.replace(opts, sparse_chol_device=dev_solver)
+                else:
+                    solver = make_normal_solver(G_csr, reg=reg_)
+                    if solver is not None:
+                        opts = _dc.replace(opts, sparse_chol=solver)
     res = ipm_solve_jit(lp, opts)
     from .events import get_handler
 
