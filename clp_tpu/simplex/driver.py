@@ -744,8 +744,10 @@ def simplex_solve(
             hi_s = np.concatenate([hi_c[order], np.full(pad, hi_c[order[-1]])])
             spans = (hi_s.reshape(nb_try, cb).max(axis=1)
                      - lo_s.reshape(nb_try, cb).min(axis=1))
-            H = int(-(-int(spans.max()) // 8) * 8)
-            H = min(H, m)
+            # +8 slack: block_forms floors window starts to multiples of
+            # 8 for the fused Pallas kernel's aligned sublane slice
+            H = int(-(-int(spans.max()) // 8) * 8) + 8
+            H = min(H, -(-m // 8) * 8)
             cost = nb_try * H * cb
             if best is None or cost < best[0]:
                 best = (cost, nb_try, H)
@@ -781,8 +783,10 @@ def simplex_solve(
                 ell_kr = (int(counts_r.max(initial=0)) + 1 + 7) // 8 * 8
                 if ell_kc <= m // 4 and ell_kr <= nt // 4:
                     price_mode = "ell"
-    if price_mode in ("pm1", "ell", "block"):
+    if price_mode in ("pm1", "ell"):
         use_pallas = False  # these paths replace the dense contraction
+    # "block" KEEPS the pallas flag: the fused block-tile PRICE kernel
+    # (price_and_ratios_block) replaces the dense kernel on TPU
 
     inv_dtype = getattr(options, "inverse_dtype", "auto")
     if inv_dtype == "auto":

@@ -301,24 +301,33 @@ def block_forms(G, nb: int, H: int):
     pad = nb * CB - nt
     if pad:
         G = jnp.concatenate([G, jnp.zeros((m, pad), G.dtype)], axis=1)
+    # rows pad to a multiple of 8 and window starts round DOWN to
+    # multiples of 8: the fused Pallas kernel slices rho on the sublane
+    # dimension, which wants 8-aligned starts (f32 tiling); the driver's
+    # H carries +8 slack so flooring never uncovers a column's support
+    m8 = -(-m // 8) * 8
+    if m8 > m:
+        G = jnp.concatenate([G, jnp.zeros((m8 - m, G.shape[1]), G.dtype)])
     nz = jnp.abs(G) > 0
     anyc = jnp.any(nz, axis=0)
     # pad / empty columns must not drag a block's window start to 0
     lo = jnp.where(anyc, jnp.argmax(nz, axis=0), m)
     lo_s = lo.reshape(nb, CB)
-    starts = jnp.minimum(jnp.min(lo_s, axis=1), m - H).astype(jnp.int32)
+    starts = jnp.minimum(jnp.min(lo_s, axis=1), m8 - H)
+    starts = ((starts // 8) * 8).astype(jnp.int32)
     rowidx = starts[:, None, None] + jnp.arange(H)[None, :, None]
     cols = jnp.arange(nb * CB).reshape(nb, CB)
     W = G[rowidx, cols[:, None, :]]
-    return starts, W
+    return starts, W, m8
 
 
 def _blk_price(rho, blk, dtype, nt):
     """alpha = rho @ G over block tiles: one (nb,H)x(nb,H,CB) batched
     matmul; output is already in (sorted) column order."""
-    starts, W = blk
+    starts, W, m8 = blk
     H = W.shape[1]
-    rho_w = rho[starts[:, None] + jnp.arange(H)[None, :]]
+    rho_p = jnp.concatenate([rho, jnp.zeros(m8 - rho.shape[0], rho.dtype)])
+    rho_w = rho_p[starts[:, None] + jnp.arange(H)[None, :]]
     out = jnp.einsum("bh,bhc->bc", rho_w.astype(W.dtype), W,
                      precision=jax.lax.Precision.HIGHEST)
     return out.reshape(-1)[:nt].astype(dtype)
@@ -326,24 +335,25 @@ def _blk_price(rho, blk, dtype, nt):
 
 def _blk_col(q, blk, m):
     """Dense G[:, q] scattered from its block window."""
-    starts, W = blk
+    starts, W, m8 = blk
     nb, H, CB = W.shape
     b, c = q // CB, q % CB
     win = W[b, :, c]
-    return jnp.zeros((m,), W.dtype).at[starts[b] + jnp.arange(H)].set(win)
+    return jnp.zeros((m8,), W.dtype).at[
+        starts[b] + jnp.arange(H)].set(win)[:m]
 
 
 def _blk_matvec(x, blk, m):
     """G @ x: per-block (H, CB) @ (CB,) then overlapping scatter-add."""
-    starts, W = blk
+    starts, W, m8 = blk
     nb, H, CB = W.shape
     nt = x.shape[0]
     xp = jnp.concatenate(
         [x, jnp.zeros(nb * CB - nt, x.dtype)]).reshape(nb, CB)
     contrib = jnp.einsum("bhc,bc->bh", W, xp.astype(W.dtype),
                          precision=jax.lax.Precision.HIGHEST)
-    return jnp.zeros((m,), W.dtype).at[
-        starts[:, None] + jnp.arange(H)[None, :]].add(contrib)
+    return jnp.zeros((m8,), W.dtype).at[
+        starts[:, None] + jnp.arange(H)[None, :]].add(contrib)[:m]
 
 
 def pm1_indices(G):
@@ -462,7 +472,40 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     sgn = jnp.where(at_lo, 1.0, -1.0)
     rel = opts.harris_tolerance_frac * dtol
 
-    if opts.use_pallas_price and ell is None:
+    if opts.use_pallas_price and blk is not None:
+        # fused BLOCK PRICE + Harris pass-1: reads the window-compacted
+        # (nb, H, CB) tiles instead of the full (m, nt) G — HBM traffic
+        # drops to the covered windows (~5x less on the bench staircase)
+        from ..ops.pallas_price import price_and_ratios_block
+
+        starts_b, W_b, m8_b = blk
+        nbW, HW, CBW = W_b.shape
+        ntp = nbW * CBW
+        cand_dir = (at_lo | at_up) & ~fixed
+        rho_p = (
+            jnp.concatenate([rho, jnp.zeros(m8_b - m, rho.dtype)])
+            if m8_b > m else rho
+        )
+        padc = ntp - nt
+
+        def _padv(v, fill=0.0):
+            return (jnp.concatenate(
+                [v, jnp.full(padc, fill, v.dtype)]) if padc else v)
+
+        al_b, th_b = price_and_ratios_block(
+            rho_p, starts_b, W_b,
+            _padv(state.dj), _padv(cand_dir.astype(jnp.int32)),
+            _padv(sgn, 1.0), sigma, rel, opts.pivot_tolerance,
+            interpret=jax.default_backend() != "tpu",
+        )
+        alpha = al_b[:nt].astype(G.dtype)
+        a = sigma * alpha
+        elig = (at_lo & (a > opts.pivot_tolerance)) | (
+            at_up & (a < -opts.pivot_tolerance)
+        )
+        elig = elig & ~fixed
+        theta_relaxed = jnp.where(elig, th_b[:nt].astype(G.dtype), jnp.inf)
+    elif opts.use_pallas_price and ell is None:
         from ..ops.pallas_price import price_and_ratios
 
         cand_dir = (at_lo | at_up) & ~fixed
@@ -534,19 +577,42 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         boxed = jnp.isfinite(width32) & ~fixed
         a32 = jnp.abs(a).astype(jnp.float32)
         t32 = jnp.where(elig, theta_true, jnp.inf).astype(jnp.float32)
-        gain = jnp.where(elig & boxed, a32 * width32, jnp.inf)
-        # only the K smallest breakpoints can be walked in one pivot; top_k
-        # is far cheaper than a full nt sort on TPU, and truncating at K is
-        # a valid (shorter) long step — the walk just stops at breakpoint K
-        K = min(256, nt)
-        neg_t, idxK = jax.lax.top_k(-t32, K)
-        tK = -neg_t  # ascending K smallest ratios
-        remain = infeas[r].astype(jnp.float32) - jnp.cumsum(
-            jnp.where(elig, gain, 0.0)[idxK]
+        # breakpoint walk WITHOUT a sort: top_k over nt measured 141 us —
+        # as costly as the whole FTRAN — on the v5e at nt=6656. Instead,
+        # bucket the ratios into NB log-spaced bins, accumulate the
+        # passable gain per bin with one segment_sum, and stop at the
+        # first bin whose cumulative gain exhausts the slope. theta_stop
+        # is that bin's LOWER edge: a conservative (shorter) long step is
+        # always valid — it just passes fewer breakpoints.
+        NB = 256
+        pass_gain = jnp.where(elig & boxed, a32 * width32, 0.0)
+        tpos = jnp.where(elig & (t32 > 0.0), t32, jnp.inf)
+        tmin = jnp.minimum(jnp.min(tpos), 1e30)
+        tmax_f = jnp.where(elig & boxed & jnp.isfinite(t32), t32, -jnp.inf)
+        tmax = jnp.maximum(jnp.max(tmax_f), tmin * 1.0001)
+        lo_log = jnp.log(jnp.maximum(tmin, 1e-30))
+        rng_log = jnp.maximum(
+            jnp.log(jnp.maximum(tmax, 1e-30)) - lo_log, 1e-6)
+        tbin = jnp.clip(
+            jnp.floor((jnp.log(jnp.maximum(t32, 1e-30)) - lo_log)
+                      / rng_log * (NB - 1)).astype(jnp.int32),
+            0, NB - 1,
         )
-        canpass = (remain > 0.0) & jnp.isfinite(tK)
-        k_star = jnp.sum(jnp.cumprod(canpass.astype(jnp.int32)))
-        theta_stop = tK[jnp.minimum(k_star, K - 1)]
+        # non-positive ratios sit below every edge: force bin 0
+        tbin = jnp.where(t32 <= 0.0, 0, tbin)
+        hist = jax.ops.segment_sum(
+            jnp.where(elig & boxed, pass_gain, 0.0), tbin, num_segments=NB
+        )
+        cum = jnp.cumsum(hist)
+        exhausted = cum >= infeas[r].astype(jnp.float32)
+        b_star = jnp.argmax(exhausted)  # first exhausting bin (0 if none)
+        b_star = jnp.where(jnp.any(exhausted), b_star, NB - 1)
+        edges = jnp.exp(lo_log + rng_log * b_star.astype(jnp.float32)
+                        / (NB - 1))
+        # impassable wall: the smallest unbounded-width breakpoint can
+        # never be walked past
+        wall = jnp.min(jnp.where(elig & ~boxed, t32, jnp.inf))
+        theta_stop = jnp.minimum(edges, wall)
         # threshold semantics (strict <) instead of ranks: no scatter, and
         # breakpoints tied with theta_stop stay unpassed (still eligible)
         passed = elig & boxed & (t32 < theta_stop)
@@ -696,25 +762,33 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     # --- dual step + dj update ---
     # the f64 FTRAN value abar_r is the authoritative pivot element
-    # (alpha[q] may be f32-precision when Pallas pricing is on)
+    # (alpha[q] may be f32-precision when Pallas pricing is on).
+    # Point updates are full-vector selects, not scatters: tiny .at[]
+    # scatters serialize on the TPU (measured ~125 us/pivot of pure
+    # bookkeeping at nt=6656); a select fuses with the neighboring
+    # elementwise work.
+    im = jnp.arange(m)
     theta_d = state.dj[q] / abar_r
-    dj_new = state.dj - theta_d * alpha
-    dj_new = dj_new.at[q].set(0.0)
     p_leave = state.basis[r]
-    dj_new = dj_new.at[p_leave].set(-theta_d)
+    dj_new = state.dj - theta_d * alpha
+    dj_new = jnp.where(idx == q, 0.0, dj_new)
+    dj_new = jnp.where(idx == p_leave, -theta_d, dj_new)
 
     # --- DSE weight update (Forrest-Goldfarb) ---
     wr = jnp.maximum(state.weights[r], 1e-50)
     ratio = abar / abar_r
     w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr
     w_new = jnp.maximum(w_new, 1e-8)
-    w_new = w_new.at[r].set(jnp.maximum(wr / (abar_r * abar_r), 1e-8))
+    w_new = jnp.where(
+        im == r, jnp.maximum(wr / (abar_r * abar_r), 1e-8), w_new
+    )
 
     # --- basis inverse product-form update (binv's own dtype); the fused
     # Pallas kernel already wrote it (gated) in the same pass as the FTRAN
     if binv_fused is None:
-        factor = abar / abar_r
-        factor = factor.at[r].set(1.0 - 1.0 / abar_r)
+        factor = jnp.where(
+            im == r, 1.0 - 1.0 / abar_r, abar / abar_r
+        )
         binv_new = state.binv - jnp.outer(
             factor.astype(state.binv.dtype), state.binv[r, :]
         )
@@ -722,18 +796,21 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         binv_new = binv_fused
 
     # --- basic solution update ---
-    xb_new = state.xb - delta_q * abar - flow
-    xb_new = xb_new.at[r].set(xq_new)
+    xb_new = jnp.where(im == r, xq_new, state.xb - delta_q * abar - flow)
 
-    basis_new = state.basis.at[r].set(q.astype(state.basis.dtype))
+    basis_new = jnp.where(
+        im == r, q.astype(state.basis.dtype), state.basis
+    ).astype(state.basis.dtype)
     # apply bound flips first, then the pivot's status changes
     vstat_flipped = jnp.where(
         flip, jnp.where(at_lo, AT_UPPER, AT_LOWER), state.vstat
-    ).astype(state.vstat.dtype)
-    vstat_new = vstat_flipped.at[p_leave].set(
-        jnp.where(sigma > 0, AT_UPPER, AT_LOWER).astype(state.vstat.dtype)
     )
-    vstat_new = vstat_new.at[q].set(BASIC)
+    vstat_new = jnp.where(
+        idx == p_leave, jnp.where(sigma > 0, AT_UPPER, AT_LOWER),
+        vstat_flipped,
+    )
+    vstat_new = jnp.where(idx == q, BASIC, vstat_new).astype(
+        state.vstat.dtype)
 
     # --- dispatch on special cases ---
     do_pivot = any_infeas & any_elig & ~acc_bad & ~piv_small
@@ -1175,7 +1252,8 @@ def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
         )
     if opts.price_mode == "block" and opts.price_block_nb > 0:
         Gb = (lp.G.astype(jnp.float32)
-              if opts.inverse_dtype == "float32" else lp.G)
+              if (opts.inverse_dtype == "float32" or opts.use_pallas_price)
+              else lp.G)
         return partial(
             dual_iteration,
             blk=block_forms(Gb, opts.price_block_nb, opts.price_block_h),

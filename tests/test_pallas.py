@@ -127,3 +127,42 @@ def test_fused_pivot_in_engine():
     obj = float(np.asarray(lp.c) @ x)
     assert ref.status == 0
     assert abs(obj - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+
+
+def test_block_price_kernel_matches_reference_interpret():
+    """Fused block-tile PRICE kernel (price_and_ratios_block) matches the
+    dense reference exactly in interpret mode."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clp_tpu.simplex.engine import block_forms
+    from clp_tpu.ops.pallas_price import (
+        price_and_ratios_block, price_and_ratios_reference)
+
+    rng = np.random.default_rng(0)
+    m, nt, nb, H = 64, 96, 4, 40
+    G = np.zeros((m, nt))
+    for j in range(nt):
+        lo = min(int(j / nt * (m - 20)), m - 20)
+        G[lo:lo + 16, j] = rng.normal(size=16) * (rng.random(16) < 0.5)
+    Gj = jnp.asarray(G, jnp.float32)
+    starts, W, m8 = block_forms(Gj, nb, H)
+    rho = jnp.asarray(rng.normal(size=m), jnp.float32)
+    dj = jnp.asarray(rng.normal(size=nt), jnp.float32)
+    elig = jnp.asarray(rng.random(nt) < 0.6)
+    sgn = jnp.asarray(np.where(rng.random(nt) < 0.5, 1.0, -1.0), jnp.float32)
+    rho_p = jnp.concatenate([rho, jnp.zeros(m8 - m, rho.dtype)])
+    ntp = W.shape[0] * W.shape[2]
+    padc = ntp - nt
+    al, th = price_and_ratios_block(
+        rho_p, starts, W,
+        jnp.concatenate([dj, jnp.zeros(padc, dj.dtype)]),
+        jnp.concatenate([elig.astype(jnp.int32), jnp.zeros(padc, jnp.int32)]),
+        jnp.concatenate([sgn, jnp.ones(padc, sgn.dtype)]),
+        1.0, 5e-8, 1e-9, interpret=True)
+    ar, tr = price_and_ratios_reference(rho, Gj, dj, elig, sgn, 1.0, 5e-8, 1e-9)
+    assert float(jnp.max(jnp.abs(al[:nt] - ar))) == 0.0
+    ok = jnp.isfinite(tr)
+    assert bool(jnp.all(jnp.isfinite(th[:nt]) == ok))
+    assert float(jnp.max(jnp.abs(jnp.where(ok, th[:nt] - tr, 0.0)))) == 0.0
