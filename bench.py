@@ -176,7 +176,17 @@ def bench_batched_ipm(jax, jnp):
 
 def bench_batched_dual(jax, jnp):
     """Scenario-batched dual simplex (live-set compaction: finished
-    instances are repacked out between chunks)."""
+    instances are repacked out between dispatches).
+
+    Measurement-protocol note (round-3 discrepancy, 21 vs 3.88 inst/s):
+    STATUS.md's round-3 "21 inst/s" was measured on the CPU backend,
+    where per-chunk host round trips are nearly free; the driver runs
+    THIS file on the tunnel TPU, where every chunk dispatch paid ~30+ ms
+    of RPC latency — hence 3.88. The driver-captured protocol (second
+    call, post-compile, wall-clock over the whole batch) is the
+    authoritative one. Round 4 moved the chunk+verify claim protocol
+    inside the dispatch (engine.dual_solve_rounds, 6 rounds per
+    dispatch), cutting host round trips ~6x."""
     from clp_tpu.options import SolveOptions
     from clp_tpu.constants import SolveMethod, ProblemStatus
     from clp_tpu.parallel.batch import solve_batch_dual_simplex
@@ -200,7 +210,28 @@ def bench_batched_dual(jax, jnp):
     t = time.perf_counter() - t0
     ok = sum(s.status == ProblemStatus.OPTIMAL for s in sols)
     assert ok >= B * 9 // 10, f"only {ok}/{B} optimal"
-    return {"instances_per_s": B / t, "batch": B, "shape": f"{M}x{N}"}
+    out = {"instances_per_s": B / t, "batch": B, "shape": f"{M}x{N}"}
+    # 10k-scenario rehearsal: a big batch of small perturbed scenarios —
+    # the shape class the scenario north star actually sweeps
+    B2, M2, N2 = 256, 32, 48
+    base2 = random_lp(M2, N2, seed=4)
+    models2 = []
+    for _ in range(B2):
+        m = base2.copy()
+        shift = np.abs(rng.uniform(0, 0.05, m.num_rows))
+        m.row_lower = np.where(m.row_lower > -1e29, m.row_lower - shift, m.row_lower)
+        m.row_upper = np.where(m.row_upper < 1e29, m.row_upper + shift, m.row_upper)
+        models2.append(m)
+    sols2 = solve_batch_dual_simplex(models2, opts)  # compile pass
+    t0 = time.perf_counter()
+    sols2 = solve_batch_dual_simplex(models2, opts)
+    t2 = time.perf_counter() - t0
+    ok2 = sum(s.status == ProblemStatus.OPTIMAL for s in sols2)
+    out["rehearsal_b256"] = {
+        "instances_per_s": round(B2 / t2, 2), "batch": B2,
+        "shape": f"{M2}x{N2}", "optimal": ok2,
+    }
+    return out
 
 
 def bench_gub(jax, jnp):

@@ -593,22 +593,39 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         lo_log = jnp.log(jnp.maximum(tmin, 1e-30))
         rng_log = jnp.maximum(
             jnp.log(jnp.maximum(tmax, 1e-30)) - lo_log, 1e-6)
-        tbin = jnp.clip(
-            jnp.floor((jnp.log(jnp.maximum(t32, 1e-30)) - lo_log)
-                      / rng_log * (NB - 1)).astype(jnp.int32),
-            0, NB - 1,
-        )
-        # non-positive ratios sit below every edge: force bin 0
-        tbin = jnp.where(t32 <= 0.0, 0, tbin)
-        hist = jax.ops.segment_sum(
-            jnp.where(elig & boxed, pass_gain, 0.0), tbin, num_segments=NB
-        )
-        cum = jnp.cumsum(hist)
-        exhausted = cum >= infeas[r].astype(jnp.float32)
-        b_star = jnp.argmax(exhausted)  # first exhausting bin (0 if none)
-        b_star = jnp.where(jnp.any(exhausted), b_star, NB - 1)
-        edges = jnp.exp(lo_log + rng_log * b_star.astype(jnp.float32)
-                        / (NB - 1))
+        tlog = jnp.log(jnp.maximum(t32, 1e-30))
+        slope0 = infeas[r].astype(jnp.float32)
+        gains = jnp.where(elig & boxed, pass_gain, 0.0)
+
+        def _hist_level(lo_l, rng_l, slope, mask):
+            """One histogram refinement level over [lo_l, lo_l + rng_l):
+            returns (bin lower edge of first exhausting bin, slope
+            remaining before it, refined lo/rng for the next level,
+            membership mask of that bin)."""
+            tb = jnp.clip(
+                jnp.floor((tlog - lo_l) / rng_l * NB).astype(jnp.int32),
+                0, NB - 1,
+            )
+            tb = jnp.where(t32 <= 0.0, 0, tb)
+            hist = jax.ops.segment_sum(
+                jnp.where(mask, gains, 0.0), tb, num_segments=NB
+            )
+            cum = jnp.cumsum(hist)
+            exhausted = cum >= slope
+            b = jnp.where(jnp.any(exhausted), jnp.argmax(exhausted), NB - 1)
+            bf = b.astype(jnp.float32)
+            passed_before = jnp.where(b > 0, cum[jnp.maximum(b - 1, 0)], 0.0)
+            lo_next = lo_l + rng_l * bf / NB
+            return (lo_next, slope - passed_before, rng_l / NB,
+                    mask & (tb == b))
+
+        # two refinement levels: effective resolution NB^2 log-spaced
+        # edges — enough that the conservative lower-edge stop passes
+        # essentially the same breakpoints as an exact sort
+        mask0 = elig & boxed
+        lo1, slope1, rng1, mask1 = _hist_level(lo_log, rng_log, slope0, mask0)
+        lo2, _slope2, _rng2, _m2 = _hist_level(lo1, rng1, slope1, mask1)
+        edges = jnp.exp(lo2)
         # impassable wall: the smallest unbounded-width breakpoint can
         # never be walked past
         wall = jnp.min(jnp.where(elig & ~boxed, t32, jnp.inf))
