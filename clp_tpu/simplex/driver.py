@@ -716,7 +716,7 @@ def simplex_solve(
 
     price_mode = options.price_mode
     ell_kc = ell_kr = 0
-    blk_nb = blk_h = 0
+    blk_nb = blk_h = blk_cb = 0
     blk_perm = blk_inv = None
     if price_mode == "block":
         # block-banded geometry from the host matrix: group standard-form
@@ -735,10 +735,10 @@ def simplex_solve(
         hi_c[n:] = np.arange(m) + 1
         order = np.argsort(lo_c + hi_c, kind="stable")
         best = None
-        for nb_try in (8, 16, 32, 64):
-            if nb_try >= nt:
+        for cb in (128, 256, 384, 512):
+            nb_try = -(-nt // cb)
+            if nb_try < 2:
                 continue
-            cb = -(-nt // nb_try)
             pad = nb_try * cb - nt
             lo_s = np.concatenate([lo_c[order], np.full(pad, lo_c[order[-1]])])
             hi_s = np.concatenate([hi_c[order], np.full(pad, hi_c[order[-1]])])
@@ -750,9 +750,9 @@ def simplex_solve(
             H = min(H, -(-m // 8) * 8)
             cost = nb_try * H * cb
             if best is None or cost < best[0]:
-                best = (cost, nb_try, H)
+                best = (cost, nb_try, H, cb)
         if best is not None and best[2] <= m // 2 and best[0] <= 0.6 * m * nt:
-            blk_nb, blk_h = best[1], best[2]
+            blk_nb, blk_h, blk_cb = best[1], best[2], best[3]
             # sort the standard form's columns by window position ONCE so
             # each block's columns are contiguous: block PRICE results land
             # in place (round 3's per-pivot nt un-permute gather measured
@@ -843,6 +843,7 @@ def simplex_solve(
             price_ell_kr=ell_kr,
             price_block_nb=blk_nb,
             price_block_h=blk_h,
+            price_block_cb=blk_cb,
             inverse_dtype=inv_dtype,
             dual_ratio=dual_ratio,
             pe_psi=getattr(options, "pe_psi", 0.5),

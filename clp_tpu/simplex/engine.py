@@ -109,6 +109,7 @@ class SimplexOptions:
     # from the host matrix so every column's support fits its window.
     price_block_nb: int = 0  # 0 = mode unavailable
     price_block_h: int = 0
+    price_block_cb: int = 0  # columns per block (multiple of 128)
     # dual ratio test. "harris" = two-pass Harris stopping at the first
     # breakpoint window. "bfrt" = long-step bound-flipping ratio test
     # (reference: dualColumn's candidate/flip accounting,
@@ -281,7 +282,7 @@ def _ell_matvec(x, ell):
     return jnp.sum(rval * x.astype(rval.dtype)[ridx], axis=1)
 
 
-def block_forms(G, nb: int, H: int):
+def block_forms(G, nb: int, H: int, CB: int = 0):
     """Column-window block forms over a PRE-SORTED G: contiguous runs of
     CB columns share one (H, CB) dense tile covering their row window.
 
@@ -297,7 +298,10 @@ def block_forms(G, nb: int, H: int):
     whenever the block span <= H.
     """
     m, nt = G.shape
-    CB = -(-nt // nb)
+    if CB <= 0:
+        CB = -(-nt // nb)
+    # the caller's CB (a multiple of 128 for the Pallas kernel) defines
+    # the column grouping; it must MATCH the driver's span computation
     pad = nb * CB - nt
     if pad:
         G = jnp.concatenate([G, jnp.zeros((m, pad), G.dtype)], axis=1)
@@ -1273,7 +1277,8 @@ def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
               else lp.G)
         return partial(
             dual_iteration,
-            blk=block_forms(Gb, opts.price_block_nb, opts.price_block_h),
+            blk=block_forms(Gb, opts.price_block_nb, opts.price_block_h,
+                            opts.price_block_cb),
         )
     if opts.use_pallas_price or opts.inverse_dtype == "float32":
         G32 = lp.G.astype(jnp.float32)

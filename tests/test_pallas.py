@@ -141,13 +141,13 @@ def test_block_price_kernel_matches_reference_interpret():
         price_and_ratios_block, price_and_ratios_reference)
 
     rng = np.random.default_rng(0)
-    m, nt, nb, H = 64, 96, 4, 40
+    m, nt, nb, H, CB = 64, 384, 3, 40, 128
     G = np.zeros((m, nt))
     for j in range(nt):
         lo = min(int(j / nt * (m - 20)), m - 20)
         G[lo:lo + 16, j] = rng.normal(size=16) * (rng.random(16) < 0.5)
     Gj = jnp.asarray(G, jnp.float32)
-    starts, W, m8 = block_forms(Gj, nb, H)
+    starts, W, m8 = block_forms(Gj, nb, H, CB)
     rho = jnp.asarray(rng.normal(size=m), jnp.float32)
     dj = jnp.asarray(rng.normal(size=nt), jnp.float32)
     elig = jnp.asarray(rng.random(nt) < 0.6)
