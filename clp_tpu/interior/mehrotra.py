@@ -96,6 +96,12 @@ class IPMOptions:
     # Newton solve wraps it in f64 matvec refinement. Takes precedence
     # over sparse_chol when both are set.
     sparse_chol_device: object = None
+    # mixed-precision dense normal equations: assemble + factor in f32
+    # (native MXU) with symmetric Jacobi scaling and f64 matvec
+    # refinement. Set by solve.py on the TPU backend, where f64 matmuls
+    # are VPU-emulated (~25x) and dominate both per-iteration wall time
+    # and XLA compile time.
+    mixed32: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -478,6 +484,45 @@ def ipm_solve(lp: StandardLP, opts: IPMOptions = IPMOptions()) -> IPMResult:
 
             def nsolve(rhs):
                 return _lsqr_damped(G, sqd, sqreg, rhs, opts.cg_maxiter)
+
+            def hsolve(r):
+                return d * r if r.ndim == 1 else d[:, None] * r
+
+        elif separable and opts.mixed32:
+            # mixed-precision dense normal equations (TPU): assembly and
+            # Cholesky run in f32 on the MXU (f64 matmuls are VPU-emulated
+            # ~25x slower AND their expanded programs dominate the
+            # server-side compile time — the round-3 "18-min barrier
+            # compile" weakness). Symmetric Jacobi scaling tames the
+            # IPM's late-iteration diagonal spread so the f32 factor +
+            # f64 matvec refinement recovers f64-class Newton directions
+            # (same contract as the f32 simplex inverse and the device
+            # multifrontal path).
+            d = jnp.minimum(1.0 / dinv, opts.free_var_cap)
+            reg = opts.reg_dual + 1e-12
+            G32 = G.astype(jnp.float32)
+            d32 = d.astype(jnp.float32)
+            M32 = jnp.matmul(G32 * d32, G32.T,
+                             precision=jax.lax.Precision.HIGHEST)
+            diag = jnp.diagonal(M32) + jnp.float32(reg)
+            s32 = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+            Ms = M32 * s32[:, None] * s32[None, :]
+            Ms = Ms + (jnp.float32(reg) * s32 * s32 + 1e-7) * jnp.eye(
+                Ms.shape[0], dtype=jnp.float32)
+            L32, _ = chol_factor_reg(Ms, base_reg=0.0)
+            s64 = s32.astype(G.dtype)
+
+            def matvec(v):
+                return G @ (d * (G.T @ v)) + reg * v
+
+            def nsolve(rhs):
+                x = s64 * chol_solve(
+                    L32, (s64 * rhs).astype(jnp.float32)).astype(rhs.dtype)
+                for _ in range(opts.refine_steps + 3):
+                    r = rhs - matvec(x)
+                    x = x + s64 * chol_solve(
+                        L32, (s64 * r).astype(jnp.float32)).astype(rhs.dtype)
+                return x
 
             def hsolve(r):
                 return d * r if r.ndim == 1 else d[:, None] * r

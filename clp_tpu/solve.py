@@ -376,6 +376,9 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
         max_iter=options.barrier_max_iterations,
         reg_primal=1e-9 * boost,
         reg_dual=1e-10 * boost,
+        # TPU: f32 MXU assembly/factor + f64 refinement — f64 emulation
+        # otherwise dominates both iteration wall time and compile time
+        mixed32=jax.default_backend() == "tpu",
     )
     perm = None
     if lp.Q is not None:

@@ -375,3 +375,23 @@ def test_ipm_shape_bucketing_qp():
     assert sol.status == clp_tpu.ProblemStatus.OPTIMAL
     assert abs(sol.objective_value - ref.objective_value) < 1e-6 * (
         1 + abs(ref.objective_value))
+
+
+def test_mixed32_dense_barrier_matches_f64():
+    """mixed32 (f32 MXU assembly/factor + Jacobi scaling + f64 matvec
+    refinement) reaches the same optimum as the f64 normal equations —
+    the TPU path's accuracy contract."""
+    from clp_tpu.forms import to_ipm_form
+    from clp_tpu.interior.mehrotra import IPMOptions, ipm_solve_jit
+    from clp_tpu.utils.generators import random_lp
+    from tests.test_mps import _linprog
+
+    for seed in (0, 5):
+        model = random_lp(96, 160, seed=seed)
+        ref = _linprog(model)
+        assert ref.status == 0
+        lp, info = to_ipm_form(model)
+        res = ipm_solve_jit(lp, IPMOptions(tol=1e-8, mixed32=True))
+        assert bool(res.converged)
+        obj = float(res.pobj) * info.sense + model.objective_offset
+        assert abs(obj - ref.fun) < 1e-6 * (1 + abs(ref.fun))
