@@ -1036,8 +1036,23 @@ def simplex_solve(
             opts, inverse_dtype="float64", refactor_frequency=100,
             use_pallas_price=False,
         )
-        state64 = initial_state(lp, opts64) if warm is None else _warm_state(lp, opts64, warm, n, m)
+        # continue WARM from the f32 attempt's basis: its pivots are real
+        # progress (measured: the f32 engine stalls only on tiny-pivot
+        # endgames — e.g. 5600 of 8058 staircase pivots done); only a
+        # basis the f64 refactor also rejects falls back to cold
+        state64 = dataclasses.replace(
+            state,
+            binv=state.binv.astype(lp.G.dtype),
+            status=jnp.asarray(engine.CONTINUE, jnp.int32),
+        )
         state64 = recompute(lp, state64, opts64.dual_bound)
+        if int(state64.status) == engine.NUMERICAL:
+            # singular carried basis: cold f64 restart (built in ORIGINAL
+            # column order then mapped — initial_state assumes slacks last)
+            state64 = _to_sorted(
+                initial_state(lp0, opts64) if warm is None
+                else _warm_state(lp0, opts64, warm, n, m))
+            state64 = recompute(lp, state64, opts64.dual_bound)
         if dual:
             state64 = make_dual_feasible(lp, state64, opts64)
             state64 = dsolve(lp, state64, opts64)
@@ -1057,7 +1072,9 @@ def simplex_solve(
         lp_pert = dataclasses.replace(
             lp, c=jnp.asarray(c + rng.uniform(0.5, 1.0, c.size) * scale)
         )
-        state3 = initial_state(lp, opts) if warm is None else _warm_state(lp, opts, warm, n, m)
+        state3 = _to_sorted(
+            initial_state(lp0, opts) if warm is None
+            else _warm_state(lp0, opts, warm, n, m))
         state3 = recompute(lp_pert, state3, opts.dual_bound)
         state3 = make_dual_feasible(lp_pert, state3, opts)
         state3 = dsolve(lp_pert, state3, opts)
@@ -1128,7 +1145,7 @@ def simplex_solve(
                 opts, inverse_dtype="float64", use_pallas_price=False,
                 use_pallas_pivot=False, **adj,
             )
-            state_r = initial_state(lp, opts_r)
+            state_r = _to_sorted(initial_state(lp0, opts_r))
             state_r = recompute(lp, state_r, opts_r.dual_bound)
             if dual:
                 state_r = make_dual_feasible(lp, state_r, opts_r)

@@ -581,59 +581,25 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         boxed = jnp.isfinite(width32) & ~fixed
         a32 = jnp.abs(a).astype(jnp.float32)
         t32 = jnp.where(elig, theta_true, jnp.inf).astype(jnp.float32)
-        # breakpoint walk WITHOUT a sort: top_k over nt measured 141 us —
-        # as costly as the whole FTRAN — on the v5e at nt=6656. Instead,
-        # bucket the ratios into NB log-spaced bins, accumulate the
-        # passable gain per bin with one segment_sum, and stop at the
-        # first bin whose cumulative gain exhausts the slope. theta_stop
-        # is that bin's LOWER edge: a conservative (shorter) long step is
-        # always valid — it just passes fewer breakpoints.
-        NB = 256
-        pass_gain = jnp.where(elig & boxed, a32 * width32, 0.0)
-        tpos = jnp.where(elig & (t32 > 0.0), t32, jnp.inf)
-        tmin = jnp.minimum(jnp.min(tpos), 1e30)
-        tmax_f = jnp.where(elig & boxed & jnp.isfinite(t32), t32, -jnp.inf)
-        tmax = jnp.maximum(jnp.max(tmax_f), tmin * 1.0001)
-        lo_log = jnp.log(jnp.maximum(tmin, 1e-30))
-        rng_log = jnp.maximum(
-            jnp.log(jnp.maximum(tmax, 1e-30)) - lo_log, 1e-6)
-        tlog = jnp.log(jnp.maximum(t32, 1e-30))
-        slope0 = infeas[r].astype(jnp.float32)
-        gains = jnp.where(elig & boxed, pass_gain, 0.0)
-
-        def _hist_level(lo_l, rng_l, slope, mask):
-            """One histogram refinement level over [lo_l, lo_l + rng_l):
-            returns (bin lower edge of first exhausting bin, slope
-            remaining before it, refined lo/rng for the next level,
-            membership mask of that bin)."""
-            tb = jnp.clip(
-                jnp.floor((tlog - lo_l) / rng_l * NB).astype(jnp.int32),
-                0, NB - 1,
-            )
-            tb = jnp.where(t32 <= 0.0, 0, tb)
-            hist = jax.ops.segment_sum(
-                jnp.where(mask, gains, 0.0), tb, num_segments=NB
-            )
-            cum = jnp.cumsum(hist)
-            exhausted = cum >= slope
-            b = jnp.where(jnp.any(exhausted), jnp.argmax(exhausted), NB - 1)
-            bf = b.astype(jnp.float32)
-            passed_before = jnp.where(b > 0, cum[jnp.maximum(b - 1, 0)], 0.0)
-            lo_next = lo_l + rng_l * bf / NB
-            return (lo_next, slope - passed_before, rng_l / NB,
-                    mask & (tb == b))
-
-        # two refinement levels: effective resolution NB^2 log-spaced
-        # edges — enough that the conservative lower-edge stop passes
-        # essentially the same breakpoints as an exact sort
-        mask0 = elig & boxed
-        lo1, slope1, rng1, mask1 = _hist_level(lo_log, rng_log, slope0, mask0)
-        lo2, _slope2, _rng2, _m2 = _hist_level(lo1, rng1, slope1, mask1)
-        edges = jnp.exp(lo2)
-        # impassable wall: the smallest unbounded-width breakpoint can
-        # never be walked past
-        wall = jnp.min(jnp.where(elig & ~boxed, t32, jnp.inf))
-        theta_stop = jnp.minimum(edges, wall)
+        gain = jnp.where(elig & boxed, a32 * width32, jnp.inf)
+        # only the K smallest breakpoints can be walked in one pivot; top_k
+        # is far cheaper than a full nt sort on TPU, and truncating at K is
+        # a valid (shorter) long step — the walk just stops at breakpoint K.
+        # (A sort-free log-histogram walk was tried here — 141 us of top_k
+        # measured per pivot at nt=6656 — but degenerate ratio TIES get
+        # treated atomically per bin, which shortened the long steps enough
+        # to inflate iteration counts ~2.6x on the bench classes; top_k
+        # passes ties individually and its wall cost is the cheaper side
+        # of that trade. See round-4 log.)
+        K = min(256, nt)
+        neg_t, idxK = jax.lax.top_k(-t32, K)
+        tK = -neg_t  # ascending K smallest ratios
+        remain = infeas[r].astype(jnp.float32) - jnp.cumsum(
+            jnp.where(elig, gain, 0.0)[idxK]
+        )
+        canpass = (remain > 0.0) & jnp.isfinite(tK)
+        k_star = jnp.sum(jnp.cumprod(canpass.astype(jnp.int32)))
+        theta_stop = tK[jnp.minimum(k_star, K - 1)]
         # threshold semantics (strict <) instead of ranks: no scatter, and
         # breakpoints tied with theta_stop stay unpassed (still eligible)
         passed = elig & boxed & (t32 < theta_stop)
@@ -650,7 +616,22 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # back to the short-step Harris window above
         use_ls = jnp.any(window_ls)
         pivot_mag_ls = jnp.where(window_ls, a32, -jnp.inf)
-        q = jnp.where(use_ls, jnp.argmax(pivot_mag_ls), q)
+        q_ls = jnp.argmax(pivot_mag_ls)
+        # EXACT slope-validity check on the candidate (f64, one reduce):
+        # the flip set is derived from theta_true < theta_q downstream,
+        # so the walk is only valid if the f64 gain of exactly that set
+        # stays below the leaving row's infeasibility. The f32 histogram
+        # only SELECTS; this guard guarantees correctness regardless of
+        # binning/rounding noise (an f32-noise overshoot here corrupted
+        # the basis at 1536+ rows before this check existed).
+        tq_ls = theta_true[q_ls]
+        both_fin_ls = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
+        would_flip = elig & both_fin_ls & (theta_true < tq_ls - 1e-12)
+        gain_exact = jnp.sum(
+            jnp.where(would_flip, jnp.abs(a) * (lp.u - lp.l), 0.0)
+        )
+        use_ls = use_ls & (gain_exact < infeas[r])
+        q = jnp.where(use_ls, q_ls, q)
 
     # --- bound flips decided FIRST (ClpSimplexDual flipBounds :6345):
     # candidates whose ratio falls strictly below the chosen pivot's ratio
@@ -840,8 +821,12 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         OPTIMAL,
         jnp.where(~any_elig, PRIMAL_INFEASIBLE, state.status),
     ).astype(state.status.dtype)
-    # accuracy problems: ask for refactorization instead of pivoting
+    # accuracy problems: ask for refactorization instead of pivoting.
+    # (A DSE-weight soft-flag for tiny pivots was tried here and
+    # destabilized the f32 engine — pressing past the floor lets binv
+    # blow up; the driver's warm f64 continuation is the safe policy.)
     refactor_now = state.refactor_now | (any_infeas & any_elig & (acc_bad | piv_small))
+    w_keep = state.weights
 
     new_state = SimplexState(
         basis=jnp.where(do_pivot, basis_new, state.basis),
@@ -854,7 +839,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         xb=jnp.where(do_pivot, xb_new, state.xb),
         dj=jnp.where(do_pivot, dj_new, state.dj),
         y=state.y,  # refreshed at refactorization
-        weights=jnp.where(do_pivot, w_new, state.weights),
+        weights=jnp.where(do_pivot, w_new, w_keep),
         wcol=state.wcol,
         iterations=state.iterations + do_pivot.astype(state.iterations.dtype),
         status=status,
