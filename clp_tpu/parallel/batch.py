@@ -325,10 +325,15 @@ def solve_batch_dual_simplex(
         states = primal_finish(batched, states, need, opts_e)
         stat, fakes = _flags(states)
 
+    # ONE bulk device->host transfer for the whole batch: slicing device
+    # arrays per instance costs several RPC round trips each through a
+    # tunnel-attached chip (~8 x 30 ms x B dominated the b=32 wall)
+    states_np = jax.tree.map(np.asarray, states)
+    batched_np = jax.tree.map(np.asarray, batched)
     out = []
     for i, mod in enumerate(models):
-        st_i = jax.tree.map(lambda a: a[i], states)
-        lp_i = jax.tree.map(lambda a: a[i], batched)
+        st_i = jax.tree.map(lambda a: a[i], states_np)
+        lp_i = jax.tree.map(lambda a: a[i], batched_np)
         status = int(st_i.status)
         clean = status in (
             engine.OPTIMAL,

@@ -178,7 +178,19 @@ def _extract(model: Model, lp, state: SimplexState, opts: SimplexOptions,
     n = nt - m
     vstat = np.asarray(state.vstat)
     basis = np.asarray(state.basis)
-    xfull = np.array(engine.nonbasic_values(lp, state.vstat, opts.dual_bound))
+    # nonbasic values in HOST numpy (engine.nonbasic_values semantics):
+    # extraction must not dispatch device ops — the batched driver hands
+    # in numpy trees after ONE bulk transfer, and through the tunnel each
+    # stray device op costs a ~30 ms round trip
+    l_np = np.asarray(lp.l)
+    u_np = np.asarray(lp.u)
+    vlo = np.where(np.isfinite(l_np), l_np, -opts.dual_bound)
+    vup = np.where(np.isfinite(u_np), u_np, opts.dual_bound)
+    xfull = np.where(
+        vstat == engine.AT_LOWER, vlo,
+        np.where(vstat == engine.AT_UPPER, vup, 0.0),
+    )
+    xfull = np.where(vstat == engine.BASIC, 0.0, xfull)
     xfull[basis] = np.asarray(state.xb)
     x = xfull[:n]
     row_act = xfull[n:]
