@@ -730,7 +730,17 @@ def simplex_solve(
     ell_kc = ell_kr = 0
     blk_nb = blk_h = blk_cb = 0
     blk_perm = blk_inv = None
-    if price_mode == "block":
+    # AUTO on TPU probes the block geometry too: block-banded LPs
+    # (staircase/multi-period) measured 12% faster than the fused dense
+    # PRICE at 2048x4608 once columns are pre-sorted (no per-pivot
+    # gather) and the tile-area gate (<= 0.6 of dense, H <= m/2) filters
+    # everything else out
+    probe_block = price_mode == "block" or (
+        price_mode == "auto"
+        and use_pallas
+        and m >= 1024
+    )
+    if probe_block:
         # block-banded geometry from the host matrix: group standard-form
         # columns (structurals + slacks) by row-support window, pick the
         # block count minimizing total tile area, require a real win over
@@ -771,7 +781,8 @@ def simplex_solve(
             # 0.76x dense — gathers, not tiles, were the cost)
             blk_perm = np.ascontiguousarray(order)
             blk_inv = np.argsort(blk_perm)
-        else:
+            price_mode = "block"
+        elif price_mode == "block":
             price_mode = "dense"  # structure not block-banded enough
     if price_mode == "auto":
         if not use_pallas and _pm1_eligible(model):
