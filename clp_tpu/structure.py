@@ -135,8 +135,24 @@ def detect_two_stage(
     A_csr = A.tocsr()
 
     indptr, indices = A.indptr, A.indices
-    for frac in (1 / 64, 1 / 32, 1 / 16, 1 / 8, max_link_frac):
-        k = max(1, int(n * frac))
+    # trial removal sizes: whole DEGREE CLASSES first (removing part of a
+    # class shatters scenarios in ways the refinement cannot repair —
+    # true first-stage columns usually form the top class), then count
+    # fractions for degree profiles without a clean class boundary
+    deg_sorted = degree[order]
+    class_ks = []
+    prev = None
+    for pos, dv in enumerate(deg_sorted):
+        if dv != prev:
+            if pos > 0:
+                class_ks.append(pos)
+            prev = dv
+        if len(class_ks) >= 8:
+            break
+    frac_ks = [max(1, int(n * f))
+               for f in (1 / 64, 1 / 32, 1 / 16, 1 / 8, max_link_frac)]
+    trial_ks = sorted(set(class_ks + frac_ks))
+    for k in trial_ks:
         if k > n * max_link_frac:
             break
         removed = np.zeros(n, dtype=bool)
@@ -146,12 +162,21 @@ def detect_two_stage(
         # label is not really linking — return it to that component.
         # (Over-removal happens because k is a trial threshold, not the
         # true first-stage width; true x columns span several scenario
-        # components and stay linking.)
+        # components and stay linking.) Each refinement pass recomputes
+        # the components with the shrunken linking set: over-removal can
+        # SHATTER a scenario into pieces whose columns then look
+        # multi-label until their siblings are returned first.
         linking = removed.copy()
-        for j in order[:k]:
-            rows = indices[indptr[j]:indptr[j + 1]]
-            if rows.size and np.unique(labels[rows]).size == 1:
-                linking[j] = False
+        for _ in range(3):
+            changed = False
+            for j in np.flatnonzero(linking):
+                rows = indices[indptr[j]:indptr[j + 1]]
+                if rows.size and np.unique(labels[rows]).size == 1:
+                    linking[j] = False
+                    changed = True
+            if not changed:
+                break
+            labels = _row_components(A, linking)
         # rows whose every entry is in a linking column = first stage
         row_nnz_surviving = np.asarray(
             (sp.csr_matrix(A_csr[:, ~linking])).getnnz(axis=1)

@@ -172,3 +172,36 @@ def test_flat_two_stage_auto_solves_via_benders(monkeypatch):
 
     rep = check_kkt(flat, x=sol.primal, y=sol.duals, tol=1e-6)
     assert rep.ok
+
+
+def test_detect_block_angular():
+    from clp_tpu.structure import detect_block_angular
+
+    rng = np.random.default_rng(5)
+    K, mb, nb_ = 6, 10, 14
+    blocks = [sp.random(mb, nb_, density=0.5, random_state=int(rng.integers(1e6)),
+                        data_rvs=lambda s: rng.uniform(0.5, 1.5, s))
+              for _ in range(K)]
+    A = sp.block_diag(blocks).tocsc()
+    link = sp.csc_matrix(np.ones((2, K * nb_)))
+    Afull = sp.vstack([link, A]).tocsc()
+    m = Model()
+    m.load_problem(
+        Afull,
+        col_lower=np.zeros(K * nb_),
+        col_upper=np.ones(K * nb_),
+        objective=rng.uniform(-2, -0.5, K * nb_),
+        row_lower=np.full(2 + K * mb, -INF),
+        row_upper=np.concatenate([[4.0, 5.0], rng.uniform(2, 3, K * mb)]),
+    )
+    det = detect_block_angular(m)
+    assert det is not None
+    assert det.linking_rows.size <= 4  # the 2 true linking rows (+ refinement slack)
+    assert 0 in det.linking_rows and 1 in det.linking_rows
+    assert len(det.block_cols) == K
+    assert sorted(c.size for c in det.block_cols) == [nb_] * K
+
+    # unstructured models are rejected
+    from clp_tpu.utils.generators import random_lp
+
+    assert detect_block_angular(random_lp(40, 60, seed=1)) is None
