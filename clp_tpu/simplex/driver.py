@@ -773,7 +773,11 @@ def simplex_solve(
             cost = nb_try * H * cb
             if best is None or cost < best[0]:
                 best = (cost, nb_try, H, cb)
-        if best is not None and best[2] <= m // 2 and best[0] <= 0.6 * m * nt:
+        # AUTO only flips to block on a decisive tile-area win (<= 0.35
+        # of dense): the measured gain at marginal geometries is within
+        # chip noise and the pallas block program compiles slower
+        area_gate = 0.6 if options.price_mode == "block" else 0.35
+        if best is not None and best[2] <= m // 2 and best[0] <= area_gate * m * nt:
             blk_nb, blk_h, blk_cb = best[1], best[2], best[3]
             # sort the standard form's columns by window position ONCE so
             # each block's columns are contiguous: block PRICE results land
