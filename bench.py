@@ -313,6 +313,32 @@ def _timeit(fn):
     return time.perf_counter() - t0
 
 
+def bench_barrier_bucket(jax, jnp):
+    """VERDICT round-3 #6 'done' criterion: the BARRIER shape bucket on
+    hardware — first odd shape pays the compile, a DIFFERENT odd shape
+    in the same bucket reuses the program. mixed32 (f32 MXU normal
+    equations) is what makes the compile affordable: this exact bucket
+    measured >25 min server-side in round 3 with f64-emulated assembly;
+    ~35 s in round 4."""
+    from clp_tpu.constants import ProblemStatus, SolveMethod
+    from clp_tpu.options import SolveOptions
+    from clp_tpu.utils.generators import random_lp
+
+    opts = SolveOptions(method=SolveMethod.BARRIER_NO_CROSS, shape_bucket=64)
+    opts.presolve.enabled = False
+    out = {}
+    for tag, (m_, n_) in (("first_shape", (37, 61)), ("second_shape", (41, 59))):
+        t0 = time.perf_counter()
+        sol = random_lp(m_, n_, seed=5).initial_solve(opts)
+        out[tag] = {
+            "shape": f"{m_}x{n_}",
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "status": sol.status.name,
+        }
+        assert sol.status == ProblemStatus.OPTIMAL
+    return out
+
+
 def bench_mxu_efficiency(jax, jnp):
     """BASELINE.json acceptance metric: hardware efficiency of the dense
     factorization kernels as TFLOP/s and fraction of MXU peak.
@@ -420,6 +446,10 @@ def main():
         bmxu = bench_mxu_efficiency(jax, jnp)
     except Exception as e:
         bmxu = {"error": str(e)[:200]}
+    try:
+        bbb = bench_barrier_bucket(jax, jnp)
+    except Exception as e:
+        bbb = {"error": str(e)[:200]}
 
     # headline: geometric mean of per-instance wall-clock speedups vs the
     # honest HiGHS baseline (sparse ranged input). Time-to-verified-optimal,
@@ -457,6 +487,7 @@ def main():
                     "gub_engine_vs_dense": bgub,
                     "sparse_cholesky_vs_dense": bchol,
                     "mxu_efficiency": bmxu,
+                    "barrier_shape_bucket": bbb,
                 },
             }
         )
