@@ -439,7 +439,11 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
                         dev_solver = None
                 if dev_solver is not None:
                     opts = _dc.replace(opts, sparse_chol_device=dev_solver)
-                else:
+                elif jax.default_backend() != "tpu":
+                    # host-callback numeric — CPU only: axon_pjrt does not
+                    # support pure_callback AT ALL (measured round 4), so
+                    # a TPU model the device solver declines (arrow/dense
+                    # columns) runs the dense mixed32 Cholesky instead
                     solver = make_normal_solver(G_csr, reg=reg_)
                     if solver is not None:
                         opts = _dc.replace(opts, sparse_chol=solver)
