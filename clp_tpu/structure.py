@@ -126,6 +126,12 @@ def detect_two_stage(
     m, n = model.num_rows, model.num_cols
     if m < 64 or n < 8 or model.num_elements == 0:
         return None
+    # the union-find trials are O(nnz) HOST passes per threshold: cap the
+    # probe so huge models don't pay detection latency they can't recoup
+    # (the Benders route materializes dense per-scenario blocks anyway,
+    # bounded by max_bytes below)
+    if model.num_elements > 500_000:
+        return None
     if model.quadratic_objective is not None:
         return None
     A = model.matrix.tocsc()
