@@ -617,7 +617,7 @@ class CLI:
             elif al == "writegmplsol":
                 fn, i = self._take_file(args, i, "gmpl_sol")
                 self.write_gmpl_solution(fn)
-            elif al in ("clearcuts", "userclp"):
+            elif al in ("clearcuts", "userclp", "ampl"):
                 self.log(f"{al}: accepted (no-op by design here; see -params)")
             elif al in ("help", "?", "generalquery"):
                 print(HELP)

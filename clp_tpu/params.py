@@ -320,6 +320,11 @@ for name, help_ in (
 for name, help_ in (
     ("clearCuts", "clear the cut store (compat: cuts live in the MIP layer here)"),
     ("userClp", "user-registered action hook (compat: use event handlers / the Python API)"),
+    # reference: ClpMain.cpp:292-303 switches to the AMPL .nl driver
+    # protocol; no AMPL solver-library exists in this environment, so
+    # the flag is recognized and explained rather than rejected
+    ("AMPL", "AMPL .nl driver protocol (compat: not supported — convert "
+             "with 'ampl -og' to MPS and use -import)"),
 ):
     _reg(Param(name, "action", None, help_, scope="compat"))
 
