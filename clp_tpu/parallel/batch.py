@@ -153,20 +153,43 @@ def _compacting_dual_loop(batched, init_states, opts, rounds_per_dispatch=6):
         + 8
     )
 
+    prev_iters = np.full(live.size, -1, dtype=np.int64)
+    stall = np.zeros(live.size, dtype=np.int64)
     for _ in range(max_disp):
         st_cur, verified = _brounds(lp_cur, st_cur, opts, rounds_per_dispatch)
         k = live.size
         stat = np.asarray(st_cur.status)[:k]
         ver = np.asarray(verified)[:k]
+        iters = np.asarray(st_cur.iterations)[:k].astype(np.int64)
         # settled: verified claims (OPTIMAL / reclaimed terminal) and hard
-        # stops; CONTINUE or an unverified claim gets another dispatch
-        finish = ver | np.isin(stat, (engine.NUMERICAL, engine.ITER_LIMIT))
+        # stops; CONTINUE or an unverified claim gets another dispatch —
+        # but a lane whose terminal CLAIM persists unverified with zero
+        # iteration progress across two consecutive dispatches is retired
+        # as NUMERICAL (the host-side pending/stall protocol, ADVICE r4
+        # #3: otherwise it burns the whole max_disp budget re-claiming)
+        hard = np.isin(stat, (engine.NUMERICAL, engine.ITER_LIMIT))
+        claim_stalled = (~ver) & (stat != engine.CONTINUE) & ~hard & (
+            iters == prev_iters
+        )
+        stall = np.where(claim_stalled, stall + 1, 0)
+        prev_iters = iters.copy()
+        give_up = stall >= 2
+        finish = ver | hard | give_up
 
         if finish.any():
             for j in np.flatnonzero(finish):
-                done[int(live[j])] = jax.tree.map(lambda a: a[int(j)], st_cur)
+                st_j = jax.tree.map(lambda a: a[int(j)], st_cur)
+                if give_up[j] and not (ver[j] or hard[j]):
+                    st_j = _dc.replace(
+                        st_j,
+                        status=jnp.asarray(engine.NUMERICAL,
+                                           st_j.status.dtype),
+                    )
+                done[int(live[j])] = st_j
             keep = ~finish
             live = live[keep]
+            prev_iters = prev_iters[keep]
+            stall = stall[keep]
             if live.size == 0:
                 break
             # repack survivors into the next power-of-two bucket (pad by

@@ -140,6 +140,24 @@ def _auto_idiot(model: Model) -> bool:
     return unit_frac >= 0.8 or A.nnz <= 3 * n
 
 
+def _matrix_fingerprint(model: Model) -> tuple:
+    """Content key for per-matrix probe caches (ADVICE r4 #2: id() can be
+    reused after free AND survives in-place edits — a stale hit silently
+    flips routing). crc32 over the pattern arrays + a data sample is
+    O(nnz) C-speed (~ms at 5M nnz), negligible next to any probe."""
+    import zlib
+
+    A = model.matrix
+    crc = zlib.crc32(np.ascontiguousarray(A.indptr).tobytes())
+    crc = zlib.crc32(np.ascontiguousarray(A.indices).tobytes(), crc)
+    d = np.ascontiguousarray(A.data)
+    sample = d if d.size <= 65536 else np.concatenate(
+        [d[:32768], d[-32768:]]
+    )
+    crc = zlib.crc32(sample.tobytes(), crc)
+    return (A.shape, A.nnz, crc)
+
+
 def _auto_method(model: Model, options: SolveOptions,
                  idiot_hint: Optional[bool] = None) -> SolveMethod:
     """Automatic method choice from shape statistics.
@@ -179,7 +197,7 @@ def _auto_method(model: Model, options: SolveOptions,
     if m >= 192 and n >= 192 and model.num_elements >= 512:
         from .structure import detect_two_stage
 
-        key = (id(model.matrix), m, n)
+        key = _matrix_fingerprint(model)
         cached = getattr(model, "_two_stage_probe_cache", None)
         if cached is not None and cached[0] == key:
             det = cached[1]
@@ -221,7 +239,7 @@ def _auto_method(model: Model, options: SolveOptions,
 
             from .ops.sparse_chol import make_normal_solver
 
-            key = (id(model.matrix), m, n)
+            key = _matrix_fingerprint(model)
             cached = getattr(model, "_normal_probe_cache", None)
             if cached is not None and cached[0] == key:
                 probe = cached[1]
@@ -371,14 +389,17 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
     if bucket > 0:
         lp, pad_dims = _pad_ipm_lp(lp, bucket)
     boost = 100.0 if options.barrier_regularize else 1.0
+    mixed32 = getattr(options, "barrier_mixed32", "auto")
+    if mixed32 == "auto":
+        # TPU: f32 MXU assembly/factor + f64 refinement — f64 emulation
+        # otherwise dominates both iteration wall time and compile time
+        mixed32 = jax.default_backend() == "tpu"
     opts = IPMOptions(
         tol=options.barrier_tolerance,
         max_iter=options.barrier_max_iterations,
         reg_primal=1e-9 * boost,
         reg_dual=1e-10 * boost,
-        # TPU: f32 MXU assembly/factor + f64 refinement — f64 emulation
-        # otherwise dominates both iteration wall time and compile time
-        mixed32=jax.default_backend() == "tpu",
+        mixed32=bool(mixed32),
     )
     perm = None
     if lp.Q is not None:
@@ -448,6 +469,22 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
                     if solver is not None:
                         opts = _dc.replace(opts, sparse_chol=solver)
     res = ipm_solve_jit(lp, opts)
+    if (
+        not bool(res.converged)
+        and opts.mixed32
+        and getattr(options, "barrier_mixed32", "auto") == "auto"
+        and (jax.default_backend() != "tpu" or lp.Q is not None)
+    ):
+        # f64 escalation (ADVICE r4 #4): when Jacobi scaling + refinement
+        # cannot recover the Newton direction, one full-f64 retry. On TPU
+        # the retry is limited to QPs (no simplex fallback exists there);
+        # TPU LPs escalate downstream to the simplex adjudication instead
+        # — the f64 barrier compile alone costs tens of minutes through
+        # the tunnel.
+        opts64 = _dc.replace(opts, mixed32=False, sparse_chol_device=None)
+        res64 = ipm_solve_jit(lp, opts64)
+        if bool(res64.converged):
+            res = res64
     from .events import get_handler
 
     mh = get_handler(model, options)

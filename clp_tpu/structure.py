@@ -43,55 +43,45 @@ from .options import SolveOptions
 
 
 # ---------------------------------------------------------------------------
-# union-find
+# connectivity (vectorized; replaces the round-4 Python union-find, which
+# cost ~15 s of host latency at the 500k-nnz probe cap — ADVICE r4 #1)
 # ---------------------------------------------------------------------------
 
 
-class _UF:
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
+def _bipartite_components(primary_of_nnz: np.ndarray,
+                          secondary_of_nnz: np.ndarray,
+                          keep_nnz: np.ndarray,
+                          n_primary: int,
+                          n_secondary: int) -> np.ndarray:
+    """Labels over the PRIMARY nodes of the bipartite nnz graph restricted
+    to keep_nnz entries — C-speed scipy connected_components, O(nnz).
 
-    def find(self, i: int) -> int:
-        p = self.parent
-        root = i
-        while p[root] != root:
-            root = p[root]
-        while p[i] != root:
-            p[i], i = root, p[i]
-        return root
+    Primary nodes with no surviving entry get their own singleton label
+    (isolated graph nodes are their own component)."""
+    from scipy.sparse.csgraph import connected_components
 
-    def union(self, i: int, j: int) -> None:
-        ri, rj = self.find(i), self.find(j)
-        if ri != rj:
-            self.parent[rj] = ri
-
-
-def _row_components(A_csc: sp.csc_matrix, removed_cols: np.ndarray):
-    """Join rows sharing a surviving column; return (labels, n_components).
-
-    Rows touching ONLY removed columns keep their own singleton label and
-    are reported separately (they are first-stage candidates)."""
-    m = A_csc.shape[0]
-    uf = _UF(m)
-    indptr, indices = A_csc.indptr, A_csc.indices
-    for j in np.flatnonzero(~removed_cols):
-        rows = indices[indptr[j]:indptr[j + 1]]
-        for r in rows[1:]:
-            uf.union(int(rows[0]), int(r))
-    labels = np.fromiter((uf.find(i) for i in range(m)), dtype=np.int64, count=m)
-    return labels
+    r = primary_of_nnz[keep_nnz]
+    c = secondary_of_nnz[keep_nnz] + n_primary
+    size = n_primary + n_secondary
+    G = sp.csr_matrix(
+        (np.ones(r.size, dtype=np.int8), (r, c)), shape=(size, size)
+    )
+    _, labels = connected_components(G, directed=False)
+    return labels[:n_primary].astype(np.int64)
 
 
-def _col_components(A_csr: sp.csr_matrix, removed_rows: np.ndarray):
-    n = A_csr.shape[1]
-    uf = _UF(n)
-    indptr, indices = A_csr.indptr, A_csr.indices
-    for i in np.flatnonzero(~removed_rows):
-        cols = indices[indptr[i]:indptr[i + 1]]
-        for c in cols[1:]:
-            uf.union(int(cols[0]), int(c))
-    labels = np.fromiter((uf.find(j) for j in range(n)), dtype=np.int64, count=n)
-    return labels
+def _row_components(row_of_nnz, col_of_nnz, removed_cols, m, n):
+    """Join rows sharing a surviving column. Rows touching ONLY removed
+    columns keep their own singleton label (first-stage candidates)."""
+    return _bipartite_components(
+        row_of_nnz, col_of_nnz, ~removed_cols[col_of_nnz], m, n
+    )
+
+
+def _col_components(row_of_nnz, col_of_nnz, removed_rows, m, n):
+    return _bipartite_components(
+        col_of_nnz, row_of_nnz, ~removed_rows[row_of_nnz], n, m
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -126,11 +116,12 @@ def detect_two_stage(
     m, n = model.num_rows, model.num_cols
     if m < 64 or n < 8 or model.num_elements == 0:
         return None
-    # the union-find trials are O(nnz) HOST passes per threshold: cap the
-    # probe so huge models don't pay detection latency they can't recoup
-    # (the Benders route materializes dense per-scenario blocks anyway,
-    # bounded by max_bytes below)
-    if model.num_elements > 500_000:
+    # every pass below is a vectorized O(nnz) scan (scipy csgraph / numpy
+    # ufunc.at) — a 5M-nnz probe costs ~1 s total, so the round-4 500k
+    # probe cap is gone; the residual cap only bounds pathological inputs
+    # (the Benders route's dense per-scenario blocks are budgeted by
+    # max_bytes below regardless)
+    if model.num_elements > 50_000_000:
         return None
     if model.quadratic_objective is not None:
         return None
@@ -138,9 +129,9 @@ def detect_two_stage(
     A.sort_indices()
     degree = np.diff(A.indptr)
     order = np.argsort(degree, kind="stable")[::-1]  # high degree first
-    A_csr = A.tocsr()
 
     indptr, indices = A.indptr, A.indices
+    col_of_nnz = np.repeat(np.arange(n, dtype=np.int64), degree)
     # trial removal sizes: whole DEGREE CLASSES first (removing part of a
     # class shatters scenarios in ways the refinement cannot repair —
     # true first-stage columns usually form the top class), then count
@@ -163,7 +154,7 @@ def detect_two_stage(
             break
         removed = np.zeros(n, dtype=bool)
         removed[order[:k]] = True
-        labels = _row_components(A, removed)
+        labels = _row_components(indices, col_of_nnz, removed, m, n)
         # refinement: an over-removed column whose rows all share one
         # label is not really linking — return it to that component.
         # (Over-removal happens because k is a trial threshold, not the
@@ -172,21 +163,29 @@ def detect_two_stage(
         # the components with the shrunken linking set: over-removal can
         # SHATTER a scenario into pieces whose columns then look
         # multi-label until their siblings are returned first.
+        # Vectorized: per linking column, its rows share one label iff
+        # segment max == segment min of labels over its nnz.
         linking = removed.copy()
         for _ in range(3):
-            changed = False
-            for j in np.flatnonzero(linking):
-                rows = indices[indptr[j]:indptr[j + 1]]
-                if rows.size and np.unique(labels[rows]).size == 1:
-                    linking[j] = False
-                    changed = True
-            if not changed:
+            js = np.flatnonzero(linking)
+            in_linking = linking[col_of_nnz]
+            pos = np.full(n, -1, dtype=np.int64)
+            pos[js] = np.arange(js.size)
+            p = pos[col_of_nnz[in_linking]]
+            lab = labels[indices[in_linking]]
+            mx = np.full(js.size, -1, dtype=np.int64)
+            mn = np.full(js.size, np.iinfo(np.int64).max, dtype=np.int64)
+            np.maximum.at(mx, p, lab)
+            np.minimum.at(mn, p, lab)
+            single = (mx >= 0) & (mx == mn)  # empty columns stay linking
+            if not bool(single.any()):
                 break
-            labels = _row_components(A, linking)
+            linking[js[single]] = False
+            labels = _row_components(indices, col_of_nnz, linking, m, n)
         # rows whose every entry is in a linking column = first stage
-        row_nnz_surviving = np.asarray(
-            (sp.csr_matrix(A_csr[:, ~linking])).getnnz(axis=1)
-        ).ravel()
+        row_nnz_surviving = np.bincount(
+            indices[~linking[col_of_nnz]], minlength=m
+        )
         stage1 = row_nnz_surviving == 0
         comp_ids, counts = np.unique(labels[~stage1], return_counts=True)
         S = comp_ids.size
@@ -313,7 +312,8 @@ def detect_block_angular(
     A_csr.sort_indices()
     degree = np.asarray(A_csr.getnnz(axis=1)).ravel()
     order = np.argsort(degree, kind="stable")[::-1]
-    A_csc = A_csr.tocsc()
+    row_of_nnz = np.repeat(np.arange(m, dtype=np.int64), degree)
+    cols_nnz = A_csr.indices.astype(np.int64)
 
     for frac in (1 / 64, 1 / 32, 1 / 16, 1 / 8, max_link_frac):
         k = max(1, int(m * frac))
@@ -321,10 +321,10 @@ def detect_block_angular(
             break
         removed = np.zeros(m, dtype=bool)
         removed[order[:k]] = True
-        labels = _col_components(A_csr, removed)
-        col_nnz_surv = np.asarray(
-            sp.csc_matrix(A_csc[~removed, :]).getnnz(axis=0)
-        ).ravel()
+        labels = _col_components(row_of_nnz, cols_nnz, removed, m, n)
+        col_nnz_surv = np.bincount(
+            cols_nnz[~removed[row_of_nnz]], minlength=n
+        )
         # columns appearing only in linking rows break the block form
         if np.any(col_nnz_surv == 0):
             continue
@@ -335,12 +335,12 @@ def detect_block_angular(
         first_col = np.full(m, -1, dtype=np.int64)
         nzr = np.flatnonzero(np.diff(A_csr.indptr) > 0)
         first_col[nzr] = A_csr.indices[A_csr.indptr[nzr]]
+        row_label = np.where(first_col >= 0, labels[first_col], -1)
         block_rows, block_cols = [], []
         ok = True
         for cid in comp_ids:
             c_idx = np.flatnonzero(labels == cid)
-            r_mask = ~removed & (first_col >= 0)
-            r_idx = np.flatnonzero(r_mask & np.isin(first_col, c_idx))
+            r_idx = np.flatnonzero(~removed & (row_label == cid))
             if r_idx.size == 0:
                 ok = False
                 break
