@@ -111,7 +111,24 @@ class CLI:
 
     def do_import(self, path: str) -> int:
         t0 = time.time()
-        rc = self.model.read_lp(path) if path.endswith(".lp") else self.model.read_mps(path)
+        from .io.nl import NLError, _resolve_stub, read_nl
+
+        resolved = _resolve_stub(path)
+        if resolved.endswith(".nl"):
+            # AMPL stub (ClpMain.cpp:292-303 clpReadAmpl role): linear
+            # text-format .nl; remember the stub for -AMPL's .sol
+            # answer-back
+            try:
+                read_nl(resolved, self.model)
+                self.ampl_stub = resolved
+                rc = 0
+            except (NLError, OSError) as e:
+                print(f"** .nl import failed: {e}")
+                rc = 1
+        elif path.endswith(".lp"):
+            rc = self.model.read_lp(path)
+        else:
+            rc = self.model.read_mps(path)
         if rc == 0:
             self.have_model = True
             self.log(
@@ -129,6 +146,7 @@ class CLI:
             return
         self.options.method = method
         sol = self.model.initial_solve(self.options)
+        self._did_solve = True
         print(_fmt_status(self.model))
 
     def print_solution(self, out=None, all_rows=False):
@@ -421,13 +439,21 @@ class CLI:
 
     def run_args(self, args: list[str]) -> int:
         try:
-            return self._run_args(args)
+            rc = self._run_args(args)
         except IndexError:
             print("** missing value for the last parameter (try -help)")
             return 1
         except ValueError as e:
             print(f"** bad parameter value: {e}")
             return 1
+        if getattr(self, "ampl_mode", False) and getattr(self, "ampl_stub", None):
+            if not getattr(self, "_did_solve", False) and self.have_model:
+                self.do_solve(SolveMethod.AUTOMATIC)
+            from .io.nl import write_sol
+
+            out = write_sol(self.ampl_stub, self.model, self.model.solution)
+            self.log(f"AMPL solution written to {out}", 2)
+        return rc
 
     def _run_args(self, args: list[str]) -> int:
         i = 0
@@ -617,7 +643,13 @@ class CLI:
             elif al == "writegmplsol":
                 fn, i = self._take_file(args, i, "gmpl_sol")
                 self.write_gmpl_solution(fn)
-            elif al in ("clearcuts", "userclp", "ampl"):
+            elif al == "ampl":
+                # AMPL driver protocol (ClpMain.cpp:292-303): the stub's
+                # .nl was (or will be) imported; on exit, solve if nothing
+                # solved yet and write <stub>.sol (run_args finalizer)
+                self.ampl_mode = True
+                self.log("AMPL mode: will write <stub>.sol on exit", 2)
+            elif al in ("clearcuts", "userclp"):
                 self.log(f"{al}: accepted (no-op by design here; see -params)")
             elif al in ("help", "?", "generalquery"):
                 print(HELP)

@@ -320,13 +320,15 @@ for name, help_ in (
 for name, help_ in (
     ("clearCuts", "clear the cut store (compat: cuts live in the MIP layer here)"),
     ("userClp", "user-registered action hook (compat: use event handlers / the Python API)"),
-    # reference: ClpMain.cpp:292-303 switches to the AMPL .nl driver
-    # protocol; no AMPL solver-library exists in this environment, so
-    # the flag is recognized and explained rather than rejected
-    ("AMPL", "AMPL .nl driver protocol (compat: not supported — convert "
-             "with 'ampl -og' to MPS and use -import)"),
 ):
     _reg(Param(name, "action", None, help_, scope="compat"))
+
+# AMPL driver protocol (ClpMain.cpp:292-303 clpReadAmpl/writeAmplSol):
+# `clp_tpu stub -AMPL` reads the linear text-format stub.nl (io/nl.py),
+# solves (AUTOMATIC unless another solve action ran), and writes stub.sol
+_reg(Param("AMPL", "action", None,
+           "AMPL driver protocol: read <stub>.nl (linear, text format), "
+           "solve, write <stub>.sol"))
 
 
 def _file_default(key):
