@@ -119,6 +119,23 @@ class SimplexOptions:
     # that exhausts the slope. One pivot then does the work of many
     # degenerate short steps on problems rich in finite-width columns.
     dual_ratio: str = "harris"  # "harris" | "bfrt"
+    # BFRT breakpoint-selection budget: only the K smallest dual ratios
+    # can be walked in one long step; truncation is a valid shorter step.
+    # K trades top_k wall cost (measured 141 us/pivot at nt=6656, K=256)
+    # against long-step length.
+    bfrt_topk: int = 256
+    # "approx" uses jax.lax.approx_min_k (TPU PartialReduce — several x
+    # faster than exact top_k). Approximation can only mis-ESTIMATE the
+    # walk: a missed small breakpoint inflates `remain`, but the exact
+    # f32 slope-validity check below rejects any overshoot and falls
+    # back to the short step, so correctness is unaffected.
+    bfrt_select: str = "topk"  # "topk" | "approx"
+    # TIMING-ONLY component gates for tools/microbench_pivot.py: pieces
+    # of the pivot body replaced by cheap aliases so the wall-cost of
+    # each component is measurable on hardware. NEVER set in real solves
+    # (results are numerically meaningless). Members: "price", "bfrt",
+    # "ftran", "update", "book", "rowchoice".
+    ablate: tuple = ()
 
 
 @jax.tree_util.register_dataclass
@@ -463,7 +480,10 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         score_c = jnp.where(compat, score, -jnp.inf)
         best_c = jnp.max(score_c, initial=-jnp.inf)
         score = jnp.where(best_c >= opts.pe_psi * best_all, score_c, score)
-    r = jnp.argmax(score)
+    if "rowchoice" in opts.ablate:  # timing-only: skip the DSE argmax
+        r = jnp.mod(state.iterations, m)
+    else:
+        r = jnp.argmax(score)
     any_infeas = jnp.any(cand)
     sigma = jnp.where(above[r] > below[r], 1.0, -1.0)  # +1: leaves at upper
 
@@ -476,7 +496,16 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     sgn = jnp.where(at_lo, 1.0, -1.0)
     rel = opts.harris_tolerance_frac * dtol
 
-    if opts.use_pallas_price and blk is not None:
+    if "price" in opts.ablate:  # timing-only: alias instead of the m*nt pass
+        alpha = state.dj.astype(G.dtype)
+        a = sigma * alpha
+        elig = (at_lo & (a > opts.pivot_tolerance)) | (
+            at_up & (a < -opts.pivot_tolerance)
+        )
+        elig = elig & ~fixed
+        safe_a0 = jnp.where(elig, a, 1.0)
+        theta_relaxed = jnp.where(elig, (state.dj + sgn * rel) / safe_a0, jnp.inf)
+    elif opts.use_pallas_price and blk is not None:
         # fused BLOCK PRICE + Harris pass-1: reads the window-compacted
         # (nb, H, CB) tiles instead of the full (m, nt) G — HBM traffic
         # drops to the covered windows (~5x less on the bench staircase)
@@ -564,7 +593,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     q = jnp.argmax(pivot_mag)
     any_elig = jnp.any(elig)
 
-    if opts.dual_ratio == "bfrt":
+    if opts.dual_ratio == "bfrt" and "bfrt" not in opts.ablate:
         # long-step BFRT: sort breakpoints by dual ratio and walk past the
         # boxed ones while the leaving row's infeasibility slope stays
         # positive. Passing boxed j (it will flip by width_j) reduces the
@@ -591,8 +620,11 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # to inflate iteration counts ~2.6x on the bench classes; top_k
         # passes ties individually and its wall cost is the cheaper side
         # of that trade. See round-4 log.)
-        K = min(256, nt)
-        neg_t, idxK = jax.lax.top_k(-t32, K)
+        K = min(opts.bfrt_topk, nt)
+        if opts.bfrt_select == "approx":
+            neg_t, idxK = jax.lax.approx_max_k(-t32, K)
+        else:
+            neg_t, idxK = jax.lax.top_k(-t32, K)
         tK = -neg_t  # ascending K smallest ratios
         remain = infeas[r].astype(jnp.float32) - jnp.cumsum(
             jnp.where(elig, gain, 0.0)[idxK]
@@ -642,20 +674,30 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     vup = jnp.where(jnp.isfinite(lp.u), lp.u, dual_bound)
     both_fin = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
     idx = jnp.arange(nt)
-    flip = elig & both_fin & (theta_true < theta_q - 1e-12) & (idx != q)
+    if "flip" in opts.ablate:  # timing-only: no flips -> no flow matvec
+        flip = jnp.zeros_like(elig) & elig
+    else:
+        flip = elig & both_fin & (theta_true < theta_q - 1e-12) & (idx != q)
     width = lp.u - lp.l
     flip_delta = jnp.where(flip, jnp.where(at_lo, width, -width), 0.0)
+    flip_any = jnp.any(flip)
+    if "forceflow" in opts.ablate:  # timing-only: always pay the flow matvec
+        flip_any = jnp.asarray(True)
 
     # --- FTRAN entering column + DSE tau (+ flip flow), fused: ONE read
     # of binv for all three m^2 contractions ---
     binv_fused = None  # set when the fused Pallas pivot kernel ran
-    if pm1 is not None:
+    if "ftran" in opts.ablate:  # timing-only: skip the binv contractions
+        abar = rho.astype(G.dtype)
+        tau = abar
+        flow = jnp.zeros_like(abar)
+    elif pm1 is not None:
         abar = _pm1_ftran_col(state.binv, q, pm1).astype(G.dtype)
         tau = jnp.matmul(
             state.binv, rho, precision=jax.lax.Precision.HIGHEST
         ).astype(G.dtype)
         flow = jax.lax.cond(
-            jnp.any(flip),
+            flip_any,
             lambda: jnp.matmul(
                 state.binv,
                 _pm1_matvec(flip_delta, pm1, m).astype(state.binv.dtype),
@@ -669,14 +711,14 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             # a row-gather matvec — O(nnz) instead of O(m*nt)
             Gq = _ell_col(q, ell, m)
             fdelta = jax.lax.cond(
-                jnp.any(flip),
+                flip_any,
                 lambda: _ell_matvec(flip_delta, ell),
                 lambda: jnp.zeros_like(Gq),
             )
         elif blk is not None:
             Gq = _blk_col(q, blk, m).astype(G.dtype)
             fdelta = jax.lax.cond(
-                jnp.any(flip),
+                flip_any,
                 lambda: _blk_matvec(flip_delta, blk, m).astype(G.dtype),
                 lambda: jnp.zeros_like(Gq),
             )
@@ -688,7 +730,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             # steps flip on most pivots); drift is covered by the f64
             # recompute at refactorization like every other f32 quantity
             fdelta = jax.lax.cond(
-                jnp.any(flip),
+                flip_any,
                 lambda: jnp.matmul(
                     Gf, flip_delta.astype(Gf.dtype),
                     precision=jax.lax.Precision.HIGHEST,
@@ -770,22 +812,28 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     im = jnp.arange(m)
     theta_d = state.dj[q] / abar_r
     p_leave = state.basis[r]
-    dj_new = state.dj - theta_d * alpha
-    dj_new = jnp.where(idx == q, 0.0, dj_new)
-    dj_new = jnp.where(idx == p_leave, -theta_d, dj_new)
+    if "book" in opts.ablate:  # timing-only: skip point updates
+        dj_new = state.dj
+        w_new = state.weights
+    else:
+        dj_new = state.dj - theta_d * alpha
+        dj_new = jnp.where(idx == q, 0.0, dj_new)
+        dj_new = jnp.where(idx == p_leave, -theta_d, dj_new)
 
-    # --- DSE weight update (Forrest-Goldfarb) ---
-    wr = jnp.maximum(state.weights[r], 1e-50)
-    ratio = abar / abar_r
-    w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr
-    w_new = jnp.maximum(w_new, 1e-8)
-    w_new = jnp.where(
-        im == r, jnp.maximum(wr / (abar_r * abar_r), 1e-8), w_new
-    )
+        # --- DSE weight update (Forrest-Goldfarb) ---
+        wr = jnp.maximum(state.weights[r], 1e-50)
+        ratio = abar / abar_r
+        w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr
+        w_new = jnp.maximum(w_new, 1e-8)
+        w_new = jnp.where(
+            im == r, jnp.maximum(wr / (abar_r * abar_r), 1e-8), w_new
+        )
 
     # --- basis inverse product-form update (binv's own dtype); the fused
     # Pallas kernel already wrote it (gated) in the same pass as the FTRAN
-    if binv_fused is None:
+    if "update" in opts.ablate:  # timing-only: skip the rank-1 update
+        binv_new = state.binv
+    elif binv_fused is None:
         factor = jnp.where(
             im == r, 1.0 - 1.0 / abar_r, abar / abar_r
         )
@@ -796,21 +844,26 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         binv_new = binv_fused
 
     # --- basic solution update ---
-    xb_new = jnp.where(im == r, xq_new, state.xb - delta_q * abar - flow)
+    if "book" in opts.ablate:  # timing-only
+        xb_new = state.xb
+        basis_new = state.basis
+        vstat_new = state.vstat
+    else:
+        xb_new = jnp.where(im == r, xq_new, state.xb - delta_q * abar - flow)
 
-    basis_new = jnp.where(
-        im == r, q.astype(state.basis.dtype), state.basis
-    ).astype(state.basis.dtype)
-    # apply bound flips first, then the pivot's status changes
-    vstat_flipped = jnp.where(
-        flip, jnp.where(at_lo, AT_UPPER, AT_LOWER), state.vstat
-    )
-    vstat_new = jnp.where(
-        idx == p_leave, jnp.where(sigma > 0, AT_UPPER, AT_LOWER),
-        vstat_flipped,
-    )
-    vstat_new = jnp.where(idx == q, BASIC, vstat_new).astype(
-        state.vstat.dtype)
+        basis_new = jnp.where(
+            im == r, q.astype(state.basis.dtype), state.basis
+        ).astype(state.basis.dtype)
+        # apply bound flips first, then the pivot's status changes
+        vstat_flipped = jnp.where(
+            flip, jnp.where(at_lo, AT_UPPER, AT_LOWER), state.vstat
+        )
+        vstat_new = jnp.where(
+            idx == p_leave, jnp.where(sigma > 0, AT_UPPER, AT_LOWER),
+            vstat_flipped,
+        )
+        vstat_new = jnp.where(idx == q, BASIC, vstat_new).astype(
+            state.vstat.dtype)
 
     # --- dispatch on special cases ---
     do_pivot = any_infeas & any_elig & ~acc_bad & ~piv_small
