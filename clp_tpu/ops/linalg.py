@@ -59,6 +59,44 @@ def chol_factor_reg(M: jnp.ndarray, base_reg: float = 0.0, max_bumps: int = 6):
     return L, delta
 
 
+def chol_blocked(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
+    """Right-looking blocked Cholesky: POTRF on nb-diagonal blocks, panel
+    columns via an explicit small triangular inverse (matmul instead of a
+    wide TRSM — XLA's TriangularSolve underfills the MXU), trailing
+    update as one SYRK matmul per block step.
+
+    Exists because jnp.linalg.cholesky measures ~3% of the f32 matmul
+    ceiling at m=2048 on the v5e (BENCH r5 mxu_efficiency) while the
+    SYRK updates, which carry ~all of the m^3/3 FLOPs for nb << m, run
+    near the ceiling. Static block loop (unrolled at trace); supports
+    leading batch dims. Returns NaN entries exactly where
+    jnp.linalg.cholesky would (non-SPD input), so the escalation logic
+    in chol_factor_reg applies unchanged.
+    """
+    m = A.shape[-1]
+    if m <= nb:
+        return jnp.linalg.cholesky(A)
+    L = jnp.zeros_like(A)
+    for k in range(0, m, nb):
+        e = min(k + nb, m)
+        A11 = A[..., k:e, k:e]
+        L11 = jnp.linalg.cholesky(A11)
+        L = L.at[..., k:e, k:e].set(L11)
+        if e < m:
+            eye = jnp.eye(e - k, dtype=A.dtype)
+            Li = jax.scipy.linalg.solve_triangular(L11, eye, lower=True)
+            L21 = jnp.matmul(
+                A[..., e:, k:e], jnp.swapaxes(Li, -1, -2),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            L = L.at[..., e:, k:e].set(L21)
+            A = A.at[..., e:, e:].add(
+                -jnp.matmul(L21, jnp.swapaxes(L21, -1, -2),
+                            precision=jax.lax.Precision.HIGHEST)
+            )
+    return L
+
+
 def chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve (L L') x = rhs given lower-triangular L. rhs: (..., m) or (..., m, k)."""
     vec = rhs.ndim == L.ndim - 1

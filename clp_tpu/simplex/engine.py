@@ -485,7 +485,16 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     else:
         r = jnp.argmax(score)
     any_infeas = jnp.any(cand)
-    sigma = jnp.where(above[r] > below[r], 1.0, -1.0)  # +1: leaves at upper
+    # ONE gather for every row-r scalar this pivot needs: each separate
+    # x[r] read is its own dynamic-slice kernel on TPU (~5 us apiece,
+    # measured round 5); the (7, m) stack is a single fused pass
+    row_stack = jnp.stack([above, below, infeas, state.weights,
+                           state.xb, lb, ub])
+    row_r = jax.lax.dynamic_slice_in_dim(row_stack, r, 1, axis=1)[:, 0]
+    above_r, below_r, infeas_r, w_r, xb_r, lb_r, ub_r = (
+        row_r[0], row_r[1], row_r[2], row_r[3], row_r[4], row_r[5],
+        row_r[6])
+    sigma = jnp.where(above_r > below_r, 1.0, -1.0)  # +1: leaves at upper
 
     # --- BTRAN row + PRICE (+ fused Harris pass 1 when on the MXU) ---
     rho = state.binv[r, :]
@@ -582,16 +591,17 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     # --- Harris two-pass dual ratio test (dualColumn0 equivalent) ---
     safe_a = jnp.where(elig, a, 1.0)
-    theta_max = jnp.min(theta_relaxed, initial=jnp.inf)
     theta_true = jnp.where(elig, state.dj / safe_a, jnp.inf)
-    # in exact arithmetic min(theta_true) <= theta_max always; under f32
-    # pricing the relaxed minimum can undershoot and empty the window, so
-    # clamp to keep the true-min column inside (exact-mode no-op)
-    theta_max = jnp.maximum(theta_max, jnp.min(theta_true, initial=jnp.inf))
+    # ONE reduction kernel for both minima; the relaxed minimum is
+    # clamped by the true minimum because under f32 pricing it can
+    # undershoot and empty the window (exact-mode no-op)
+    mins2 = jnp.min(jnp.stack([theta_relaxed, theta_true]), axis=1)
+    theta_max = jnp.maximum(mins2[0], mins2[1])
     in_window = elig & (theta_true <= theta_max)
     pivot_mag = jnp.where(in_window, jnp.abs(a), -jnp.inf)
-    q = jnp.argmax(pivot_mag)
     any_elig = jnp.any(elig)
+    if not (opts.dual_ratio == "bfrt" and "bfrt" not in opts.ablate):
+        q = jnp.argmax(pivot_mag)
 
     if opts.dual_ratio == "bfrt" and "bfrt" not in opts.ablate:
         # long-step BFRT: sort breakpoints by dual ratio and walk past the
@@ -626,7 +636,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         else:
             neg_t, idxK = jax.lax.top_k(-t32, K)
         tK = -neg_t  # ascending K smallest ratios
-        remain = infeas[r].astype(jnp.float32) - jnp.cumsum(
+        remain = infeas_r.astype(jnp.float32) - jnp.cumsum(
             jnp.where(elig, gain, 0.0)[idxK]
         )
         canpass = (remain > 0.0) & jnp.isfinite(tK)
@@ -648,7 +658,14 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # back to the short-step Harris window above
         use_ls = jnp.any(window_ls)
         pivot_mag_ls = jnp.where(window_ls, a32, -jnp.inf)
-        q_ls = jnp.argmax(pivot_mag_ls)
+        # ONE argmax kernel for both the short-step and long-step picks
+        # (each argmax over nt is its own ~26 us reduction, round-5
+        # microbench) — stacked (2, nt) reduce
+        qq = jnp.argmax(
+            jnp.stack([pivot_mag.astype(jnp.float32), pivot_mag_ls]),
+            axis=1,
+        )
+        q, q_ls = qq[0], qq[1]
         # slope-validity check on the candidate (one f32 reduce over the
         # SAME predicate the flip set uses downstream): the walk is only
         # valid if the gain of exactly that set stays below the leaving
@@ -660,7 +677,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         both_fin_ls = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
         would_flip = elig & both_fin_ls & (theta_true < tq_ls - 1e-12)
         gain_flip = jnp.sum(jnp.where(would_flip, a32 * width32, 0.0))
-        use_ls = use_ls & (gain_flip < infeas[r].astype(jnp.float32))
+        use_ls = use_ls & (gain_flip < infeas_r.astype(jnp.float32))
         q = jnp.where(use_ls, q_ls, q)
 
     # --- bound flips decided FIRST (ClpSimplexDual flipBounds :6345):
@@ -668,10 +685,18 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     # would go dual infeasible after the price update — but having BOTH
     # bounds finite they can jump to the opposite bound instead. Deciding
     # them before the FTRAN lets their flow share its binv contraction.
-    theta_q = theta_true[q]
     dual_bound = opts.dual_bound
     vlo = jnp.where(jnp.isfinite(lp.l), lp.l, -dual_bound)
     vup = jnp.where(jnp.isfinite(lp.u), lp.u, dual_bound)
+    # ONE gather for every column-q scalar (same batching as row_stack)
+    col_stack = jnp.stack([
+        theta_true, state.dj, vlo, vup,
+        state.vstat.astype(theta_true.dtype),
+        alpha.astype(theta_true.dtype),
+    ])
+    col_q = jax.lax.dynamic_slice_in_dim(col_stack, q, 1, axis=1)[:, 0]
+    theta_q, dj_q, vlo_q, vup_q, vstat_q_f, alpha_rq = (
+        col_q[0], col_q[1], col_q[2], col_q[3], col_q[4], col_q[5])
     both_fin = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
     idx = jnp.arange(nt)
     if "flip" in opts.ablate:  # timing-only: no flips -> no flow matvec
@@ -759,7 +784,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
                 rho32, triple[:, 0], precision=jax.lax.Precision.HIGHEST
             )
             abar_r_f = abar_r32.astype(G.dtype)
-            acc_bad_f = jnp.abs(alpha[q] - abar_r_f) > 2e-4 * (
+            acc_bad_f = jnp.abs(alpha_rq - abar_r_f) > 2e-4 * (
                 1.0 + jnp.abs(abar_r_f)
             )
             piv_small_f = jnp.abs(abar_r_f) < max(opts.pivot_tolerance, 1e-6)
@@ -781,7 +806,6 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             abar = ftran3[:, 0].astype(G.dtype)
             tau = ftran3[:, 1].astype(G.dtype)
             flow = ftran3[:, 2].astype(G.dtype)
-    alpha_rq = alpha[q]
     abar_r = abar[r] if binv_fused is None else abar_r_f
     # accuracy cross-check (reference: dual checks alpha vs ftran value).
     # f32 pricing widens the acceptable discrepancy; the f64 abar_r is the
@@ -797,9 +821,9 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
 
     # --- primal step: leaving variable lands on its violated bound,
     # after accounting for the flip flow ---
-    target = jnp.where(sigma > 0, ub[r], lb[r])
-    delta_q = (state.xb[r] - flow[r] - target) / abar_r
-    xq_old = jnp.where(state.vstat[q] == AT_LOWER, vlo[q], vup[q])
+    target = jnp.where(sigma > 0, ub_r, lb_r)
+    delta_q = (xb_r - flow[r] - target) / abar_r
+    xq_old = jnp.where(vstat_q_f == AT_LOWER, vlo_q, vup_q)
     xq_new = xq_old + delta_q
 
     # --- dual step + dj update ---
@@ -810,7 +834,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     # bookkeeping at nt=6656); a select fuses with the neighboring
     # elementwise work.
     im = jnp.arange(m)
-    theta_d = state.dj[q] / abar_r
+    theta_d = dj_q / abar_r
     p_leave = state.basis[r]
     if "book" in opts.ablate:  # timing-only: skip point updates
         dj_new = state.dj
@@ -821,7 +845,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         dj_new = jnp.where(idx == p_leave, -theta_d, dj_new)
 
         # --- DSE weight update (Forrest-Goldfarb) ---
-        wr = jnp.maximum(state.weights[r], 1e-50)
+        wr = jnp.maximum(w_r, 1e-50)
         ratio = abar / abar_r
         w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr
         w_new = jnp.maximum(w_new, 1e-8)
