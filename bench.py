@@ -78,22 +78,29 @@ def bench_dual_simplex(jax, jnp, model, label):
     state = engine.recompute(lp, state, opts.dual_bound)
     state = engine.make_dual_feasible(lp, state, opts)
 
-    # first chunk compiles; measure from the second on
-    state, verified, obj = engine.dual_chunk(lp, state, opts)
-    iters0 = int(state.iterations)  # host transfer forces completion
+    # first chunk compiles; measure from the second on. ONE packed fetch
+    # per chunk: separate int()/bool()/float() scalar fetches each cost a
+    # full tunnel RPC (~20-30 ms — was ~150 us/pivot of fetch latency in
+    # the round-4 protocol at 800-pivot chunks).
+    state, info = engine.dual_chunk_packed(lp, state, opts)
+    ih = np.asarray(info)
+    iters0 = int(ih[1])
     t0 = time.perf_counter()
     timed_iters = 0
-    status = int(state.status)
-    while not bool(verified) and status in (engine.CONTINUE, engine.OPTIMAL):
-        before = int(state.iterations)
-        state, verified, obj = engine.dual_chunk(lp, state, opts)
-        status = int(state.status)
-        timed_iters += int(state.iterations) - before
+    status = int(ih[0])
+    verified = bool(ih[2])
+    while not verified and status in (engine.CONTINUE, engine.OPTIMAL):
+        before = int(ih[1])
+        state, info = engine.dual_chunk_packed(lp, state, opts)
+        ih = np.asarray(info)
+        status = int(ih[0])
+        verified = bool(ih[2])
+        timed_iters += int(ih[1]) - before
         if time.perf_counter() - t0 > 300:
             break
     t_timed = time.perf_counter() - t0
-    total_iters = int(state.iterations)
-    our_obj = float(obj)  # standard-form c'v; sense=+1 for both bench LPs
+    total_iters = int(ih[1])
+    our_obj = float(ih[3])  # standard-form c'v; sense=+1 for both bench LPs
 
     highs_wall, highs_obj = highs_wall_sparse(model)
     obj_agree = (

@@ -466,9 +466,9 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
 
     from ..events import Event
 
-    from .engine import dual_chunk, primal_chunk
+    from .engine import dual_chunk_packed, primal_chunk_packed
 
-    step = dual_chunk if dual else primal_chunk
+    step = dual_chunk_packed if dual else primal_chunk_packed
     deadline = None if max_seconds is None else _time.monotonic() + max_seconds
     stalls = 0
     # Clp-style anti-cycling progress (ClpSimplexProgress::looping, 5-deep
@@ -477,56 +477,65 @@ def _run_chunked(lp, state, opts: SimplexOptions, dual: bool,
     obj_history: list[float] = []
     cycles = 0
     pending_claim = None
+    iters_before = int(state.iterations)
     while True:
-        iters_before = int(state.iterations)
-        state, verified, obj = step(lp, state, opts)
-        st = int(state.status)
-        obj_f = float(obj)
+        # ONE packed device fetch per chunk (status, iterations, verified,
+        # objective) — each separate scalar fetch is its own RPC through a
+        # tunnel-attached chip (~20-30 ms; round-5 finding)
+        state, info = step(lp, state, opts)
+        ih = np.asarray(info)
+        st = int(ih[0])
+        iters_now = int(ih[1])
+        verified = bool(ih[2])
+        obj_f = float(ih[3])
         if progress is not None:
-            progress(int(state.iterations), obj_f)
+            progress(iters_now, obj_f)
         if fire is not None:
             abort = fire(Event.END_OF_ITERATION,
-                         iterations=int(state.iterations), objective=obj_f)
+                         iterations=iters_now, objective=obj_f)
             abort |= fire(Event.END_OF_FACTORIZATION,
-                          iterations=int(state.iterations))
-            if st == engine.OPTIMAL and not bool(verified):
+                          iterations=iters_now)
+            if st == engine.OPTIMAL and not verified:
                 # the engine found no entering candidate; the next chunk
                 # re-derives the claim on fresh factors
                 abort |= fire(Event.NO_CANDIDATE_IN_DUAL if dual
                               else Event.NO_CANDIDATE_IN_PRIMAL,
-                              iterations=int(state.iterations))
+                              iterations=iters_now)
             if abort:
                 raise _EventAbort(state)
-        if bool(verified):
+        if verified:
             break
         if st in (engine.PRIMAL_INFEASIBLE, engine.DUAL_INFEASIBLE):
             # same protocol as the jitted loop: accept an infeasible /
             # unbounded claim only when the NEXT chunk (which starts on
             # fresh factors) re-derives it without managing a pivot
-            if pending_claim == st and int(state.iterations) == iters_before:
+            if pending_claim == st and iters_now == iters_before:
                 break
             pending_claim = st
+            iters_before = iters_now
             continue
         pending_claim = None
         if st not in (engine.CONTINUE, engine.OPTIMAL):
             break  # NUMERICAL / ITER_LIMIT
         if st == engine.OPTIMAL:
+            iters_before = iters_now
             continue  # claim made inside the chunk; next call verifies it
-        if int(state.iterations) >= opts.max_iterations:
+        if iters_now >= opts.max_iterations:
             state = dataclasses.replace(
                 state, status=jnp.asarray(engine.ITER_LIMIT, jnp.int32)
             )
             break
-        made_pivots = int(state.iterations) > iters_before
+        made_pivots = iters_now > iters_before
         if made_pivots and any(
             abs(obj_f - o) <= 1e-12 * (1.0 + abs(o)) for o in obj_history
         ):
             cycles += 1
             if mh is not None:
-                mh.message("CLP_POSSIBLELOOP", it=int(state.iterations))
+                mh.message("CLP_POSSIBLELOOP", it=iters_now)
         else:
             cycles = 0
         obj_history = (obj_history + [obj_f])[-5:]
+        iters_before = iters_now
         stalls = 0 if made_pivots else stalls + 1
         if stalls >= 3 or cycles >= 3:
             if mh is not None and cycles >= 3:

@@ -1428,6 +1428,37 @@ def primal_chunk(lp: StandardLP, state: SimplexState, opts: SimplexOptions):
     return _one_chunk(lp, state, opts, _primal_iteration_fn(lp, opts), _verify_primal_claim)
 
 
+def _pack_info(state: SimplexState, verified, obj):
+    return jnp.stack([
+        state.status.astype(jnp.float64),
+        state.iterations.astype(jnp.float64),
+        verified.astype(jnp.float64),
+        obj.astype(jnp.float64),
+    ])
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def dual_chunk_packed(lp: StandardLP, state: SimplexState,
+                      opts: SimplexOptions):
+    """dual_chunk + ONE packed f64[4] = [status, iterations, verified,
+    objective] so host chunk loops pay a single device fetch per chunk.
+    Through a tunnel-attached chip each scalar fetch is its own ~20-30 ms
+    RPC; the round-4 bench protocol paid 4 of them per 800-pivot chunk —
+    ~150 us/pivot of pure fetch latency (round-5 finding)."""
+    state, verified, obj = _one_chunk(
+        lp, state, opts, _dual_iteration_fn(lp, opts), _verify_dual_claim)
+    return state, _pack_info(state, verified, obj)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def primal_chunk_packed(lp: StandardLP, state: SimplexState,
+                        opts: SimplexOptions):
+    state, verified, obj = _one_chunk(
+        lp, state, opts, _primal_iteration_fn(lp, opts),
+        _verify_primal_claim)
+    return state, _pack_info(state, verified, obj)
+
+
 def initial_state(lp: StandardLP, opts: SimplexOptions, vstat=None, basis=None) -> SimplexState:
     """All-slack starting basis (or caller-provided warm start arrays)."""
     m, nt = lp.G.shape

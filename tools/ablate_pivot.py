@@ -30,32 +30,33 @@ import numpy as np  # noqa: E402
 
 
 def run_variant(lp, opts, label, budget_s=240.0):
+    """Packed protocol: ONE device fetch per chunk (engine round-5)."""
     from clp_tpu.simplex import engine
 
     st = engine.initial_state(lp, opts)
     st = engine.recompute(lp, st, opts.dual_bound)
     st = engine.make_dual_feasible(lp, st, opts)
-    st, verified, obj = engine.dual_chunk(lp, st, opts)  # compile pass
-    it1 = int(st.iterations)
+    st, info = engine.dual_chunk_packed(lp, st, opts)  # compile pass
+    ih = np.asarray(info)
+    it1 = int(ih[1])
     t0 = time.perf_counter()
     timed = 0
-    status = int(st.status)
-    while not bool(verified) and status in (engine.CONTINUE, engine.OPTIMAL):
-        before = int(st.iterations)
-        st, verified, obj = engine.dual_chunk(lp, st, opts)
-        status = int(st.status)
-        timed += int(st.iterations) - before
+    while not bool(ih[2]) and int(ih[0]) in (engine.CONTINUE, engine.OPTIMAL):
+        before = int(ih[1])
+        st, info = engine.dual_chunk_packed(lp, st, opts)
+        ih = np.asarray(info)
+        timed += int(ih[1]) - before
         if time.perf_counter() - t0 > budget_s:
             break
     dt = time.perf_counter() - t0
     rate = timed / max(dt, 1e-9)
     print(
-        f"{label:14s} rate={rate:7.1f}/s iters={int(st.iterations):6d} "
-        f"(first {it1}) verified={bool(verified)} status={status} "
-        f"obj={float(obj):.8g} wall={dt:.2f}s",
+        f"{label:14s} rate={rate:7.1f}/s iters={int(ih[1]):6d} "
+        f"(first {it1}) verified={bool(ih[2])} status={int(ih[0])} "
+        f"obj={float(ih[3]):.8g} wall={dt:.2f}s",
         flush=True,
     )
-    return rate, int(st.iterations), bool(verified)
+    return rate, int(ih[1]), bool(ih[2])
 
 
 def main():
