@@ -74,33 +74,33 @@ def bench_dual_simplex(jax, jnp, model, label):
         inverse_dtype="float32" if on_tpu else "float64",
         dual_ratio="bfrt",  # long-step bound-flipping ratio test
     )
-    state = engine.initial_state(lp, opts)
-    state = engine.recompute(lp, state, opts.dual_bound)
-    state = engine.make_dual_feasible(lp, state, opts)
+    state0 = engine.initial_state(lp, opts)
+    state0 = engine.recompute(lp, state0, opts.dual_bound)
+    state0 = engine.make_dual_feasible(lp, state0, opts)
 
-    # first chunk compiles; measure from the second on. ONE packed fetch
-    # per chunk: separate int()/bool()/float() scalar fetches each cost a
-    # full tunnel RPC (~20-30 ms — was ~150 us/pivot of fetch latency in
-    # the round-4 protocol at 800-pivot chunks).
-    state, info = engine.dual_chunk_packed(lp, state, opts)
-    ih = np.asarray(info)
-    iters0 = int(ih[1])
+    # single-dispatch protocol (round 5): the WHOLE verified solve — pivot
+    # chunks, refactorizations, claim re-derivation — is one jitted
+    # program (engine.dual_solve/_run_loop), so the timed region contains
+    # zero host round trips. First call compiles; the timed call re-runs
+    # the identical solve from the same cold state. A status of OPTIMAL
+    # can only leave _run_loop after verify_fn passed on fresh f64
+    # factors, so status==OPTIMAL implies the claim was verified.
+    st1 = engine.dual_solve(lp, state0, opts)
+    np.asarray(st1.status)  # force compile+run completion
     t0 = time.perf_counter()
-    timed_iters = 0
-    status = int(ih[0])
-    verified = bool(ih[2])
-    while not verified and status in (engine.CONTINUE, engine.OPTIMAL):
-        before = int(ih[1])
-        state, info = engine.dual_chunk_packed(lp, state, opts)
-        ih = np.asarray(info)
-        status = int(ih[0])
-        verified = bool(ih[2])
-        timed_iters += int(ih[1]) - before
-        if time.perf_counter() - t0 > 300:
-            break
+    state = engine.dual_solve(lp, state0, opts)
+    ih = np.asarray(jnp.stack([state.status.astype(jnp.float64),
+                               state.iterations.astype(jnp.float64)]))
     t_timed = time.perf_counter() - t0
+    status = int(ih[0])
+    verified = status == engine.OPTIMAL
     total_iters = int(ih[1])
-    our_obj = float(ih[3])  # standard-form c'v; sense=+1 for both bench LPs
+    timed_iters = total_iters
+    # objective (outside the timed region): standard-form c'v
+    xn = np.asarray(engine.nonbasic_values(lp, state.vstat, opts.dual_bound))
+    basis = np.asarray(state.basis)
+    c_np = np.asarray(lp.c)
+    our_obj = float(c_np[basis] @ np.asarray(state.xb) + c_np @ xn)
 
     highs_wall, highs_obj = highs_wall_sparse(model)
     obj_agree = (
@@ -112,7 +112,7 @@ def bench_dual_simplex(jax, jnp, model, label):
         "label": label,
         "iters_per_s": timed_iters / max(t_timed, 1e-9),
         "total_iters": total_iters,
-        "first_chunk_iters": iters0,
+        "protocol": "single_dispatch_jitted_solve",
         "status": status,
         "verified": bool(verified),
         "m": M,

@@ -39,6 +39,17 @@ def compute_scaling(A: sp.csc_matrix, mode: ScalingMode, passes: int = 3) -> Sca
     ri, ci, v = Aabs.row, Aabs.col, Aabs.data.astype(np.float64)
     v = np.where(v > 0, v, 1.0)
 
+    if mode == ScalingMode.AUTO:
+        # already-well-scaled matrices: scaling cannot help numerically
+        # but DOES change pivot tie-breaking — measured +16% dual
+        # iterations on the (unit-range) bench staircase (round 5). The
+        # reference's 'automatic' mode likewise sniffs before scaling
+        # (ClpModel scaling hint). Skip when the magnitude spread is
+        # already tight.
+        vmax, vmin = float(v.max()), float(v.min())
+        if vmax <= 16.0 * vmin:
+            return ScaleFactors(row, col)
+
     if mode in (ScalingMode.GEOMETRIC, ScalingMode.AUTO, ScalingMode.DYNAMIC,
                 ScalingMode.GEOMETRIC_ROWS_ONLY):
         logv = np.log2(v)

@@ -739,16 +739,16 @@ def simplex_solve(
     ell_kc = ell_kr = 0
     blk_nb = blk_h = blk_cb = 0
     blk_perm = blk_inv = None
-    # AUTO on TPU probes the block geometry too: block-banded LPs
-    # (staircase/multi-period) measured 12% faster than the fused dense
-    # PRICE at 2048x4608 once columns are pre-sorted (no per-pivot
-    # gather) and the tile-area gate (<= 0.6 of dense, H <= m/2) filters
-    # everything else out
-    probe_block = price_mode == "block" or (
-        price_mode == "auto"
-        and use_pallas
-        and m >= 1024
-    )
+    # "block" is OPT-IN as of round 5. The round-4 auto-gate (decisive
+    # tile-area win <= 0.35 of dense) selected block for the bench
+    # staircase, but end-to-end driver measurement shows it LOSING there:
+    # the once-per-solve column permutation changes pivot tie-breaking
+    # (+7% iterations with scaling on) and the block pallas program
+    # compiles ~3x slower (312 s vs 115 s first solve through the
+    # tunnel), while the tile win no longer beats the round-5 dense path
+    # (packed fetches + merged reductions). Users with stable geometry
+    # and serving-style reuse can still request price_mode="block".
+    probe_block = price_mode == "block"
     if probe_block:
         # block-banded geometry from the host matrix: group standard-form
         # columns (structurals + slacks) by row-support window, pick the

@@ -484,7 +484,6 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         r = jnp.mod(state.iterations, m)
     else:
         r = jnp.argmax(score)
-    any_infeas = jnp.any(cand)
     # ONE gather for every row-r scalar this pivot needs: each separate
     # x[r] read is its own dynamic-slice kernel on TPU (~5 us apiece,
     # measured round 5); the (7, m) stack is a single fused pass
@@ -495,6 +494,9 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         row_r[0], row_r[1], row_r[2], row_r[3], row_r[4], row_r[5],
         row_r[6])
     sigma = jnp.where(above_r > below_r, 1.0, -1.0)  # +1: leaves at upper
+    # argmax r maximizes score, which is -inf only where ~cand: the
+    # gathered row decides any_infeas without a second m-reduction
+    any_infeas = infeas_r > ptol
 
     # --- BTRAN row + PRICE (+ fused Harris pass 1 when on the MXU) ---
     rho = state.binv[r, :]
@@ -599,7 +601,9 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     theta_max = jnp.maximum(mins2[0], mins2[1])
     in_window = elig & (theta_true <= theta_max)
     pivot_mag = jnp.where(in_window, jnp.abs(a), -jnp.inf)
-    any_elig = jnp.any(elig)
+    # theta_true is +inf exactly where ~elig, so the (already-computed)
+    # min over it decides any_elig without another nt-reduction
+    any_elig = jnp.isfinite(mins2[1])
     if not (opts.dual_ratio == "bfrt" and "bfrt" not in opts.ablate):
         q = jnp.argmax(pivot_mag)
 
@@ -656,7 +660,6 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # degenerate guard: if the long step passes every breakpoint
         # (slope never exhausted — a dual ray through flips alone), fall
         # back to the short-step Harris window above
-        use_ls = jnp.any(window_ls)
         pivot_mag_ls = jnp.where(window_ls, a32, -jnp.inf)
         # ONE argmax kernel for both the short-step and long-step picks
         # (each argmax over nt is its own ~26 us reduction, round-5
@@ -673,6 +676,9 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # in the cumsum selection (an overshoot here corrupted the basis
         # at 1536+ rows before this check existed). Gains in f32: the
         # f64 variant measured ~300 us/pivot of VPU-emulated work.
+        # the long-step argmax lands on -inf only when window_ls is
+        # empty: one gather replaces the jnp.any reduction
+        use_ls = pivot_mag_ls[q_ls] > -jnp.inf
         tq_ls = theta_true[q_ls]
         both_fin_ls = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
         would_flip = elig & both_fin_ls & (theta_true < tq_ls - 1e-12)
