@@ -120,6 +120,7 @@ def to_ipm_form(model, dtype=jnp.float64) -> tuple[StandardLP, FormInfo]:
     offset_extra = float(c[fixed_idx] @ l[fixed_idx]) if fixed_idx.size else 0.0
 
     Q_dev = None
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     if model.quadratic_objective is not None:
         nt = n + m
         Qfull = np.zeros((nt, nt))
@@ -130,14 +131,19 @@ def to_ipm_form(model, dtype=jnp.float64) -> tuple[StandardLP, FormInfo]:
             c = c + Qfull[:, fixed_idx] @ vals
             offset_extra += 0.5 * float(vals @ (Qfull[np.ix_(fixed_idx, fixed_idx)] @ vals))
             # (c got the full cross term incl. fixed rows; kept slice below)
-        Q_dev = jnp.asarray(Qfull[np.ix_(kept, kept)], dtype)
+        Q_dev = Qfull[np.ix_(kept, kept)].astype(np_dtype)
 
+    # HOST arrays by design (round 5): every un-jitted device op through
+    # the axon tunnel compiles server-side (~1 s each) — the old
+    # device-side shape-bucket padding alone cost 7.5 s per NEW shape.
+    # Padding, RCM row permutation, and bucket assembly now run as free
+    # numpy ops; jit dispatch device-puts the final arrays exactly once.
     lp = StandardLP(
-        G=jnp.asarray(G[:, kept], dtype),
-        b=jnp.asarray(b, dtype),
-        c=jnp.asarray(c[kept], dtype),
-        l=jnp.asarray(l[kept], dtype),
-        u=jnp.asarray(u[kept], dtype),
+        G=np.ascontiguousarray(G[:, kept], dtype=np_dtype),
+        b=b.astype(np_dtype),
+        c=c[kept].astype(np_dtype),
+        l=l[kept].astype(np_dtype),
+        u=u[kept].astype(np_dtype),
         Q=Q_dev,
     )
     fixed_values = np.where(fixed, l, 0.0)

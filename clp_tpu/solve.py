@@ -351,29 +351,39 @@ def _pad_ipm_lp(lp: StandardLP, bucket: int):
       - remaining pad COLUMNS are all-zero with cost 0 and [-1, 1]
         bounds: reduced cost identically 0, no coupling to the LP.
     Returns (padded_lp, (m, nt)) or (lp, None) when already aligned.
-    """
-    import jax.numpy as jnp
 
-    m, nt = lp.G.shape
+    Pure HOST numpy (round 5): the device-side .at[] version compiled
+    ~8 tiny server-side programs per NEW input shape through the tunnel
+    — 7.5 s of the measured 7.45 s "zero-recompile" second-shape wall
+    (tools/profile_barrier_bucket.py). to_ipm_form now returns host
+    arrays, so padding costs microseconds and the single device transfer
+    happens at jit dispatch.
+    """
+    G = np.asarray(lp.G)
+    m, nt = G.shape
     m2 = -(-m // bucket) * bucket
     k = m2 - m
     nt2 = -(-(nt + k) // bucket) * bucket
     p = nt2 - nt
     if k == 0 and p == 0:
         return lp, None
-    dtype = lp.G.dtype
-    G2 = jnp.zeros((m2, nt2), dtype).at[:m, :nt].set(lp.G)
+    dtype = G.dtype
+    G2 = np.zeros((m2, nt2), dtype)
+    G2[:m, :nt] = G
     if k:
-        G2 = G2.at[m + jnp.arange(k), nt + jnp.arange(k)].set(1.0)
-    pad1 = jnp.ones(p, dtype)
+        G2[m + np.arange(k), nt + np.arange(k)] = 1.0
+    pad1 = np.ones(p, dtype)
+    Q2 = None
+    if lp.Q is not None:
+        Q2 = np.zeros((nt2, nt2), dtype)
+        Q2[:nt, :nt] = np.asarray(lp.Q)
     lp2 = StandardLP(
         G=G2,
-        b=jnp.concatenate([lp.b, jnp.zeros(k, dtype)]),
-        c=jnp.concatenate([lp.c, jnp.zeros(p, dtype)]),
-        l=jnp.concatenate([lp.l, -pad1]),
-        u=jnp.concatenate([lp.u, pad1]),
-        Q=None if lp.Q is None else
-        jnp.zeros((nt2, nt2), dtype).at[:nt, :nt].set(lp.Q),
+        b=np.concatenate([np.asarray(lp.b), np.zeros(k, dtype)]),
+        c=np.concatenate([np.asarray(lp.c), np.zeros(p, dtype)]),
+        l=np.concatenate([np.asarray(lp.l), -pad1]),
+        u=np.concatenate([np.asarray(lp.u), pad1]),
+        Q=Q2,
     )
     return lp2, (m, nt)
 
@@ -413,11 +423,11 @@ def _solve_barrier(model: Model, options: SolveOptions) -> Solution:
         perm, nb = _rcm_band_plan(np.asarray(lp.G))
         if perm is not None:
             # permute ROWS so the normal matrix is banded; x and columns
-            # are untouched, so only y needs unpermuting afterwards
-            import jax.numpy as jnp
-
-            pj = jnp.asarray(perm)
-            lp = _dc.replace(lp, G=lp.G[pj, :], b=lp.b[pj])
+            # are untouched, so only y needs unpermuting afterwards.
+            # Host numpy indexing: lp carries host arrays until dispatch.
+            lp = _dc.replace(
+                lp, G=np.asarray(lp.G)[perm, :], b=np.asarray(lp.b)[perm]
+            )
             opts = _dc.replace(opts, band_nb=nb)
         else:
             # general (unbanded) sparse normal equations: minimum-degree +
