@@ -112,6 +112,38 @@ def engine_mod():
     return engine
 
 
+_PACK_CACHE: dict = {}
+
+
+def _bulk_fetch_host(tree):
+    """ONE device->host transfer for a whole pytree.
+
+    Per-leaf np.asarray pays a ~30-60 ms tunnel RPC per leaf (round-5
+    measurement: 22 leaf fetches = 1.4 s of a 5.4 s batch wall). Pack
+    every leaf into one f64 vector on device (exact for f32/int32/bool),
+    fetch once, unpack on host. Leaves already on host pass through."""
+    leaves, treedef = jax.tree.flatten(tree)
+    if all(isinstance(l, np.ndarray) for l in leaves):
+        return tree
+    key = tuple((tuple(l.shape), str(l.dtype)) for l in leaves)
+    fn = _PACK_CACHE.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(*ls):
+            return jnp.concatenate(
+                [jnp.ravel(l).astype(jnp.float64) for l in ls])
+
+        _PACK_CACHE[key] = fn
+    flat = np.asarray(fn(*leaves))
+    out = []
+    pos = 0
+    for l in leaves:
+        size = int(np.prod(l.shape)) if l.ndim else 1
+        out.append(flat[pos:pos + size].reshape(l.shape).astype(l.dtype))
+        pos += size
+    return jax.tree.unflatten(treedef, out)
+
+
 @partial(jax.jit, static_argnames=("o", "rounds"))
 def _brounds(lp, st, o, rounds: int):
     """`rounds` refactor-chunks of the FULL claim protocol per dispatch:
@@ -124,6 +156,60 @@ def _brounds(lp, st, o, rounds: int):
         return eng.dual_solve_rounds(lp1, st1, o, rounds)
 
     return jax.vmap(one)(lp, st)
+
+
+
+@partial(jax.jit, static_argnames=("o",))
+def _binit(lp, o):
+    eng = engine_mod()
+    return jax.vmap(lambda lp1: eng.initial_state(lp1, o))(lp)
+
+
+@partial(jax.jit, static_argnames=("o",))
+def _brerun(lp, st, need_, o):
+    import dataclasses as _dc
+
+    eng = engine_mod()
+
+    def one(lp1, st1, n1):
+        st1r = _dc.replace(
+            st1,
+            status=jnp.where(n1, eng.CONTINUE, st1.status).astype(
+                st1.status.dtype
+            ),
+        )
+        st2 = eng.recompute(lp1, st1r, o.dual_bound)
+        st2 = eng.make_dual_feasible(lp1, st2, o)
+        st2 = eng.dual_solve(lp1, st2, o)
+        return jax.tree.map(lambda a, b: jnp.where(n1, b, a), st1, st2)
+
+    return jax.vmap(one)(lp, st, need_)
+
+
+@partial(jax.jit, static_argnames=("o",))
+def _bprimal_finish(lp, st, need_, o):
+    import dataclasses as _dc
+
+    eng = engine_mod()
+
+    def one(lp1, st1, n1):
+        fake = ((st1.vstat == eng.AT_LOWER) & ~jnp.isfinite(lp1.l)) | (
+            (st1.vstat == eng.AT_UPPER) & ~jnp.isfinite(lp1.u)
+        )
+        st1r = _dc.replace(
+            st1,
+            vstat=jnp.where(fake, eng.FREE, st1.vstat).astype(
+                st1.vstat.dtype
+            ),
+            status=jnp.where(n1, eng.CONTINUE, st1.status).astype(
+                st1.status.dtype
+            ),
+        )
+        st2 = eng.recompute(lp1, st1r, o.dual_bound)
+        st2 = eng.primal_solve(lp1, st2, o)
+        return jax.tree.map(lambda a, b: jnp.where(n1, b, a), st1, st2)
+
+    return jax.vmap(one)(lp, st, need_)
 
 
 def _compacting_dual_loop(batched, init_states, opts, rounds_per_dispatch=6):
@@ -177,13 +263,18 @@ def _compacting_dual_loop(batched, init_states, opts, rounds_per_dispatch=6):
         finish = ver | hard | give_up
 
         if finish.any():
+            # ONE bulk device->host fetch, then numpy slicing: per-lane
+            # device slices each compile their own tiny server-side
+            # program through the tunnel (measured 13.8 s of a 14.2 s
+            # b=256 batch wall — 97% — in round 5)
+            st_host = _bulk_fetch_host(st_cur)
             for j in np.flatnonzero(finish):
-                st_j = jax.tree.map(lambda a: a[int(j)], st_cur)
+                st_j = jax.tree.map(lambda a: a[int(j)], st_host)
                 if give_up[j] and not (ver[j] or hard[j]):
                     st_j = _dc.replace(
                         st_j,
-                        status=jnp.asarray(engine.NUMERICAL,
-                                           st_j.status.dtype),
+                        status=np.asarray(engine.NUMERICAL,
+                                          st_j.status.dtype),
                     )
                 done[int(live[j])] = st_j
             keep = ~finish
@@ -202,15 +293,19 @@ def _compacting_dual_loop(batched, init_states, opts, rounds_per_dispatch=6):
             st_cur = jax.tree.map(lambda a: jnp.take(a, gather, axis=0), st_cur)
     else:
         # dispatch budget exhausted: whatever is left goes to the
-        # per-instance fallback as NUMERICAL
+        # per-instance fallback as NUMERICAL (bulk fetch + numpy slicing,
+        # same reason as the retirement path)
+        st_host = _bulk_fetch_host(st_cur)
         for j in range(live.size):
-            st_j = jax.tree.map(lambda a: a[int(j)], st_cur)
+            st_j = jax.tree.map(lambda a: a[int(j)], st_host)
             st_j = _dc.replace(
-                st_j, status=jnp.asarray(engine.NUMERICAL, jnp.int32)
+                st_j, status=np.asarray(engine.NUMERICAL, np.int32)
             )
             done[int(live[j])] = st_j
 
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *[done[i] for i in range(B)])
+    # host-side stack: lane states are numpy already; callers do numpy
+    # reads and feed jitted reruns, which ingest numpy directly
+    return jax.tree.map(lambda *xs: np.stack(xs), *[done[i] for i in range(B)])
 
 
 def solve_batch_dual_simplex(
@@ -263,11 +358,7 @@ def solve_batch_dual_simplex(
             per.append(_warm_state(lp_i, opts, warm, nt_i - m_i, m_i))
         init_states = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
     else:
-        @partial(jax.jit, static_argnames=("o",))
-        def make_init(lp, o):
-            return jax.vmap(lambda lp1: engine.initial_state(lp1, o))(lp)
-
-        init_states = make_init(batched, opts)
+        init_states = _binit(batched, opts)
 
     states = _compacting_dual_loop(batched, init_states, opts)
 
@@ -295,24 +386,7 @@ def solve_batch_dual_simplex(
         attempts += 1
         opts_e = _dc.replace(opts_e, dual_bound=opts_e.dual_bound * 100.0)
         need = jnp.asarray((stat == engine.OPTIMAL) & fakes)
-
-        @partial(jax.jit, static_argnames=("o",))
-        def rerun(lp, st, need_, o):
-            def one(lp1, st1, n1):
-                st1r = _dc.replace(
-                    st1,
-                    status=jnp.where(n1, engine.CONTINUE, st1.status).astype(
-                        st1.status.dtype
-                    ),
-                )
-                st2 = engine.recompute(lp1, st1r, o.dual_bound)
-                st2 = engine.make_dual_feasible(lp1, st2, o)
-                st2 = engine.dual_solve(lp1, st2, o)
-                return jax.tree.map(lambda a, b: jnp.where(n1, b, a), st1, st2)
-
-            return jax.vmap(one)(lp, st, need_)
-
-        states = rerun(batched, states, need, opts_e)
+        states = _brerun(batched, states, need, opts_e)
         stat, fakes = _flags(states)
 
     # OPTIMAL-on-fake needs the true-bounds primal finish; an infeasibility
@@ -323,36 +397,14 @@ def solve_batch_dual_simplex(
         # park fake-bound nonbasics at 0 as FREE and finish with the primal
         # (resetFakeBounds + primal cleanup, ClpSimplexDual.cpp:8303)
         need = jnp.asarray(need_pf)
-
-        @partial(jax.jit, static_argnames=("o",))
-        def primal_finish(lp, st, need_, o):
-            def one(lp1, st1, n1):
-                fake = ((st1.vstat == engine.AT_LOWER) & ~jnp.isfinite(lp1.l)) | (
-                    (st1.vstat == engine.AT_UPPER) & ~jnp.isfinite(lp1.u)
-                )
-                st1r = _dc.replace(
-                    st1,
-                    vstat=jnp.where(fake, engine.FREE, st1.vstat).astype(
-                        st1.vstat.dtype
-                    ),
-                    status=jnp.where(n1, engine.CONTINUE, st1.status).astype(
-                        st1.status.dtype
-                    ),
-                )
-                st2 = engine.recompute(lp1, st1r, o.dual_bound)
-                st2 = engine.primal_solve(lp1, st2, o)
-                return jax.tree.map(lambda a, b: jnp.where(n1, b, a), st1, st2)
-
-            return jax.vmap(one)(lp, st, need_)
-
-        states = primal_finish(batched, states, need, opts_e)
+        states = _bprimal_finish(batched, states, need, opts_e)
         stat, fakes = _flags(states)
 
     # ONE bulk device->host transfer for the whole batch: slicing device
     # arrays per instance costs several RPC round trips each through a
     # tunnel-attached chip (~8 x 30 ms x B dominated the b=32 wall)
-    states_np = jax.tree.map(np.asarray, states)
-    batched_np = jax.tree.map(np.asarray, batched)
+    states_np = _bulk_fetch_host(states)
+    batched_np = _bulk_fetch_host(batched)
     out = []
     for i, mod in enumerate(models):
         st_i = jax.tree.map(lambda a: a[i], states_np)
