@@ -238,6 +238,36 @@ def bench_batched_dual(jax, jnp):
         "instances_per_s": round(B2 / t2, 2), "batch": B2,
         "shape": f"{M2}x{N2}", "optimal": ok2,
     }
+    # the ACTUAL 10k-scenario sweep (north star BASELINE configs[4]):
+    # fresh perturbed-RHS batches of 256 head-to-tail through the SAME
+    # compiled programs; wall includes per-batch model build + stacking
+    # (the honest end-to-end pipeline cost on one chip). TPU-only: the
+    # sweep exists to measure the chip, not the CPU smoke environment.
+    if jax.default_backend() != "tpu":
+        return out
+    t0 = time.perf_counter()
+    total = 0
+    ok_sweep = 0
+    while total < 10_000:
+        bs = []
+        for _ in range(B2):
+            m = base2.copy()
+            shift = np.abs(rng.uniform(0, 0.05, m.num_rows))
+            m.row_lower = np.where(m.row_lower > -1e29, m.row_lower - shift,
+                                   m.row_lower)
+            m.row_upper = np.where(m.row_upper < 1e29, m.row_upper + shift,
+                                   m.row_upper)
+            bs.append(m)
+        sols_b = solve_batch_dual_simplex(bs, opts)
+        ok_sweep += sum(s.status == ProblemStatus.OPTIMAL for s in sols_b)
+        total += B2
+    t_sweep = time.perf_counter() - t0
+    out["sweep_10k"] = {
+        "scenarios": total, "optimal": ok_sweep,
+        "wall_s": round(t_sweep, 1),
+        "aggregate_instances_per_s": round(total / t_sweep, 1),
+        "shape": f"{M2}x{N2}", "batch": B2,
+    }
     return out
 
 
@@ -341,6 +371,43 @@ def _timeit(fn):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def bench_scale_evidence(jax, jnp):
+    """dfl001-class hardware evidence (VERDICT r4 #4): a 4096x7168 random
+    LP (the rounds-2/3 regression guard) and a 6144-row staircase with a
+    HiGHS comparison. Each instance runs in a SUBPROCESS
+    (tools/scale_one.py): the axon worker intermittently crashes on
+    4096+-scale programs, and a crashed worker poisons the whole client
+    process — isolation keeps one instance's crash from sinking the
+    other's measurement (or the rest of this bench)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    for which in ("staircase_6144x7680", "random_4096x7168_d2pct"):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "scale_one.py"),
+                 which],
+                capture_output=True, text=True, timeout=2400, cwd=here,
+            )
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("SCALE_JSON ")), None)
+            if line is None:
+                tail = (r.stderr or r.stdout or "").strip().splitlines()
+                out[which] = {"error": " | ".join(tail[-3:])[:300],
+                              "rc": r.returncode}
+            else:
+                out[which] = _json.loads(line[len("SCALE_JSON "):])
+        except subprocess.TimeoutExpired:
+            out[which] = {"error": "timeout 2400s"}
+        except Exception as e:
+            out[which] = {"error": str(e)[:200]}
+    return out
 
 
 def bench_barrier_bucket(jax, jnp):
@@ -559,6 +626,10 @@ def main():
         bbb = bench_barrier_bucket(jax, jnp)
     except Exception as e:
         bbb = {"error": str(e)[:200]}
+    try:
+        bscale = bench_scale_evidence(jax, jnp)
+    except Exception as e:  # 4096+ compiles have crashed the axon worker
+        bscale = {"error": str(e)[:200]}
 
     # headline: geometric mean of per-instance wall-clock speedups vs the
     # honest HiGHS baseline (sparse ranged input). Time-to-verified-optimal,
@@ -578,6 +649,27 @@ def main():
                 "unit": "x faster to verified optimal (geomean over random + staircase LPs), TPU chip vs host-CPU HiGHS on sparse ranged input",
                 "vs_baseline": geo if geo is not None else 0.0,
                 "extras": {
+                    # throttle-insensitive metrics FIRST (VERDICT r4 #10):
+                    # rates, counts, and per-instance ratios move far less
+                    # across sessions than absolute walls; the measured
+                    # matmul ceiling for this run is in mxu_efficiency
+                    "throttle_insensitive": {
+                        "pivot_rate_vs_clp_pilot87_published": round(
+                            runs[0]["iters_per_s"] / CLP_PILOT87_ITERS_PER_S,
+                            4),
+                        "iterations": {
+                            r["label"]: r["total_iters"] for r in runs},
+                        "pivot_rates_per_s": {
+                            r["label"]: round(r["iters_per_s"], 1)
+                            for r in runs},
+                        "wall_ratio_vs_highs": {
+                            r["label"]: (
+                                None if not r["highs_wall_s_sparse_ranged"]
+                                else round(r["highs_wall_s_sparse_ranged"]
+                                           / r["solve_wall_s_post_compile"],
+                                           2))
+                            for r in runs},
+                    },
                     "instances": [
                         {
                             **{k: v for k, v in r.items() if k != "iters_per_s"},
@@ -597,6 +689,7 @@ def main():
                     "sparse_cholesky_vs_dense": bchol,
                     "mxu_efficiency": bmxu,
                     "barrier_shape_bucket": bbb,
+                    "scale_evidence": bscale,
                 },
             }
         )
