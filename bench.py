@@ -73,6 +73,10 @@ def bench_dual_simplex(jax, jnp, model, label):
         use_pallas_price=on_tpu,
         inverse_dtype="float32" if on_tpu else "float64",
         dual_ratio="bfrt",  # long-step bound-flipping ratio test
+        # 8 gated pivots per while-loop step (round 5): the while-loop
+        # boundary alone measured ~39 us/pivot on the v5e; staircase wall
+        # 4.37 -> 3.21 s with identical pivot sequence
+        inner_unroll=8 if on_tpu else 1,
     )
     state0 = engine.initial_state(lp, opts)
     state0 = engine.recompute(lp, state0, opts.dual_bound)

@@ -19,6 +19,7 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..constants import (
@@ -883,6 +884,15 @@ def simplex_solve(
             inverse_dtype=inv_dtype,
             dual_ratio=dual_ratio,
             pe_psi=getattr(options, "pe_psi", 0.5),
+            # scan blocks of 8 pivots per while-loop iteration on the
+            # mixed TPU engine: the while boundary measured ~39 us/pivot
+            # on the v5e (round-5 slope microbench); both pivot bodies
+            # freeze themselves at every stop condition, so over-running
+            # a block is a gated no-op
+            inner_unroll=(
+                8 if (inv_dtype == "float32"
+                      and jax.default_backend() == "tpu") else 1
+            ),
         )
 
     opts = make_opts(getattr(options, "dual_bound", DUAL_BOUND_DEFAULT))

@@ -136,6 +136,15 @@ class SimplexOptions:
     # (results are numerically meaningless). Members: "price", "bfrt",
     # "ftran", "update", "book", "rowchoice".
     ablate: tuple = ()
+    # pivots per inner-loop step: the inner pivot loop runs lax.scan blocks
+    # of this length inside the while_loop, amortizing the per-iteration
+    # while overhead (measured 39 us/pivot on the v5e tunnel, round 5).
+    # The pivot body is no-op-safe — once a terminal status, the accuracy
+    # flag, or the iteration limit is reached, do_pivot gates every state
+    # write — so over-running a block past the stopping condition wastes
+    # at most unroll-1 gated body evaluations per chunk. 1 = exact
+    # round-4 behavior (every caller that doesn't opt in).
+    inner_unroll: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -417,8 +426,32 @@ def _pm1_matvec(delta, pm1, m):
 # --------------------------------------------------------------------------
 
 
+def pivot_invariants(lp: StandardLP, opts: SimplexOptions):
+    """Loop-invariant vectors of the dual pivot body.
+
+    Computed once per solve in the iteration closure (_dual_iteration_fn)
+    so XLA hoists them out of the pivot while_loop — recomputing them per
+    pivot measured ~30-50 us of the 397 us body on the v5e (round 5; the
+    f64 elementwise ops are VPU-emulated and each small op carries fixed
+    overhead). Recomputed inline when the caller passes pre=None (direct
+    single-iteration callers, tests)."""
+    fixed = lp.l == lp.u
+    width = lp.u - lp.l
+    width32 = width.astype(jnp.float32)
+    finl = jnp.isfinite(lp.l)
+    finu = jnp.isfinite(lp.u)
+    both_fin = finl & finu & ~fixed
+    boxed = jnp.isfinite(width32) & ~fixed
+    vlo = jnp.where(finl, lp.l, -opts.dual_bound)
+    vup = jnp.where(finu, lp.u, opts.dual_bound)
+    return {
+        "fixed": fixed, "width": width, "width32": width32,
+        "both_fin": both_fin, "boxed": boxed, "vlo": vlo, "vup": vup,
+    }
+
+
 def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
-                   G32=None, pm1=None, ell=None, blk=None):
+                   G32=None, pm1=None, ell=None, blk=None, pre=None):
     """One dual pivot: price row -> BTRAN -> ratio test -> FTRAN -> update.
 
     When opts.use_pallas_price, PRICE + the Harris pass-1 scan run fused in
@@ -438,6 +471,8 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     ptol = opts.primal_tolerance
     dtol = opts.dual_tolerance
     mixed = opts.inverse_dtype == "float32"
+    if pre is None:
+        pre = pivot_invariants(lp, opts)
 
     lb, ub = _basic_bounds(lp, state.basis)
     below = lb - state.xb
@@ -503,7 +538,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     at_lo = state.vstat == AT_LOWER
     at_up = state.vstat == AT_UPPER
     # fixed variables (l == u) can never usefully enter
-    fixed = jnp.take(lp.l, jnp.arange(nt)) == jnp.take(lp.u, jnp.arange(nt))
+    fixed = pre["fixed"]
     sgn = jnp.where(at_lo, 1.0, -1.0)
     rel = opts.harris_tolerance_frac * dtol
 
@@ -620,8 +655,8 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # depends on it — the pivot element itself is still f64-verified.
         # A slightly conservative threshold is always valid: passing fewer
         # breakpoints is still a correct (shorter) long step.
-        width32 = (lp.u - lp.l).astype(jnp.float32)
-        boxed = jnp.isfinite(width32) & ~fixed
+        width32 = pre["width32"]
+        boxed = pre["boxed"]
         a32 = jnp.abs(a).astype(jnp.float32)
         t32 = jnp.where(elig, theta_true, jnp.inf).astype(jnp.float32)
         gain = jnp.where(elig & boxed, a32 * width32, jnp.inf)
@@ -680,8 +715,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # empty: one gather replaces the jnp.any reduction
         use_ls = pivot_mag_ls[q_ls] > -jnp.inf
         tq_ls = theta_true[q_ls]
-        both_fin_ls = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
-        would_flip = elig & both_fin_ls & (theta_true < tq_ls - 1e-12)
+        would_flip = elig & pre["both_fin"] & (theta_true < tq_ls - 1e-12)
         gain_flip = jnp.sum(jnp.where(would_flip, a32 * width32, 0.0))
         use_ls = use_ls & (gain_flip < infeas_r.astype(jnp.float32))
         q = jnp.where(use_ls, q_ls, q)
@@ -691,9 +725,8 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     # would go dual infeasible after the price update — but having BOTH
     # bounds finite they can jump to the opposite bound instead. Deciding
     # them before the FTRAN lets their flow share its binv contraction.
-    dual_bound = opts.dual_bound
-    vlo = jnp.where(jnp.isfinite(lp.l), lp.l, -dual_bound)
-    vup = jnp.where(jnp.isfinite(lp.u), lp.u, dual_bound)
+    vlo = pre["vlo"]
+    vup = pre["vup"]
     # ONE gather for every column-q scalar (same batching as row_stack)
     col_stack = jnp.stack([
         theta_true, state.dj, vlo, vup,
@@ -703,13 +736,13 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     col_q = jax.lax.dynamic_slice_in_dim(col_stack, q, 1, axis=1)[:, 0]
     theta_q, dj_q, vlo_q, vup_q, vstat_q_f, alpha_rq = (
         col_q[0], col_q[1], col_q[2], col_q[3], col_q[4], col_q[5])
-    both_fin = jnp.isfinite(lp.l) & jnp.isfinite(lp.u) & ~fixed
+    both_fin = pre["both_fin"]
     idx = jnp.arange(nt)
     if "flip" in opts.ablate:  # timing-only: no flips -> no flow matvec
         flip = jnp.zeros_like(elig) & elig
     else:
         flip = elig & both_fin & (theta_true < theta_q - 1e-12) & (idx != q)
-    width = lp.u - lp.l
+    width = pre["width"]
     flip_delta = jnp.where(flip, jnp.where(at_lo, width, -width), 0.0)
     flip_any = jnp.any(flip)
     if "forceflow" in opts.ablate:  # timing-only: always pay the flow matvec
@@ -796,6 +829,8 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
             piv_small_f = jnp.abs(abar_r_f) < max(opts.pivot_tolerance, 1e-6)
             gate = (
                 any_infeas & any_elig & ~acc_bad_f & ~piv_small_f
+                & ~state.refactor_now
+                & (state.iterations < opts.max_iterations)
             ).astype(jnp.float32)
             binv_fused, res = fused_pivot_update(
                 state.binv, triple, rho32, abar_r32, gate,
@@ -803,14 +838,14 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
                 interpret=jax.default_backend() != "tpu",
             )
             abar = res[:, 0].astype(G.dtype)
-            tau = res[:, 1].astype(G.dtype)
+            tau = res[:, 1]  # stays f32: only feeds the weight update
             flow = res[:, 2].astype(G.dtype)
         else:
             ftran3 = jnp.matmul(
                 state.binv, triple, precision=jax.lax.Precision.HIGHEST
             )
             abar = ftran3[:, 0].astype(G.dtype)
-            tau = ftran3[:, 1].astype(G.dtype)
+            tau = ftran3[:, 1]  # inverse dtype: only feeds the weight update
             flow = ftran3[:, 2].astype(G.dtype)
     abar_r = abar[r] if binv_fused is None else abar_r_f
     # accuracy cross-check (reference: dual checks alpha vs ftran value).
@@ -824,6 +859,18 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     # too-small pivots (forces a fresh f64 factorization instead)
     piv_floor = max(opts.pivot_tolerance, 1e-6) if mixed else opts.pivot_tolerance
     piv_small = jnp.abs(abar_r) < piv_floor
+
+    # pivot gate, decided as soon as the pivot element is known so the
+    # rank-1 update can fold it into `factor` (a gated no-op subtracts an
+    # exact zero outer product) instead of paying an m x m select on binv
+    # afterwards. The ~refactor_now / iteration-limit terms freeze the
+    # state exactly where the inner while_loop would have stopped, which
+    # makes the body safe to over-run in lax.scan blocks (inner_unroll).
+    do_pivot = (
+        any_infeas & any_elig & ~acc_bad & ~piv_small
+        & ~state.refactor_now
+        & (state.iterations < opts.max_iterations)
+    )
 
     # --- primal step: leaving variable lands on its violated bound,
     # after accounting for the flip flow ---
@@ -842,6 +889,16 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     im = jnp.arange(m)
     theta_d = dj_q / abar_r
     p_leave = state.basis[r]
+    # scalar where-gates, not *0 products: abar_r can be exactly 0 on a
+    # gated iteration (piv_small), making theta_d/inv_piv inf — inf*0
+    # would poison the vectors with NaN where a select stays exact.
+    # (A fuller restructure — folding the gate into every point update and
+    # keeping DSE weights in f32 — was measured at par on the v5e slope
+    # microbench (300.2 vs 298.4 us: XLA already fuses the selects) and
+    # the f32 weight RECURRENCE stalled the 2048-row staircase via
+    # cancellation, so only binv's gate-fold is kept. Round 5.)
+    inv_piv = 1.0 / abar_r
+    s_piv = jnp.where(do_pivot, inv_piv, 0.0)
     if "book" in opts.ablate:  # timing-only: skip point updates
         dj_new = state.dj
         w_new = state.weights
@@ -853,7 +910,8 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         # --- DSE weight update (Forrest-Goldfarb) ---
         wr = jnp.maximum(w_r, 1e-50)
         ratio = abar / abar_r
-        w_new = state.weights - 2.0 * ratio * tau + ratio * ratio * wr
+        w_new = state.weights - 2.0 * ratio * tau.astype(
+            state.weights.dtype) + ratio * ratio * wr
         w_new = jnp.maximum(w_new, 1e-8)
         w_new = jnp.where(
             im == r, jnp.maximum(wr / (abar_r * abar_r), 1e-8), w_new
@@ -864,8 +922,12 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     if "update" in opts.ablate:  # timing-only: skip the rank-1 update
         binv_new = state.binv
     elif binv_fused is None:
+        # pivot-gated factor (s_piv above): one f64 divide per pivot
+        # instead of m, and a gated no-op subtracts an exact zero outer
+        # product — binv - 0*row == binv, so no m x m select is needed
+        factor = abar * s_piv
         factor = jnp.where(
-            im == r, 1.0 - 1.0 / abar_r, abar / abar_r
+            im == r, jnp.where(do_pivot, 1.0 - inv_piv, 0.0), factor
         )
         binv_new = state.binv - jnp.outer(
             factor.astype(state.binv.dtype), state.binv[r, :]
@@ -895,8 +957,7 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
         vstat_new = jnp.where(idx == q, BASIC, vstat_new).astype(
             state.vstat.dtype)
 
-    # --- dispatch on special cases ---
-    do_pivot = any_infeas & any_elig & ~acc_bad & ~piv_small
+    # --- dispatch on special cases (do_pivot decided above, pre-update) ---
     status = jnp.where(
         ~any_infeas,
         OPTIMAL,
@@ -907,20 +968,16 @@ def dual_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     # destabilized the f32 engine — pressing past the floor lets binv
     # blow up; the driver's warm f64 continuation is the safe policy.)
     refactor_now = state.refactor_now | (any_infeas & any_elig & (acc_bad | piv_small))
-    w_keep = state.weights
 
     new_state = SimplexState(
         basis=jnp.where(do_pivot, basis_new, state.basis),
         vstat=jnp.where(do_pivot, vstat_new, state.vstat),
-        binv=(
-            binv_new  # kernel output is already pivot-gated
-            if binv_fused is not None
-            else jnp.where(do_pivot, binv_new, state.binv)
-        ),
+        binv=binv_new,  # pivot-gated in place: the fused kernel gates its
+        # write, the XLA path folds the gate into `factor` (exact no-op)
         xb=jnp.where(do_pivot, xb_new, state.xb),
         dj=jnp.where(do_pivot, dj_new, state.dj),
         y=state.y,  # refreshed at refactorization
-        weights=jnp.where(do_pivot, w_new, w_keep),
+        weights=jnp.where(do_pivot, w_new, state.weights),
         wcol=state.wcol,
         iterations=state.iterations + do_pivot.astype(state.iterations.dtype),
         status=status,
@@ -1132,7 +1189,13 @@ def primal_iteration(lp: StandardLP, state: SimplexState, opts: SimplexOptions,
     flip_stat = jnp.where(at_lo[q], AT_UPPER, AT_LOWER)
     vstat_flip = state.vstat.at[q].set(flip_stat.astype(state.vstat.dtype))
 
-    do_any = any_elig & ~unbounded
+    # ~refactor_now / iteration-limit freeze the body exactly where the
+    # inner while_loop stops, so it is safe to over-run in inner_unroll
+    # scan blocks (same contract as dual_iteration's do_pivot gate)
+    do_any = (
+        any_elig & ~unbounded & ~state.refactor_now
+        & (state.iterations < opts.max_iterations)
+    )
     do_flip = do_any & flip
     do_pivot = do_any & ~flip & has_block & ~acc_bad & ~piv_small
     bad = do_any & ~flip & has_block & (acc_bad | piv_small)
@@ -1212,6 +1275,7 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
     """
 
     chunk = opts.refactor_frequency
+    U = max(1, int(opts.inner_unroll))
 
     def inner_cond(carry):
         st, k = carry
@@ -1223,9 +1287,18 @@ def _run_loop(lp: StandardLP, state: SimplexState, opts: SimplexOptions, iterati
         )
 
     def inner_body(carry):
+        # U pivots per while iteration: the while_loop boundary costs
+        # ~39 us/pivot on the v5e tunnel (round-5 slope microbench); scan
+        # blocks amortize it. The pivot body freezes itself (do_pivot
+        # gate) once a stop condition holds, so over-running a block is
+        # a gated no-op, never a semantic change.
         st, k = carry
-        st = iteration_fn(lp, st, opts)
-        return st, k + 1
+        if U == 1:
+            return iteration_fn(lp, st, opts), k + 1
+        st, _ = jax.lax.scan(
+            lambda s, _: (iteration_fn(lp, s, opts), None), st, None,
+            length=U)
+        return st, k + U
 
     def outer_cond(carry):
         st, stalls, verified, rounds = carry
@@ -1330,12 +1403,14 @@ def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
     """Dual iteration closure; hoists loop-invariant matrix forms out of
     the pivot loop (the f32 G copy for Pallas/mixed-precision pricing, or
     the +-1 index arrays for multiply-free pricing)."""
+    pre = pivot_invariants(lp, opts)
     if opts.price_mode == "pm1" and not opts.use_pallas_price:
-        return partial(dual_iteration, pm1=pm1_indices(lp.G))
+        return partial(dual_iteration, pm1=pm1_indices(lp.G), pre=pre)
     if opts.price_mode == "ell" and opts.price_ell_kc > 0:
         return partial(
             dual_iteration,
             ell=ell_forms(lp.G, opts.price_ell_kc, opts.price_ell_kr),
+            pre=pre,
         )
     if opts.price_mode == "block" and opts.price_block_nb > 0:
         Gb = (lp.G.astype(jnp.float32)
@@ -1345,11 +1420,12 @@ def _dual_iteration_fn(lp: StandardLP, opts: SimplexOptions):
             dual_iteration,
             blk=block_forms(Gb, opts.price_block_nb, opts.price_block_h,
                             opts.price_block_cb),
+            pre=pre,
         )
     if opts.use_pallas_price or opts.inverse_dtype == "float32":
         G32 = lp.G.astype(jnp.float32)
-        return partial(dual_iteration, G32=G32)
-    return dual_iteration
+        return partial(dual_iteration, G32=G32, pre=pre)
+    return partial(dual_iteration, pre=pre)
 
 
 def _primal_iteration_fn(lp: StandardLP, opts: SimplexOptions):
@@ -1410,9 +1486,16 @@ def _one_chunk(lp, state, opts, iteration_fn, verify_fn):
             & (st.iterations < opts.max_iterations)
         )
 
+    U = max(1, int(opts.inner_unroll))
+
     def inner_body(carry):
         st, k = carry
-        return iteration_fn(lp, st, opts), k + 1
+        if U == 1:
+            return iteration_fn(lp, st, opts), k + 1
+        st, _ = jax.lax.scan(
+            lambda s, _: (iteration_fn(lp, s, opts), None), st, None,
+            length=U)
+        return st, k + U
 
     def run(st):
         st, _ = jax.lax.while_loop(inner_cond, inner_body, (st, 0))

@@ -97,6 +97,10 @@ def main():
         "freq400": dataclasses.replace(base, refactor_frequency=400),
         "freq1600": dataclasses.replace(base, refactor_frequency=1600),
         "harris": dataclasses.replace(base, dual_ratio="harris"),
+        "u8": dataclasses.replace(base, inner_unroll=8),
+        "u16": dataclasses.replace(base, inner_unroll=16),
+        "u8f1600": dataclasses.replace(
+            base, inner_unroll=8, refactor_frequency=1600),
     }
     if wanted:
         variants = {k: v for k, v in variants.items() if k in wanted}
