@@ -341,6 +341,10 @@ def solve_batch_dual_simplex(
         or (400 if inv_dtype == "float32" else 100),
         max_iterations=options.max_iterations or 100000,
         inverse_dtype=inv_dtype,
+        # same while-boundary amortization as the single-instance TPU
+        # engine (round 5); under vmap every lane pays the loop boundary
+        # of the slowest lane, so scan blocks help the whole batch
+        inner_unroll=8 if inv_dtype == "float32" else 1,
     )
     if mesh is not None:
         sh = scenario_sharding(mesh, options.mesh_axis)
